@@ -1,0 +1,177 @@
+"""jnp bit-packing ops: batched, jit-traceable, XLA-fused.
+
+The TPU-native re-design of the reference's pack!/unpack! macro kernels
+(reference src/macros.rs:35-98 / 101-174 driven by src/bitpacking.rs:65-106):
+
+  * the per-lane loop of the reference becomes the vector axis — every op
+    below acts on (B, LANES) slabs, vectorizing over all lanes of all blocks
+    at once;
+  * the reference's unrolled `seq_t!` row loop becomes a trace-time Python
+    loop over T rows: all shifts/masks/word indices are Python constants, so
+    XLA sees a static DAG of shift/mask/or ops it can fuse into a single
+    memory-bound pass;
+  * because `index(row, lane)` makes each transposed row a *contiguous*
+    slice of the flat block (see core/layout.py), there are no gathers —
+    only static column slices and concatenations.
+
+The kernel-body hooks of the reference macros (`|$idx, $elem|`) survive as
+the `pack_row_stream` / `unpack_row_stream` generators, which delta.py and
+ffor.py compose into fused kernels exactly like delta.rs:48-63 / ffor.rs:24-50.
+
+u64 runs on 2x32-bit limbs via the engine (TPUs have no 64-bit vector ints).
+"""
+
+from __future__ import annotations
+
+from ..core import layout
+from . import _engine as eng
+
+
+def _mask_bits(width_bits: int, t: int) -> int:
+    """mask(width) from reference macros.rs:141-143."""
+    if width_bits == t:
+        return (1 << t) - 1
+    return (1 << (width_bits % t)) - 1
+
+
+def pack_words(row_fn, width: int, dtype, batch_shape):
+    """Run the pack loop over a row stream; returns the list of W word vecs.
+
+    `row_fn(row)` must return the (B, LANES) vec of transposed row `row`
+    (already masked or not — masking to W bits happens here, macros.rs:74-76).
+    Mirrors reference macros.rs:35-98.
+    """
+    dtype = layout.canon_dtype(dtype)
+    t = layout.bit_width(dtype)
+    layout.check_width(dtype, width)
+
+    if width == 0:
+        return []
+    if width == t:
+        # W == T: straight copy in row order (macros.rs:54-59).
+        return [row_fn(row) for row in range(t)]
+
+    mask = (1 << width) - 1
+    words = []
+    tmp = None
+    for row in range(t):
+        src = eng.and_const(row_fn(row), mask, dtype)
+        shift = (row * width) % t
+        if row == 0:
+            tmp = src
+        else:
+            tmp = eng.orr(tmp, eng.shl(src, shift, dtype), dtype)
+        curr_word = (row * width) // t
+        next_word = ((row + 1) * width) // t
+        if next_word > curr_word:
+            words.append(tmp)
+            remaining = ((row + 1) * width) % t
+            # carry bits that did not fit (macros.rs:89-93); width-remaining < T
+            tmp = eng.shr(src, width - remaining, dtype)
+    assert len(words) == width
+    return words
+
+
+def unpack_row_stream(packed_vec, width: int, dtype):
+    """Yield (row, (B, LANES) vec) in transposed row order from a packed vec.
+
+    The vectorized analogue of the reference unpack! macro's kernel-body hook
+    (macros.rs:101-174) — fused consumers iterate this stream.
+    """
+    dtype = layout.canon_dtype(dtype)
+    t = layout.bit_width(dtype)
+    nl = layout.lanes(dtype)
+    layout.check_width(dtype, width)
+
+    if width == 0:
+        if eng.is_limb(dtype):
+            b = packed_vec[0].shape[:-1]
+        else:
+            b = packed_vec.shape[:-1]
+        zero = eng.zeros((*b, nl), dtype)
+        for row in range(t):
+            yield row, zero
+        return
+
+    if width == t:
+        for row in range(t):
+            yield row, eng.cols(packed_vec, nl * row, nl, dtype)
+        return
+
+    src = eng.cols(packed_vec, 0, nl, dtype)
+    for row in range(t):
+        curr_word = (row * width) // t
+        next_word = ((row + 1) * width) // t
+        shift = (row * width) % t
+        if next_word > curr_word:
+            remaining = ((row + 1) * width) % t
+            current_bits = width - remaining
+            tmp = eng.and_const(eng.shr(src, shift, dtype), _mask_bits(current_bits, t), dtype)
+            if next_word < width:
+                src = eng.cols(packed_vec, nl * next_word, nl, dtype)
+                stitched = eng.shl(eng.and_const(src, _mask_bits(remaining, t), dtype),
+                                   current_bits, dtype)
+                tmp = eng.orr(tmp, stitched, dtype)
+        else:
+            tmp = eng.and_const(eng.shr(src, shift, dtype), _mask_bits(width, t), dtype)
+        yield row, tmp
+
+
+def assemble_blocks(rows_by_row: dict, dtype):
+    """Reassemble T (B, LANES) row vecs into flat (B, 1024) blocks.
+
+    Inverse of the contiguous-row-slice decomposition: column group k of the
+    (8, 128)-tiled block holds o = row_order_by_offset[k], so the flat block
+    is a single static concatenation — no scatter.
+    """
+    dtype = layout.canon_dtype(dtype)
+    order = layout.row_order_by_offset(dtype)
+    pieces = []
+    for s in range(8):
+        for o in order:
+            pieces.append(rows_by_row[o * 8 + s])
+    return eng.concat_cols(pieces, dtype)
+
+
+def block_rows(values_vec, dtype):
+    """Yield (row, (B, LANES) vec) of a flat block vec, in transposed row order
+    (the iterate!/pack! read pattern, macros.rs:12-32)."""
+    dtype = layout.canon_dtype(dtype)
+    nl = layout.lanes(dtype)
+    for row in range(layout.bit_width(dtype)):
+        yield row, eng.cols(values_vec, layout.row_offset(row), nl, dtype)
+
+
+def _row_fn_of(values_vec, dtype):
+    nl = layout.lanes(dtype)
+    return lambda row: eng.cols(values_vec, layout.row_offset(row), nl, dtype)
+
+
+def pack(values, width: int, dtype) -> "jnp.ndarray":
+    """BitPacking::pack, batched: (B, 1024) -> (B, 1024*W//T).
+
+    For u64 pass uint64 (needs jax x64) or uint32 limb pairs (..., 1024, 2);
+    the result mirrors the input convention.
+    """
+    dtype = layout.canon_dtype(dtype)
+    vec = eng.to_vec(values, dtype)
+    vec, had_batch = eng.promote_shape(vec, dtype)
+    words = pack_words(_row_fn_of(vec, dtype), width, dtype, None)
+    if not words:
+        b = (vec[0] if eng.is_limb(dtype) else vec).shape[0]
+        out = eng.zeros((b, 0), dtype)
+    else:
+        out = eng.concat_cols(words, dtype)
+    out = eng.squeeze_shape(out, had_batch, dtype)
+    return eng.from_vec(out, dtype, like=values)
+
+
+def unpack(packed, width: int, dtype) -> "jnp.ndarray":
+    """BitPacking::unpack, batched: (B, 1024*W//T) -> (B, 1024)."""
+    dtype = layout.canon_dtype(dtype)
+    vec = eng.to_vec(packed, dtype)
+    vec, had_batch = eng.promote_shape(vec, dtype)
+    rows = dict(unpack_row_stream(vec, width, dtype))
+    out = assemble_blocks(rows, dtype)
+    out = eng.squeeze_shape(out, had_batch, dtype)
+    return eng.from_vec(out, dtype, like=packed)

@@ -1,0 +1,58 @@
+"""jnp Transpose codec (reference src/transpose.rs:11-22, 29-36).
+
+TPU-first design: instead of the reference's fully-unrolled 1024-element
+gather, the 04261537 interleave is expressed as reshape + small-axis
+permutation + axis transpose, which XLA lowers to vreg shuffles — no gather:
+
+  transpose:    out[(r,g,l)] = in[(l, FL_ORDER[g], r)]   with in as (16,8,8)
+  untranspose:  inverse (FL_ORDER is self-inverse)
+
+where out is viewed as (row:8, order:8, lane:16) and in as (lane:16, o:8, row:8).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import layout
+from . import _engine as eng
+
+_FL = list(layout.FL_ORDER)
+
+
+def _transpose_one(arr2d):
+    b = arr2d.shape[0]
+    x = arr2d.reshape(b, 16, 8, 8)          # (B, lane, order-source, row)
+    x = x[:, :, _FL, :]                     # apply FL_ORDER on the middle axis
+    x = jnp.transpose(x, (0, 3, 2, 1))      # -> (B, row, order, lane)
+    return x.reshape(b, 1024)
+
+
+def _untranspose_one(arr2d):
+    b = arr2d.shape[0]
+    x = arr2d.reshape(b, 8, 8, 16)          # (B, row, order, lane)
+    x = jnp.transpose(x, (0, 3, 2, 1))      # -> (B, lane, order, row)
+    x = x[:, :, _FL, :]                     # FL_ORDER self-inverse
+    return x.reshape(b, 1024)
+
+
+def _apply(fn, values, dtype):
+    dtype = layout.canon_dtype(dtype)
+    vec = eng.to_vec(values, dtype)
+    vec, had_batch = eng.promote_shape(vec, dtype)
+    if eng.is_limb(dtype):
+        out = (fn(vec[0]), fn(vec[1]))
+    else:
+        out = fn(vec)
+    out = eng.squeeze_shape(out, had_batch, dtype)
+    return eng.from_vec(out, dtype, like=values)
+
+
+def transpose(values, dtype):
+    """Transpose::transpose: out[i] = in[transpose_index(i)] (transpose.rs:11-15)."""
+    return _apply(_transpose_one, values, dtype)
+
+
+def untranspose(values, dtype):
+    """Transpose::untranspose: out[transpose_index(i)] = in[i] (transpose.rs:18-22)."""
+    return _apply(_untranspose_one, values, dtype)

@@ -1,0 +1,103 @@
+"""Codec driver tests: auto width/reference selection, round trips,
+compression accounting, byte-compatibility of payloads with the oracle."""
+
+import numpy as np
+import pytest
+
+from fastlanes_tpu.core import layout
+from fastlanes_tpu.models import (
+    BitPackedCodec, DeltaCodec, FFoRCodec, auto_encode, bits_needed, get_codec)
+from fastlanes_tpu.ref import numpy_ref as ref
+
+from conftest import random_values
+from test_ops_vs_ref import from_jax_form, to_jax_form
+
+
+def test_bits_needed():
+    assert bits_needed(0) == 0
+    assert bits_needed(1) == 1
+    assert bits_needed(7) == 3
+    assert bits_needed(8) == 4
+    assert bits_needed((1 << 64) - 1) == 64
+
+
+@pytest.mark.parametrize("dt", layout.DTYPES)
+def test_bitpacked_roundtrip_auto_width(dt, rng):
+    w = layout.bit_width(dt) // 2 - 1
+    values = random_values(rng, dt, w, n_blocks=3)
+    codec = BitPackedCodec(dt)
+    enc = codec.encode(to_jax_form(values, dt))
+    assert enc.width <= w
+    assert enc.n_blocks == 3
+    # payload byte-identical to oracle at the same width
+    np.testing.assert_array_equal(from_jax_form(enc.payload, dt),
+                                  ref.pack(values, enc.width, dt))
+    out = from_jax_form(codec.decode(enc), dt)
+    np.testing.assert_array_equal(out, values)
+    # random access
+    got = from_jax_form(codec.decode_single(enc, np.arange(32)), dt)
+    np.testing.assert_array_equal(got, values[:, :32])
+    assert enc.compression_ratio > 1.0
+
+
+@pytest.mark.parametrize("dt", layout.DTYPES)
+def test_ffor_roundtrip(dt, rng):
+    # narrow spread around a big offset -> FoR should pick a small width
+    t = layout.bit_width(dt)
+    offset = 1 << (t - 2)
+    spread_bits = 6
+    values = (random_values(rng, dt, spread_bits, n_blocks=2)
+              + layout.np_dtype(dt).type(offset))
+    codec = FFoRCodec(dt)
+    enc = codec.encode(to_jax_form(values, dt))
+    assert enc.width <= spread_bits
+    assert enc.params["reference"] >= offset
+    out = from_jax_form(codec.decode(enc), dt)
+    np.testing.assert_array_equal(out, values)
+    # payload matches oracle
+    np.testing.assert_array_equal(
+        from_jax_form(enc.payload, dt),
+        ref.for_pack(values, enc.params["reference"], enc.width, dt))
+
+
+@pytest.mark.parametrize("dt", layout.DTYPES)
+def test_delta_roundtrip(dt, rng):
+    # sorted data -> tiny deltas -> small width
+    values = np.sort(random_values(rng, dt, layout.bit_width(dt) - 1, n_blocks=2), axis=1)
+    codec = DeltaCodec(dt)
+    enc = codec.encode(to_jax_form(values, dt))
+    out = from_jax_form(codec.decode(enc), dt)
+    np.testing.assert_array_equal(out, values)
+    # sorted 1024 values with < 2^(T-1) range: deltas need well under T bits
+    assert enc.width < layout.bit_width(dt)
+
+
+def test_delta_payload_matches_oracle(rng):
+    values = np.sort(random_values(rng, "u16", 15, n_blocks=2), axis=1)
+    enc = DeltaCodec("u16").encode(values)
+    transposed = ref.transpose(values, "u16")
+    base = np.zeros(64, np.uint16)
+    gold = ref.pack(ref.delta(transposed, base, "u16"), enc.width, "u16")
+    np.testing.assert_array_equal(np.asarray(enc.payload), gold)
+
+
+def test_auto_encode_picks_ffor_for_offset_data(rng):
+    values = random_values(rng, "u32", 4, n_blocks=2) + np.uint32(1 << 30)
+    enc = auto_encode(values, "u32")
+    assert enc.codec == "ffor"
+    assert enc.width <= 4
+    codec = get_codec(enc.codec, "u32")
+    np.testing.assert_array_equal(np.asarray(codec.decode(enc)), values)
+
+
+def test_auto_encode_picks_delta_for_sorted_data(rng):
+    values = np.sort(rng.integers(0, 1 << 31, (2, 1024), np.int64).astype(np.uint32), axis=1)
+    enc = auto_encode(values, "u32")
+    assert enc.codec == "delta"
+    codec = get_codec(enc.codec, "u32")
+    np.testing.assert_array_equal(np.asarray(codec.decode(enc)), values)
+
+
+def test_get_codec_unknown():
+    with pytest.raises(ValueError):
+        get_codec("zstd", "u32")
