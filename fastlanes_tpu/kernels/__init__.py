@@ -1,0 +1,17 @@
+"""Pallas TPU kernels — the hot compute path. Same signatures as the ops
+layer; transparently falls back to XLA ops off-TPU."""
+
+from . import pallas_codecs
+from .pallas_codecs import (
+    delta_pack,
+    for_pack,
+    pack,
+    undelta_pack,
+    unfor_pack,
+    unpack,
+)
+
+__all__ = [
+    "pallas_codecs", "pack", "unpack", "undelta_pack", "delta_pack",
+    "for_pack", "unfor_pack",
+]

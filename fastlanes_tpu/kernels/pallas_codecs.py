@@ -1,0 +1,414 @@
+"""Pallas TPU kernels: the hand-scheduled fast path for the FastLanes codecs.
+
+TPU-native design (BASELINE.json north star; not a port of the Rust loops):
+
+  * One grid step processes a tile of TILE_B blocks. The (TILE_B, 1024)
+    values tile lives in VMEM; because each transposed row is a contiguous
+    lane slice of the flat block (core/layout.py), the whole pack/unpack row
+    pipeline is static lane slices + shifts/masks on (TILE_B, LANES) vregs —
+    register-resident, no gathers, no HBM round-trips between rows
+    (the reference's per-lane SIMD loop mapped onto the VPU's (8,128) lanes,
+    reference macros.rs:67-69 / bitpacking.rs:69).
+
+  * u8/u16 compute in the uint32 domain (TPU vregs are 32-bit); stores
+    truncate back, which matches mod-2^T wrapping exactly. u64 runs as
+    2x32-bit limb pairs (no 64-bit vector ints on TPU).
+
+  * The row loops are the *same code* as the XLA ops layer
+    (ops.bitpack.pack_words / unpack_row_stream) traced inside the kernel —
+    one semantics implementation, two execution strategies.
+
+  * Fused codecs (undelta_pack, unfor_pack, delta_pack, for_pack) extend the
+    row stream exactly like reference delta.rs:48-63 / ffor.rs:24-50.
+
+Batch entry points fall back to the XLA ops path off-TPU (CPU tests run the
+kernels in interpreter mode explicitly)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import layout
+from ..ops import _engine as eng
+from ..ops import bitpack as ops_bitpack
+from ..ops.bitpack import assemble_blocks, pack_words, unpack_row_stream
+
+# Tile of blocks per grid step. 128 blocks x 4KB = 512KB values tile for u32;
+# fits VMEM with headroom for packed tile + pipeline double-buffering.
+DEFAULT_TILE_B = 128
+
+
+def _compute_jnp_dtype(dtype):
+    """In-kernel compute dtype: uint32 domain for u8/u16/u32 (vregs are
+    32-bit); u64 handled as limb tuples elsewhere."""
+    return jnp.uint32
+
+
+def _load(ref_or_refs, dtype):
+    if eng.is_limb(dtype):
+        lo_ref, hi_ref = ref_or_refs
+        return lo_ref[...], hi_ref[...]
+    arr = ref_or_refs[...]
+    if arr.dtype != jnp.uint32:
+        arr = arr.astype(jnp.uint32)
+    return arr
+
+
+def _store(ref_or_refs, vec, dtype):
+    if eng.is_limb(dtype):
+        lo_ref, hi_ref = ref_or_refs
+        lo_ref[...] = vec[0]
+        hi_ref[...] = vec[1]
+    else:
+        want = eng.jnp_dtype(dtype)
+        ref_or_refs[...] = vec if vec.dtype == want else vec.astype(want)
+
+
+def _row_fn(vec, dtype):
+    nl = layout.lanes(dtype)
+    return lambda row: eng.cols(vec, layout.row_offset(row), nl, dtype)
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies (shared row-pipeline, differing sources/sinks)
+
+
+def _unpack_body(width, dtype, post_row=None):
+    """post_row(row_vec, state) -> (out_vec, state): fusion hook."""
+
+    def kernel(*refs):
+        n_in = 2 if eng.is_limb(dtype) else 1
+        packed = refs[:n_in] if n_in == 2 else refs[0]
+        extra = refs[n_in:-n_in] if n_in == 2 else refs[1:-1]
+        out = refs[-n_in:] if n_in == 2 else refs[-1]
+        p = _load(packed, dtype)
+        state = _load_extra(extra, dtype) if extra else None
+        rows = {}
+        for row, elem in unpack_row_stream(p, width, dtype):
+            if post_row is not None:
+                elem, state = post_row(elem, state)
+            rows[row] = elem
+        _store(out, assemble_blocks(rows, dtype), dtype)
+
+    return kernel
+
+
+def _pack_body(width, dtype, pre_row=None):
+    """pre_row(row_vec, state) -> (row_vec, state): fusion hook on encode."""
+
+    def kernel(*refs):
+        n_in = 2 if eng.is_limb(dtype) else 1
+        vals = refs[:n_in] if n_in == 2 else refs[0]
+        extra = refs[n_in:-n_in] if n_in == 2 else refs[1:-1]
+        out = refs[-n_in:] if n_in == 2 else refs[-1]
+        v = _load(vals, dtype)
+        state_holder = [_load_extra(extra, dtype) if extra else None]
+        src = _row_fn(v, dtype)
+
+        def row_fn(row):
+            elem = src(row)
+            if pre_row is not None:
+                elem, state_holder[0] = pre_row(elem, state_holder[0])
+            return elem
+
+        words = pack_words(row_fn, width, dtype, None)
+        _store(out, eng.concat_cols(words, dtype), dtype)
+
+    return kernel
+
+
+def _load_extra(extra_refs, dtype):
+    """Load the fusion parameter (delta base (B, LANES) or FoR reference) in
+    compute dtype."""
+    if eng.is_limb(dtype):
+        return extra_refs[0][...], extra_refs[1][...]
+    arr = extra_refs[0][...]
+    return arr.astype(jnp.uint32) if arr.dtype != jnp.uint32 else arr
+
+
+# fusion hooks ---------------------------------------------------------------
+
+
+def _undelta_hook(dtype):
+    def post_row(elem, prev):
+        nxt = eng.add(elem, prev, dtype)
+        return nxt, nxt
+
+    return post_row
+
+
+def _delta_hook(dtype):
+    def pre_row(elem, prev):
+        return eng.sub(elem, prev, dtype), elem
+
+    return pre_row
+
+
+def _unfor_hook(dtype):
+    def post_row(elem, ref):
+        return eng.add(elem, ref, dtype), ref
+
+    return post_row
+
+
+def _for_hook(dtype):
+    def pre_row(elem, ref):
+        return eng.sub(elem, ref, dtype), ref
+
+    return pre_row
+
+
+# ---------------------------------------------------------------------------
+# pallas_call builders
+
+
+def _io_dtype(dtype):
+    return jnp.uint32 if eng.is_limb(dtype) else eng.jnp_dtype(dtype)
+
+
+def _specs(n_cols, tile_b):
+    return pl.BlockSpec((tile_b, n_cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _param_spec(shape, tile_b):
+    # replicated parameter (base/reference): same block for every grid step
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call(op: str, dtype: str, width: int, tile_b: int, n_tiles: int,
+                interpret: bool, param_kind: str):
+    """Build the pallas_call for (op, dtype, width) over a padded batch of
+    n_tiles * tile_b blocks. param_kind: '', 'base' (per-lane, replicated
+    across blocks) or 'ref' (scalar FoR reference as (1,1))."""
+    dtype = layout.canon_dtype(dtype)
+    t = layout.bit_width(dtype)
+    nl = layout.lanes(dtype)
+    plen = layout.packed_len(dtype, width)
+    limb = eng.is_limb(dtype)
+    io_dt = _io_dtype(dtype)
+
+    decode = op in ("unpack", "undelta_pack", "unfor_pack")
+    in_cols = plen if decode else layout.BLOCK
+    out_cols = layout.BLOCK if decode else plen
+
+    hooks = {
+        "unpack": (None, None),
+        "pack": (None, None),
+        "undelta_pack": (_undelta_hook(dtype), None),
+        "unfor_pack": (_unfor_hook(dtype), None),
+        "delta_pack": (None, _delta_hook(dtype)),
+        "for_pack": (None, _for_hook(dtype)),
+    }
+    post_row, pre_row = hooks[op]
+    body = (_unpack_body(width, dtype, post_row) if decode
+            else _pack_body(width, dtype, pre_row))
+
+    n_arrs = 2 if limb else 1
+    in_specs = [_specs(in_cols, tile_b) for _ in range(n_arrs)]
+    if param_kind == "base":
+        in_specs += [_param_spec((tile_b, nl), tile_b) for _ in range(n_arrs)]
+    elif param_kind == "ref":
+        in_specs += [_param_spec((1, 1), tile_b) for _ in range(n_arrs)]
+    out_specs = tuple(_specs(out_cols, tile_b) for _ in range(n_arrs))
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((n_tiles * tile_b, out_cols), io_dt) for _ in range(n_arrs))
+    if n_arrs == 1:
+        out_specs, out_shape = out_specs[0], out_shape[0]
+
+    vregs_bytes = tile_b * (in_cols + out_cols) * 4 * n_arrs
+    return pl.pallas_call(
+        body,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(vregs_bytes * 3) + (2 << 20), 100 * (1 << 20)),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# batch entry points
+
+
+def _split_limbs(arr):
+    return arr[..., 0], arr[..., 1]
+
+
+def _join_limbs(lo, hi):
+    return jnp.stack([lo, hi], axis=-1)
+
+
+def _pad_blocks(arr, tile_b):
+    b = arr.shape[0]
+    pad = (-b) % tile_b
+    if pad:
+        arr = jnp.concatenate([arr, jnp.zeros((pad, *arr.shape[1:]), arr.dtype)], axis=0)
+    return arr, b
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _run(op, arrs, params, width, dtype, tile_b, interpret):
+    """Common driver: pad, split limbs, call kernel, unpad, rejoin."""
+    dtype = layout.canon_dtype(dtype)
+    limb = eng.is_limb(dtype)
+    tile_b = tile_b or DEFAULT_TILE_B
+    main, b = _pad_blocks(arrs, tile_b)
+    n_tiles = main.shape[0] // tile_b
+
+    call_inputs = list(_split_limbs(main)) if limb else [main]
+    param_kind = ""
+    if params is not None:
+        kind, parr = params
+        param_kind = kind
+        if limb:
+            if kind == "ref":
+                call_inputs += [parr[..., 0].reshape(1, 1), parr[..., 1].reshape(1, 1)]
+            else:
+                call_inputs += list(_split_limbs(parr))
+        else:
+            call_inputs += [parr.reshape(1, 1) if kind == "ref" else parr]
+
+    call = _build_call(op, dtype, width, tile_b, n_tiles, interpret, param_kind)
+    out = call(*call_inputs)
+    if limb:
+        out = _join_limbs(out[0], out[1])
+    return out[:b]
+
+
+def _prep_base(base, dtype, tile_b):
+    """base must be one per-lane seed vector shared by all blocks for the
+    kernel path (the reference's base: &[T; LANES], delta.rs:7); replicated
+    across the tile inside VMEM."""
+    nl = layout.lanes(dtype)
+    vec = jnp.asarray(base)
+    if eng.is_limb(dtype):
+        if vec.shape not in ((nl, 2),):
+            raise ValueError(f"kernel path needs a shared ({nl}, 2) limb base, got {vec.shape}")
+        return jnp.broadcast_to(vec[None], (tile_b, nl, 2))
+    if vec.shape != (nl,):
+        raise ValueError(f"kernel path needs a shared ({nl},) base, got {vec.shape}")
+    return jnp.broadcast_to(vec[None], (tile_b, nl))
+
+
+def _prep_ref(reference, dtype):
+    if eng.is_limb(dtype):
+        if isinstance(reference, int):
+            return jnp.array([[reference & 0xFFFFFFFF, (reference >> 32) & 0xFFFFFFFF]],
+                             jnp.uint32).reshape(1, 2)
+        return jnp.asarray(reference, jnp.uint32).reshape(1, 2)
+    import numpy as np
+
+    return jnp.asarray(np.asarray(reference, layout.np_dtype(dtype))).reshape(1, 1)
+
+
+def _maybe_fallback(interpret):
+    """Kernels need a TPU unless interpret mode is forced."""
+    if interpret is None:
+        if _on_tpu():
+            return False, False  # run compiled
+        return True, None  # fall back to ops
+    return False, interpret
+
+
+def pack(values, width, dtype, *, tile_b=None, interpret=None):
+    """Pallas BitPacking::pack over a batch: (B, 1024) -> (B, plen)."""
+    fallback, interp = _maybe_fallback(interpret)
+    if fallback:
+        return ops_bitpack.pack(values, width, dtype)
+    if width == 0:
+        return _empty_packed(values, dtype)
+    return _run("pack", jnp.asarray(values), None, width, dtype, tile_b, interp)
+
+
+def unpack(packed, width, dtype, *, tile_b=None, interpret=None):
+    fallback, interp = _maybe_fallback(interpret)
+    if fallback:
+        return ops_bitpack.unpack(packed, width, dtype)
+    if width == 0:
+        return _zero_blocks(packed, dtype)
+    return _run("unpack", jnp.asarray(packed), None, width, dtype, tile_b, interp)
+
+
+def undelta_pack(packed, base, width, dtype, *, tile_b=None, interpret=None):
+    fallback, interp = _maybe_fallback(interpret)
+    if fallback:
+        from ..ops import delta as ops_delta
+
+        return ops_delta.undelta_pack(packed, base, width, dtype)
+    tile = tile_b or DEFAULT_TILE_B
+    if width == 0:
+        from ..ops import delta as ops_delta
+
+        return ops_delta.undelta_pack(packed, base, width, dtype)
+    return _run("undelta_pack", jnp.asarray(packed),
+                ("base", _prep_base(base, dtype, tile)), width, dtype, tile, interp)
+
+
+def delta_pack(values, base, width, dtype, *, tile_b=None, interpret=None):
+    fallback, interp = _maybe_fallback(interpret)
+    if fallback:
+        from ..ops import delta as ops_delta
+
+        return ops_delta.delta_pack(values, base, width, dtype)
+    tile = tile_b or DEFAULT_TILE_B
+    if width == 0:
+        return _empty_packed(values, dtype)
+    return _run("delta_pack", jnp.asarray(values),
+                ("base", _prep_base(base, dtype, tile)), width, dtype, tile, interp)
+
+
+def unfor_pack(packed, reference, width, dtype, *, tile_b=None, interpret=None):
+    fallback, interp = _maybe_fallback(interpret)
+    if fallback:
+        from ..ops import ffor as ops_ffor
+
+        return ops_ffor.unfor_pack(packed, reference, width, dtype)
+    if width == 0:
+        from ..ops import ffor as ops_ffor
+
+        return ops_ffor.unfor_pack(packed, reference, width, dtype)
+    return _run("unfor_pack", jnp.asarray(packed), ("ref", _prep_ref(reference, dtype)),
+                width, dtype, tile_b, interp)
+
+
+def for_pack(values, reference, width, dtype, *, tile_b=None, interpret=None):
+    fallback, interp = _maybe_fallback(interpret)
+    if fallback:
+        from ..ops import ffor as ops_ffor
+
+        return ops_ffor.for_pack(values, reference, width, dtype)
+    if width == 0:
+        return _empty_packed(values, dtype)
+    return _run("for_pack", jnp.asarray(values), ("ref", _prep_ref(reference, dtype)),
+                width, dtype, tile_b, interp)
+
+
+def _empty_packed(values, dtype):
+    arr = jnp.asarray(values)
+    b = arr.shape[0]
+    if eng.is_limb(dtype):
+        return jnp.zeros((b, 0, 2), jnp.uint32)
+    return jnp.zeros((b, 0), eng.jnp_dtype(dtype))
+
+
+def _zero_blocks(packed, dtype):
+    arr = jnp.asarray(packed)
+    b = arr.shape[0]
+    if eng.is_limb(dtype):
+        return jnp.zeros((b, layout.BLOCK, 2), jnp.uint32)
+    return jnp.zeros((b, layout.BLOCK), eng.jnp_dtype(dtype))

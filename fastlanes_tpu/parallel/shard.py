@@ -1,0 +1,193 @@
+"""shard_map codec execution over the block axis.
+
+Blocks are independent (SURVEY.md §5 long-context note), so the core ops run
+collective-free per shard; collectives appear only where the *framework*
+adds cross-block coordination:
+
+  * global_max_bits  — pmax over the mesh to agree on one packing width
+  * all_gather_packed — gather per-device payloads back in vector order
+  * sharded_roundtrip_check — psum'd mismatch count (validation/monitoring)
+
+Per-column scalars (FoR reference, delta base) are replicated via P(None).
+Works identically on a virtual CPU mesh, one TPU host, or a multi-host pod
+slice (mesh built over jax.devices() after jax.distributed.initialize)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..core import layout
+from ..ops import _engine as eng
+from ..ops import bitpack, delta as delta_mod, ffor
+
+
+def _block_spec(dtype, axis):
+    """PartitionSpec for a (B, cols[, limb]) array sharded on blocks."""
+    if eng.is_limb(dtype):
+        return P(axis, None, None)
+    return P(axis, None)
+
+
+def _pad_to(arr, mult):
+    b = arr.shape[0]
+    pad = (-b) % mult
+    if pad:
+        arr = jnp.concatenate([arr, jnp.zeros((pad, *arr.shape[1:]), arr.dtype)], axis=0)
+    return arr, b
+
+
+def _sharded_unary(mesh, fn, arr, dtype, axis):
+    spec = _block_spec(dtype, axis)
+    sharded = jax.shard_map(fn, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    padded, b = _pad_to(jnp.asarray(arr), mesh.shape[axis])
+    return sharded(padded)[:b]
+
+
+def sharded_pack(mesh, values, width, dtype, axis="blocks", use_kernels=True):
+    """Data-parallel pack: each device packs its shard of blocks with the
+    Pallas kernel (or XLA ops off-TPU). No collectives."""
+    fn = _kernel_or_op("pack", use_kernels)
+    return _sharded_unary(mesh, lambda v: fn(v, width, dtype), values, dtype, axis)
+
+
+def sharded_unpack(mesh, packed, width, dtype, axis="blocks", use_kernels=True):
+    fn = _kernel_or_op("unpack", use_kernels)
+    return _sharded_unary(mesh, lambda p: fn(p, width, dtype), packed, dtype, axis)
+
+
+def sharded_undelta_pack(mesh, packed, base, width, dtype, axis="blocks", use_kernels=True):
+    """Fused delta decode; base is replicated (P(None)) to every device."""
+    fn = _kernel_or_op("undelta_pack", use_kernels)
+    spec = _block_spec(dtype, axis)
+    base_spec = P(*([None] * jnp.asarray(base).ndim))
+    sharded = jax.shard_map(lambda p, b: fn(p, b, width, dtype),
+                        mesh=mesh, in_specs=(spec, base_spec), out_specs=spec)
+    padded, b = _pad_to(jnp.asarray(packed), mesh.shape[axis])
+    return sharded(padded, jnp.asarray(base))[:b]
+
+
+def sharded_for_pack(mesh, values, reference, width, dtype, axis="blocks", use_kernels=True):
+    """FFoR encode with replicated scalar reference."""
+    fn = _kernel_or_op("for_pack", use_kernels)
+    ref_arr = _ref_array(reference, dtype)
+    spec = _block_spec(dtype, axis)
+    ref_spec = P(*([None] * ref_arr.ndim))
+    sharded = jax.shard_map(lambda v, r: fn(v, r, width, dtype),
+                        mesh=mesh, in_specs=(spec, ref_spec), out_specs=spec)
+    padded, b = _pad_to(jnp.asarray(values), mesh.shape[axis])
+    return sharded(padded, ref_arr)[:b]
+
+
+def sharded_unfor_pack(mesh, packed, reference, width, dtype, axis="blocks", use_kernels=True):
+    fn = _kernel_or_op("unfor_pack", use_kernels)
+    ref_arr = _ref_array(reference, dtype)
+    spec = _block_spec(dtype, axis)
+    ref_spec = P(*([None] * ref_arr.ndim))
+    sharded = jax.shard_map(lambda p, r: fn(p, r, width, dtype),
+                        mesh=mesh, in_specs=(spec, ref_spec), out_specs=spec)
+    padded, b = _pad_to(jnp.asarray(packed), mesh.shape[axis])
+    return sharded(padded, ref_arr)[:b]
+
+
+def global_max_bits(mesh, values, dtype, axis="blocks"):
+    """Agree on one packing width across the whole mesh: per-device max, then
+    pmax over the block axis (rides ICI within a slice, DCN across hosts).
+    Returns a replicated scalar uint32 of the max value's bit count."""
+    dtype = layout.canon_dtype(dtype)
+
+    def local(v):
+        vec = eng.to_vec(v, dtype)
+        if eng.is_limb(dtype):
+            lo, hi = vec
+            g_hi = jax.lax.pmax(jnp.max(hi), axis)
+            # lo-max restricted to elements at the *global* hi-max
+            l_lo = jnp.max(jnp.where(hi == g_hi, lo, jnp.uint32(0)))
+            g_lo = jax.lax.pmax(l_lo, axis)
+            return jnp.where(g_hi > 0, _bit_len_u32(g_hi) + jnp.uint32(32),
+                             _bit_len_u32(g_lo))
+        m = jax.lax.pmax(jnp.max(vec), axis)
+        return _bit_len_u32(m.astype(jnp.uint32))
+
+    spec = _block_spec(dtype, axis)
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=P())
+    padded, _ = _pad_to(jnp.asarray(values), mesh.shape[axis])
+    return fn(padded)
+
+
+def _bit_len_u32(x):
+    """bit_length of a uint32 scalar array (0 -> 0)."""
+    x = x.astype(jnp.uint32)
+    return (jnp.uint32(32) - jax.lax.clz(x)).astype(jnp.uint32) * (x > 0).astype(jnp.uint32)
+
+
+def all_gather_packed(mesh, packed_sharded, dtype, axis="blocks"):
+    """Gather per-device packed shards into a replicated array, preserving
+    vector (block) order — the 'all-gather packed outputs' collective of the
+    north star. Input must be block-sharded; output is fully replicated."""
+    spec = _block_spec(dtype, axis)
+
+    def gather(p):
+        return jax.lax.all_gather(p, axis, axis=0, tiled=True)
+
+    out_spec = P(*([None] * len(spec)))
+    # all_gather makes the value replicated, but shard_map cannot infer that
+    # statically -> disable the replication check for this one collective.
+    return jax.shard_map(gather, mesh=mesh, in_specs=(spec,), out_specs=out_spec,
+                     check_vma=False)(jnp.asarray(packed_sharded))
+
+
+def sharded_roundtrip_check(mesh, values, width, dtype, axis="blocks", use_kernels=True):
+    """pack -> unpack per shard, psum the mismatch count over the mesh.
+    Returns a replicated scalar int32 (0 == bit-exact everywhere). The
+    framework's distributed self-validation step."""
+    pack_fn = _kernel_or_op("pack", use_kernels)
+    unpack_fn = _kernel_or_op("unpack", use_kernels)
+
+    def local(v):
+        p = pack_fn(v, width, dtype)
+        u = unpack_fn(p, width, dtype)
+        if eng.is_limb(layout.canon_dtype(dtype)):
+            bad = jnp.sum((u != v).astype(jnp.int32))
+        else:
+            bad = jnp.sum((u != v).astype(jnp.int32))
+        return jax.lax.psum(bad, axis)
+
+    spec = _block_spec(dtype, axis)
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=P())
+    padded, _ = _pad_to(jnp.asarray(values), mesh.shape[axis])
+    return fn(padded)
+
+
+def _kernel_or_op(name, use_kernels):
+    if use_kernels:
+        from .. import kernels
+
+        return {
+            "pack": kernels.pack,
+            "unpack": kernels.unpack,
+            "undelta_pack": kernels.undelta_pack,
+            "for_pack": kernels.for_pack,
+            "unfor_pack": kernels.unfor_pack,
+        }[name]
+    return {
+        "pack": lambda v, w, dt: bitpack.pack(v, w, dt),
+        "unpack": lambda p, w, dt: bitpack.unpack(p, w, dt),
+        "undelta_pack": lambda p, b, w, dt: delta_mod.undelta_pack(p, b, w, dt),
+        "for_pack": lambda v, r, w, dt: ffor.for_pack(v, r, w, dt),
+        "unfor_pack": lambda p, r, w, dt: ffor.unfor_pack(p, r, w, dt),
+    }[name]
+
+
+def _ref_array(reference, dtype):
+    import numpy as np
+
+    if eng.is_limb(dtype):
+        if isinstance(reference, int):
+            return jnp.array([reference & 0xFFFFFFFF, (reference >> 32) & 0xFFFFFFFF],
+                             jnp.uint32)
+        return jnp.asarray(reference)
+    return jnp.asarray(np.asarray(reference, layout.np_dtype(dtype)))

@@ -7,10 +7,18 @@ multi-chip path; bench.py runs on the real TPU chip).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU (the environment presets JAX_PLATFORMS=axon -> the real chip;
+# tests must run on the virtual 8-device CPU mesh). The axon sitecustomize
+# registers its PJRT plugin at interpreter startup, so the env var alone is
+# not enough — jax.config.update must run before any backend use.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
