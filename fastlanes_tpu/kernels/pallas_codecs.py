@@ -39,8 +39,15 @@ from ..ops import bitpack as ops_bitpack
 from ..ops.bitpack import assemble_blocks, pack_words, unpack_row_stream
 
 # Tile of blocks per grid step. 128 blocks x 4KB = 512KB values tile for u32;
-# fits VMEM with headroom for packed tile + pipeline double-buffering.
+# fits VMEM with headroom for the packed tile, the row-scratch planes (which
+# pad LANES up to 128 physical lanes) and pipeline double-buffering. u64 uses
+# a smaller tile: 2 limb arrays x 64 rows of (tile, 16->128-padded) scratch.
 DEFAULT_TILE_B = 128
+_TILE_BY_DTYPE = {"u8": 128, "u16": 128, "u32": 128, "u64": 32}
+
+
+def default_tile(dtype):
+    return _TILE_BY_DTYPE[layout.canon_dtype(dtype)]
 
 
 def _compute_jnp_dtype(dtype):
@@ -78,18 +85,52 @@ def _row_fn(vec, dtype):
 # kernel bodies (shared row-pipeline, differing sources/sinks)
 
 
+def _split_refs(refs, dtype, n_scratch):
+    """refs layout: inputs..., [extras...], outputs..., scratches..."""
+    n = 2 if eng.is_limb(dtype) else 1
+    body, scratch = refs[:len(refs) - n_scratch], refs[len(refs) - n_scratch:]
+    main = body[:n] if n == 2 else body[0]
+    extra = body[n:-n]
+    out = body[-n:] if n == 2 else body[-1]
+    return main, extra, out, scratch
+
+
+def _scratch_write(scratch, row, vec, dtype):
+    if eng.is_limb(dtype):
+        scratch[0][row] = vec[0]
+        scratch[1][row] = vec[1]
+    else:
+        scratch[0][row] = vec
+
+
+def _scratch_read(scratch, row, dtype):
+    if eng.is_limb(dtype):
+        return scratch[0][row], scratch[1][row]
+    return scratch[0][row]
+
+
+# NOTE on the scratch staging: Mosaic (remote-compile v5e toolchain) miscompiles
+# long shift/or/add chains whose operands are lane-slices with *different*
+# rotation offsets (off % 128) — see tests/test_tpu_compiled.py and the repro
+# history in kernels/MOSAIC_NOTES.md. Writing each transposed row through a
+# VMEM scratch plane re-aligns every operand to lane 0 and fences the bad
+# fusion. VMEM bandwidth makes the extra round-trip ~free vs HBM.
+
+
 def _unpack_body(width, dtype, post_row=None):
-    """post_row(row_vec, state) -> (out_vec, state): fusion hook."""
+    """Decode: unpack rows -> scratch planes -> fusion hook chain -> assemble.
+    post_row(row_vec, state) -> (out_vec, state)."""
+    t = layout.bit_width(dtype)
 
     def kernel(*refs):
-        n_in = 2 if eng.is_limb(dtype) else 1
-        packed = refs[:n_in] if n_in == 2 else refs[0]
-        extra = refs[n_in:-n_in] if n_in == 2 else refs[1:-1]
-        out = refs[-n_in:] if n_in == 2 else refs[-1]
+        packed, extra, out, scratch = _split_refs(refs, dtype, 2 if eng.is_limb(dtype) else 1)
         p = _load(packed, dtype)
+        for row, elem in unpack_row_stream(p, width, dtype):
+            _scratch_write(scratch, row, elem, dtype)
         state = _load_extra(extra, dtype) if extra else None
         rows = {}
-        for row, elem in unpack_row_stream(p, width, dtype):
+        for row in range(t):
+            elem = _scratch_read(scratch, row, dtype)
             if post_row is not None:
                 elem, state = post_row(elem, state)
             rows[row] = elem
@@ -99,35 +140,40 @@ def _unpack_body(width, dtype, post_row=None):
 
 
 def _pack_body(width, dtype, pre_row=None):
-    """pre_row(row_vec, state) -> (row_vec, state): fusion hook on encode."""
+    """Encode: extract rows (+hook) -> scratch planes -> word construction.
+    pre_row(row_vec, state) -> (row_vec, state)."""
+    t = layout.bit_width(dtype)
 
     def kernel(*refs):
-        n_in = 2 if eng.is_limb(dtype) else 1
-        vals = refs[:n_in] if n_in == 2 else refs[0]
-        extra = refs[n_in:-n_in] if n_in == 2 else refs[1:-1]
-        out = refs[-n_in:] if n_in == 2 else refs[-1]
+        vals, extra, out, scratch = _split_refs(refs, dtype, 2 if eng.is_limb(dtype) else 1)
         v = _load(vals, dtype)
-        state_holder = [_load_extra(extra, dtype) if extra else None]
+        state = _load_extra(extra, dtype) if extra else None
         src = _row_fn(v, dtype)
-
-        def row_fn(row):
+        for row in range(t):
             elem = src(row)
             if pre_row is not None:
-                elem, state_holder[0] = pre_row(elem, state_holder[0])
-            return elem
-
-        words = pack_words(row_fn, width, dtype, None)
+                elem, state = pre_row(elem, state)
+            _scratch_write(scratch, row, elem, dtype)
+        words = pack_words(lambda r: _scratch_read(scratch, r, dtype), width, dtype, None)
         _store(out, eng.concat_cols(words, dtype), dtype)
 
     return kernel
 
 
 def _load_extra(extra_refs, dtype):
-    """Load the fusion parameter (delta base (B, LANES) or FoR reference) in
-    compute dtype."""
+    """Load the fusion parameter in compute dtype: delta base (B, LANES) from
+    VMEM, or the scalar FoR reference from SMEM (a (1, 1) ref read as a
+    scalar — Mosaic cannot broadcast a vector in both sublanes and lanes)."""
     if eng.is_limb(dtype):
-        return extra_refs[0][...], extra_refs[1][...]
-    arr = extra_refs[0][...]
+        a, b = extra_refs
+        if a.shape == (1, 1):
+            return a[0, 0], b[0, 0]
+        return a[...], b[...]
+    ref = extra_refs[0]
+    if ref.shape == (1, 1):
+        val = ref[0, 0]
+        return val.astype(jnp.uint32) if val.dtype != jnp.uint32 else val
+    arr = ref[...]
     return arr.astype(jnp.uint32) if arr.dtype != jnp.uint32 else arr
 
 
@@ -175,9 +221,11 @@ def _specs(n_cols, tile_b):
     return pl.BlockSpec((tile_b, n_cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
 
-def _param_spec(shape, tile_b):
-    # replicated parameter (base/reference): same block for every grid step
-    return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+def _param_spec(shape, tile_b, smem=False):
+    # replicated parameter (base/reference): same block for every grid step;
+    # scalar references live in SMEM (read as scalars inside the kernel)
+    space = pltpu.SMEM if smem else pltpu.VMEM
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=space)
 
 
 @functools.lru_cache(maxsize=None)
@@ -214,23 +262,29 @@ def _build_call(op: str, dtype: str, width: int, tile_b: int, n_tiles: int,
     if param_kind == "base":
         in_specs += [_param_spec((tile_b, nl), tile_b) for _ in range(n_arrs)]
     elif param_kind == "ref":
-        in_specs += [_param_spec((1, 1), tile_b) for _ in range(n_arrs)]
+        in_specs += [_param_spec((1, 1), tile_b, smem=True) for _ in range(n_arrs)]
     out_specs = tuple(_specs(out_cols, tile_b) for _ in range(n_arrs))
     out_shape = tuple(
         jax.ShapeDtypeStruct((n_tiles * tile_b, out_cols), io_dt) for _ in range(n_arrs))
     if n_arrs == 1:
         out_specs, out_shape = out_specs[0], out_shape[0]
 
+    # one scratch plane per transposed row; planes pad to 128 lanes physically
+    scratch_shapes = [pltpu.VMEM((t, tile_b, nl), jnp.uint32) for _ in range(n_arrs)]
+
     vregs_bytes = tile_b * (in_cols + out_cols) * 4 * n_arrs
+    scratch_bytes = t * tile_b * max(nl, 128) * 4 * n_arrs
     return pl.pallas_call(
         body,
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(int(vregs_bytes * 3) + (2 << 20), 100 * (1 << 20)),
+            vmem_limit_bytes=min(int(vregs_bytes * 3) + scratch_bytes + (2 << 20),
+                                 120 * (1 << 20)),
         ),
     )
 
@@ -266,7 +320,7 @@ def _run(op, arrs, params, width, dtype, tile_b, interpret):
     """Common driver: pad, split limbs, call kernel, unpad, rejoin."""
     dtype = layout.canon_dtype(dtype)
     limb = eng.is_limb(dtype)
-    tile_b = tile_b or DEFAULT_TILE_B
+    tile_b = tile_b or default_tile(dtype)
     main, b = _pad_blocks(arrs, tile_b)
     n_tiles = main.shape[0] // tile_b
 
@@ -350,7 +404,7 @@ def undelta_pack(packed, base, width, dtype, *, tile_b=None, interpret=None):
         from ..ops import delta as ops_delta
 
         return ops_delta.undelta_pack(packed, base, width, dtype)
-    tile = tile_b or DEFAULT_TILE_B
+    tile = tile_b or default_tile(dtype)
     if width == 0:
         from ..ops import delta as ops_delta
 
@@ -365,7 +419,7 @@ def delta_pack(values, base, width, dtype, *, tile_b=None, interpret=None):
         from ..ops import delta as ops_delta
 
         return ops_delta.delta_pack(values, base, width, dtype)
-    tile = tile_b or DEFAULT_TILE_B
+    tile = tile_b or default_tile(dtype)
     if width == 0:
         return _empty_packed(values, dtype)
     return _run("delta_pack", jnp.asarray(values),
