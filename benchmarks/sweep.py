@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Full benchmark sweep — the framework analogue of the reference's criterion
+benches (benches/bitpacking.rs, benches/delta.rs, benches/transpose.rs):
+
+  * pack / unpack per (dtype, width) — ints/s and GB/s of raw bytes
+  * unpack_single, all 1024 indices (benches/bitpacking.rs:49-63)
+  * fused vs unfused delta decode (benches/delta.rs:10-44)
+  * transpose/untranspose (benches/transpose.rs)
+  * C++ host codec throughput for comparison
+
+Writes JSON lines to benchmarks/results.jsonl (one record per config).
+Usage: python benchmarks/sweep.py [--quick] [--out PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", default="benchmarks/results.jsonl")
+    ap.add_argument("--blocks", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from fastlanes_tpu.core import layout
+    from fastlanes_tpu.ops import dispatch
+    from fastlanes_tpu.kernels import pallas_codecs as pk
+    from fastlanes_tpu.utils.timing import median_time
+    from fastlanes_tpu.utils.testing import to_jax_form
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    n_blocks = args.blocks or (16384 if on_tpu else 1024)
+    n_ints = n_blocks * layout.BLOCK
+    rng = np.random.default_rng(0)
+    records = []
+
+    def emit(rec):
+        rec.update(platform=platform, n_blocks=n_blocks)
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    dtypes = ["u32"] if args.quick else list(layout.DTYPES)
+    for dt in dtypes:
+        t = layout.bit_width(dt)
+        widths = [3] if args.quick else sorted({1, 2, 3, 4, 8, t // 2, t - 1, t} & set(range(1, t + 1)))
+        elem_bytes = t // 8
+        values_np = (rng.integers(0, 1 << min(widths[-1], t), (n_blocks, 1024),
+                                  dtype=np.uint64).astype(layout.np_dtype(dt)))
+        values = jnp.asarray(to_jax_form(values_np, dt))
+        for w in widths:
+            vals_w = jnp.asarray(to_jax_form(
+                (values_np & layout.np_dtype(dt).type((1 << w) - 1 if w < t else ~np.uint64(0))),
+                dt)) if w < t else values
+            packf = dispatch.get("pack", dt, w)
+            unpackf = dispatch.get("unpack", dt, w)
+            packed = jax.block_until_ready(packf(vals_w))
+            te = median_time(packf, vals_w, iters=5)
+            td = median_time(unpackf, packed, iters=5)
+            rec = {
+                "bench": "bitpack", "dtype": dt, "width": w, "path": "xla_ops",
+                "encode_ints_per_s": n_ints / te,
+                "decode_ints_per_s": n_ints / td,
+                "encode_GBps": n_ints * elem_bytes / te / 1e9,
+                "decode_GBps": n_ints * elem_bytes / td / 1e9,
+            }
+            if on_tpu:
+                try:
+                    kp = jax.jit(lambda v, w=w, dt=dt: pk.pack(v, w, dt))
+                    ku = jax.jit(lambda p, w=w, dt=dt: pk.unpack(p, w, dt))
+                    jax.block_until_ready(kp(vals_w))
+                    jax.block_until_ready(ku(packed))
+                    tep = median_time(kp, vals_w, iters=5)
+                    tdp = median_time(ku, packed, iters=5)
+                    rec["pallas_encode_ints_per_s"] = n_ints / tep
+                    rec["pallas_decode_ints_per_s"] = n_ints / tdp
+                except Exception as e:
+                    rec["pallas_error"] = str(e)[:120]
+            emit(rec)
+
+        # unpack_single: all 1024 indices of every block at W=T//2
+        w = t // 2
+        packed = jax.block_until_ready(dispatch.get("pack", dt, w)(values if w == t else jnp.asarray(
+            to_jax_form(values_np & layout.np_dtype(dt).type((1 << w) - 1), dt))))
+        singlef = dispatch.get("unpack_single", dt, w)
+        idx = jnp.arange(1024)
+        jax.block_until_ready(singlef(packed, idx))
+        ts = median_time(singlef, packed, idx, iters=5)
+        emit({"bench": "unpack_single_all", "dtype": dt, "width": w,
+              "ints_per_s": n_ints / ts})
+
+        # transpose
+        trf = dispatch.get("transpose", dt, 0)
+        utf = dispatch.get("untranspose", dt, 0)
+        jax.block_until_ready(trf(values))
+        emit({"bench": "transpose", "dtype": dt,
+              "ints_per_s": n_ints / median_time(trf, values, iters=5)})
+        emit({"bench": "untranspose", "dtype": dt,
+              "ints_per_s": n_ints / median_time(utf, values, iters=5)})
+
+    # fused vs unfused delta decode, u16 W=9 (benches/delta.rs:10-44)
+    dt, w = "u16", 9
+    values_np = np.sort(rng.integers(0, 1 << 12, (n_blocks, 1024), dtype=np.int64)
+                        .astype(np.uint16), axis=1)
+    base = jnp.zeros(64, jnp.uint16)
+    tr = dispatch.get("transpose", dt, 0)
+    dl = dispatch.get("delta", dt, 0)
+    transposed = jax.block_until_ready(tr(jnp.asarray(values_np)))
+    deltas = jax.block_until_ready(dl(transposed, base))
+    packed = jax.block_until_ready(dispatch.get("pack", dt, w)(deltas))
+    fusedf = dispatch.get("undelta_pack", dt, w)
+    unpackf = dispatch.get("unpack", dt, w)
+    undeltaf = dispatch.get("undelta", dt, 0)
+    jax.block_until_ready(fusedf(packed, base))
+    t_fused = median_time(fusedf, packed, base, iters=5)
+
+    def unfused(p, b):
+        return undeltaf(unpackf(p), b)
+
+    unfused_j = jax.jit(unfused)
+    jax.block_until_ready(unfused_j(packed, base))
+    t_unfused = median_time(unfused_j, packed, base, iters=5)
+    emit({"bench": "delta_decode", "dtype": dt, "width": w,
+          "fused_ints_per_s": n_ints / t_fused,
+          "unfused_ints_per_s": n_ints / t_unfused,
+          "fusion_speedup": t_unfused / t_fused})
+
+    # C++ host codec (single-thread)
+    try:
+        from fastlanes_tpu import native
+
+        if native.available():
+            v32 = rng.integers(0, 8, (n_blocks, 1024), dtype=np.int64).astype(np.uint32)
+            t0 = time.perf_counter(); p = native.pack(v32, 3, "u32"); te = time.perf_counter() - t0
+            t0 = time.perf_counter(); native.unpack(p, 3, "u32"); td = time.perf_counter() - t0
+            emit({"bench": "native_host", "dtype": "u32", "width": 3,
+                  "encode_ints_per_s": n_ints / te, "decode_ints_per_s": n_ints / td})
+    except Exception as e:
+        emit({"bench": "native_host", "error": str(e)[:120]})
+
+    with open(args.out, "w") as f:
+        for rec in records:
+            f.write(json.dumps(rec) + "\n")
+    print(f"# wrote {len(records)} records to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

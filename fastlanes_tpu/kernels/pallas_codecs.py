@@ -117,20 +117,36 @@ def _scratch_read(scratch, row, dtype):
 # fusion. VMEM bandwidth makes the extra round-trip ~free vs HBM.
 
 
+def _n_words(width, dtype):
+    """Number of LANES-wide word groups in the packed layout."""
+    return layout.packed_len(dtype, width) // layout.lanes(dtype)
+
+
 def _unpack_body(width, dtype, post_row=None):
-    """Decode: unpack rows -> scratch planes -> fusion hook chain -> assemble.
+    """Decode: stage packed words into aligned scratch planes, run the row
+    pipeline from there, stage rows, apply the fusion hook chain, assemble.
     post_row(row_vec, state) -> (out_vec, state)."""
     t = layout.bit_width(dtype)
+    nl = layout.lanes(dtype)
+    nw = _n_words(width, dtype)
+    n_arrs = 2 if eng.is_limb(dtype) else 1
 
     def kernel(*refs):
-        packed, extra, out, scratch = _split_refs(refs, dtype, 2 if eng.is_limb(dtype) else 1)
+        packed, extra, out, scratch = _split_refs(refs, dtype, 2 * n_arrs)
+        word_scr, row_scr = scratch[:n_arrs], scratch[n_arrs:]
         p = _load(packed, dtype)
-        for row, elem in unpack_row_stream(p, width, dtype):
-            _scratch_write(scratch, row, elem, dtype)
+        # stage 0: materialize each packed word at lane rotation 0
+        for w in range(nw):
+            _scratch_write(word_scr, w, eng.cols(p, nl * w, nl, dtype), dtype)
+        get_word = lambda w: _scratch_read(word_scr, w, dtype)  # noqa: E731
+        # stage 1: unpack rows (operands all aligned) into row planes
+        for row, elem in unpack_row_stream(None, width, dtype, get_word=get_word):
+            _scratch_write(row_scr, row, elem, dtype)
+        # stage 2: fusion hook chain + assemble
         state = _load_extra(extra, dtype) if extra else None
         rows = {}
         for row in range(t):
-            elem = _scratch_read(scratch, row, dtype)
+            elem = _scratch_read(row_scr, row, dtype)
             if post_row is not None:
                 elem, state = post_row(elem, state)
             rows[row] = elem
@@ -269,11 +285,16 @@ def _build_call(op: str, dtype: str, width: int, tile_b: int, n_tiles: int,
     if n_arrs == 1:
         out_specs, out_shape = out_specs[0], out_shape[0]
 
-    # one scratch plane per transposed row; planes pad to 128 lanes physically
-    scratch_shapes = [pltpu.VMEM((t, tile_b, nl), jnp.uint32) for _ in range(n_arrs)]
+    # scratch planes (pad to 128 lanes physically): decode stages packed words
+    # AND unpacked rows; encode stages rows only. See MOSAIC_NOTES.md.
+    nw = layout.packed_len(dtype, width) // nl if width else 0
+    scratch_shapes = []
+    if decode:
+        scratch_shapes += [pltpu.VMEM((nw, tile_b, nl), jnp.uint32) for _ in range(n_arrs)]
+    scratch_shapes += [pltpu.VMEM((t, tile_b, nl), jnp.uint32) for _ in range(n_arrs)]
 
     vregs_bytes = tile_b * (in_cols + out_cols) * 4 * n_arrs
-    scratch_bytes = t * tile_b * max(nl, 128) * 4 * n_arrs
+    scratch_bytes = (t + (nw if decode else 0)) * tile_b * max(nl, 128) * 4 * n_arrs
     return pl.pallas_call(
         body,
         grid=(n_tiles,),

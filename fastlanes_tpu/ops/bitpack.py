@@ -72,16 +72,22 @@ def pack_words(row_fn, width: int, dtype, batch_shape):
     return words
 
 
-def unpack_row_stream(packed_vec, width: int, dtype):
+def unpack_row_stream(packed_vec, width: int, dtype, get_word=None):
     """Yield (row, (B, LANES) vec) in transposed row order from a packed vec.
 
     The vectorized analogue of the reference unpack! macro's kernel-body hook
     (macros.rs:101-174) — fused consumers iterate this stream.
+
+    `get_word(w)` optionally overrides how packed word w is fetched (the
+    Pallas kernels stage words through aligned VMEM scratch; see
+    kernels/MOSAIC_NOTES.md).
     """
     dtype = layout.canon_dtype(dtype)
     t = layout.bit_width(dtype)
     nl = layout.lanes(dtype)
     layout.check_width(dtype, width)
+    if get_word is None:
+        get_word = lambda w: eng.cols(packed_vec, nl * w, nl, dtype)  # noqa: E731
 
     if width == 0:
         if eng.is_limb(dtype):
@@ -95,10 +101,10 @@ def unpack_row_stream(packed_vec, width: int, dtype):
 
     if width == t:
         for row in range(t):
-            yield row, eng.cols(packed_vec, nl * row, nl, dtype)
+            yield row, get_word(row)
         return
 
-    src = eng.cols(packed_vec, 0, nl, dtype)
+    src = get_word(0)
     for row in range(t):
         curr_word = (row * width) // t
         next_word = ((row + 1) * width) // t
@@ -108,7 +114,7 @@ def unpack_row_stream(packed_vec, width: int, dtype):
             current_bits = width - remaining
             tmp = eng.and_const(eng.shr(src, shift, dtype), _mask_bits(current_bits, t), dtype)
             if next_word < width:
-                src = eng.cols(packed_vec, nl * next_word, nl, dtype)
+                src = get_word(next_word)
                 stitched = eng.shl(eng.and_const(src, _mask_bits(remaining, t), dtype),
                                    current_bits, dtype)
                 tmp = eng.orr(tmp, stitched, dtype)
