@@ -1,0 +1,229 @@
+"""FLT file format: chunked FastLanes-compressed columns on disk.
+
+The host-runtime IO layer of the framework (the role Vortex plays for the
+Rust crate): a self-describing container whose payload bytes per block are
+the exact FastLanes wire format, written/read at SIMD speed by the C++ host
+codec, with block-range random access (only the covering chunks decode) and
+element random access via unpack_single.
+
+Layout:  magic FLTPU1 | u32 header_len | header JSON | chunk payloads
+Each chunk: `chunk_blocks` blocks encoded with one codec + width; Delta
+chunks carry their per-lane base vector as a payload prefix.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Optional
+
+import numpy as np
+
+from .core import layout
+from . import native
+from .ref import numpy_ref as npref
+
+MAGIC = b"FLTPU1"
+_VERSION = 1
+
+
+def _bits_needed_arr(arr: np.ndarray) -> int:
+    m = int(arr.max()) if arr.size else 0
+    return m.bit_length()
+
+
+def _encode_chunk(values: np.ndarray, dtype: str, codec: str):
+    """Encode one chunk; returns (meta, payload_bytes)."""
+    t = layout.bit_width(dtype)
+    nl = layout.lanes(dtype)
+    np_dt = layout.np_dtype(dtype)
+    use_native = native.available()
+
+    if codec == "auto":
+        vmax = int(values.max()) if values.size else 0
+        vmin = int(values.min()) if values.size else 0
+        spread = (vmax - vmin) % (1 << t)
+        base = np.zeros(nl, np_dt)
+        transposed = (native.transpose(values, dtype) if use_native
+                      else npref.transpose(values, dtype))
+        deltas = (native.delta(transposed, base, dtype) if use_native
+                  else npref.delta(transposed, np.broadcast_to(base, (len(values), nl)), dtype))
+        cands = {
+            "bitpack": vmax.bit_length(),
+            "ffor": spread.bit_length(),
+            "delta": _bits_needed_arr(deltas),
+        }
+        codec = min(cands, key=lambda k: (cands[k], k != "ffor"))
+
+    if codec == "bitpack":
+        w = min(t, _bits_needed_arr(values))
+        payload = (native.pack(values, w, dtype) if use_native
+                   else npref.pack(values, w, dtype))
+        return {"codec": codec, "width": w}, payload.tobytes()
+
+    if codec == "ffor":
+        ref_val = int(values.min()) if values.size else 0
+        w = min(t, int(((int(values.max()) - ref_val) % (1 << t))).bit_length()) if values.size else 0
+        payload = (native.for_pack(values, ref_val, w, dtype) if use_native
+                   else npref.for_pack(values, ref_val, w, dtype))
+        return {"codec": codec, "width": w, "reference": ref_val}, payload.tobytes()
+
+    if codec == "delta":
+        base = np.zeros(nl, np_dt)
+        transposed = (native.transpose(values, dtype) if use_native
+                      else npref.transpose(values, dtype))
+        deltas = (native.delta(transposed, base, dtype) if use_native
+                  else npref.delta(transposed, np.broadcast_to(base, (len(values), nl)), dtype))
+        w = min(t, _bits_needed_arr(deltas))
+        packed = (native.pack(deltas, w, dtype) if use_native
+                  else npref.pack(deltas, w, dtype))
+        return {"codec": codec, "width": w}, base.tobytes() + packed.tobytes()
+
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def _decode_chunk(meta: dict, raw: bytes, n_blocks: int, dtype: str) -> np.ndarray:
+    t = layout.bit_width(dtype)
+    nl = layout.lanes(dtype)
+    np_dt = layout.np_dtype(dtype)
+    w = meta["width"]
+    use_native = native.available()
+    codec = meta["codec"]
+
+    if codec == "delta":
+        base_bytes = nl * np_dt.itemsize
+        base = np.frombuffer(raw[:base_bytes], np_dt)
+        packed = np.frombuffer(raw[base_bytes:], np_dt).reshape(n_blocks, -1)
+        transposed = (native.undelta_pack(packed, base, w, dtype) if use_native
+                      else npref.undelta_pack(packed, np.broadcast_to(base, (n_blocks, nl)), w, dtype))
+        return (native.untranspose(transposed, dtype) if use_native
+                else npref.untranspose(transposed, dtype))
+
+    packed = np.frombuffer(raw, np_dt).reshape(n_blocks, -1)
+    if codec == "bitpack":
+        return (native.unpack(packed, w, dtype) if use_native
+                else npref.unpack(packed, w, dtype))
+    if codec == "ffor":
+        ref_val = meta["reference"]
+        return (native.unfor_pack(packed, ref_val, w, dtype) if use_native
+                else npref.unfor_pack(packed, ref_val, w, dtype))
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def write_file(path: str, values, dtype=None, codec: str = "auto",
+               chunk_blocks: int = 1024) -> dict:
+    """Compress (B, 1024) values into an FLT file. Returns the header dict."""
+    arr = np.ascontiguousarray(values)
+    dtype = layout.canon_dtype(dtype if dtype is not None else arr.dtype)
+    arr = arr.astype(layout.np_dtype(dtype), copy=False)
+    if arr.ndim == 1:
+        arr = arr.reshape(1, -1)
+    if arr.ndim != 2 or arr.shape[1] != layout.BLOCK:
+        raise ValueError(f"values must be (B, {layout.BLOCK}), got {arr.shape}")
+
+    chunks, payloads, offset = [], [], 0
+    for start in range(0, arr.shape[0], chunk_blocks):
+        part = arr[start:start + chunk_blocks]
+        meta, payload = _encode_chunk(part, dtype, codec)
+        meta.update(n_blocks=len(part), offset=offset, nbytes=len(payload))
+        chunks.append(meta)
+        payloads.append(payload)
+        offset += len(payload)
+
+    header = {
+        "version": _VERSION, "dtype": dtype, "n_blocks": int(arr.shape[0]),
+        "chunk_blocks": chunk_blocks, "chunks": chunks,
+    }
+    hdr = json.dumps(header).encode()
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<I", len(hdr)))
+        f.write(hdr)
+        for payload in payloads:
+            f.write(payload)
+    return header
+
+
+def read_header(path: str) -> dict:
+    with open(path, "rb") as f:
+        if f.read(len(MAGIC)) != MAGIC:
+            raise ValueError("not an FLT file")
+        (hlen,) = struct.unpack("<I", f.read(4))
+        header = json.loads(f.read(hlen).decode())
+    if header["version"] != _VERSION:
+        raise ValueError(f"unsupported FLT version {header['version']}")
+    return header
+
+
+def _payload_base(path: str) -> int:
+    with open(path, "rb") as f:
+        f.seek(len(MAGIC))
+        (hlen,) = struct.unpack("<I", f.read(4))
+    return len(MAGIC) + 4 + hlen
+
+
+def read_blocks(path: str, start: int = 0, stop: Optional[int] = None) -> np.ndarray:
+    """Decode blocks [start, stop) — touches only the covering chunks."""
+    header = read_header(path)
+    dtype = header["dtype"]
+    n = header["n_blocks"]
+    stop = n if stop is None else min(stop, n)
+    if not 0 <= start <= stop:
+        raise IndexError(f"bad block range [{start}, {stop})")
+    base_off = _payload_base(path)
+    cb = header["chunk_blocks"]
+    out = []
+    with open(path, "rb") as f:
+        for ci, meta in enumerate(header["chunks"]):
+            c_start = ci * cb
+            c_stop = c_start + meta["n_blocks"]
+            if c_stop <= start or c_start >= stop:
+                continue
+            f.seek(base_off + meta["offset"])
+            raw = f.read(meta["nbytes"])
+            blocks = _decode_chunk(meta, raw, meta["n_blocks"], dtype)
+            lo = max(start, c_start) - c_start
+            hi = min(stop, c_stop) - c_start
+            out.append(blocks[lo:hi])
+    if not out:
+        return np.empty((0, layout.BLOCK), layout.np_dtype(dtype))
+    return np.concatenate(out, axis=0)
+
+
+def read_file(path: str) -> np.ndarray:
+    return read_blocks(path)
+
+
+def read_single(path: str, block: int, index: int):
+    """Random access to one element without decoding the chunk (bitpack/ffor
+    chunks read at most two packed words via unpack_single; delta chunks fall
+    back to decoding the block's chunk)."""
+    header = read_header(path)
+    dtype = header["dtype"]
+    if not 0 <= block < header["n_blocks"]:
+        raise IndexError(f"block {block} out of range")
+    cb = header["chunk_blocks"]
+    ci = block // cb
+    meta = header["chunks"][ci]
+    np_dt = layout.np_dtype(dtype)
+    base_off = _payload_base(path)
+
+    if meta["codec"] == "delta":
+        blocks = read_blocks(path, block, block + 1)
+        return blocks[0, index]
+
+    w = meta["width"]
+    plen = layout.packed_len(dtype, w)
+    block_in_chunk = block - ci * cb
+    with open(path, "rb") as f:
+        f.seek(base_off + meta["offset"] + block_in_chunk * plen * np_dt.itemsize)
+        raw = f.read(plen * np_dt.itemsize)
+    packed = np.frombuffer(raw, np_dt).reshape(1, plen)
+    idx_arr = np.array([index], dtype=np.int64)
+    if native.available():
+        val = native.unpack_single(packed, w, idx_arr, dtype)[0, 0]
+    else:
+        val = npref.unpack_single(packed, w, idx_arr, dtype)[0, 0]
+    if meta["codec"] == "ffor":
+        val = np_dt.type(val + np_dt.type(meta["reference"]))
+    return val
