@@ -1,0 +1,139 @@
+"""Command-line front end for the FLT file format.
+
+    python -m fastlanes_tpu compress   raw.npy column.flt [--codec auto] [--chunk-blocks N]
+    python -m fastlanes_tpu decompress column.flt raw.npy [--start B] [--stop B]
+    python -m fastlanes_tpu inspect    column.flt
+    python -m fastlanes_tpu get        column.flt BLOCK INDEX
+
+The role the `vortex` CLI plays around the Rust crate: compress whole
+columns to disk, decode block ranges, random-access single elements.
+Input/output is .npy (any integer array whose tail pads to 1024-value
+blocks must already be (B, 1024) or a multiple-of-1024 flat vector).
+All work runs on the host (C++ codec when built, NumPy oracle otherwise);
+device decode paths live in the library API, not the CLI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from . import fio
+from .core import layout
+
+
+def _as_blocks(arr: np.ndarray) -> np.ndarray:
+    if arr.ndim == 1:
+        if arr.size % layout.BLOCK:
+            raise SystemExit(
+                f"flat input length {arr.size} is not a multiple of {layout.BLOCK}; "
+                "pad the column before compressing")
+        return arr.reshape(-1, layout.BLOCK)
+    if arr.ndim == 2 and arr.shape[1] == layout.BLOCK:
+        return arr
+    raise SystemExit(f"input must be flat or (B, {layout.BLOCK}), got shape {arr.shape}")
+
+
+def _cmd_compress(args) -> int:
+    arr = np.load(args.input)
+    if not np.issubdtype(arr.dtype, np.integer):
+        raise SystemExit(f"FastLanes compresses integers, got dtype {arr.dtype}")
+    if args.dtype:
+        dtype = args.dtype
+    elif arr.dtype.kind == "u":
+        dtype = layout.canon_dtype(arr.dtype)
+    else:
+        raise SystemExit(
+            f"signed input dtype {arr.dtype}: pass --dtype to choose the unsigned "
+            "wire type (values are reinterpreted mod 2^T)")
+    blocks = _as_blocks(arr).astype(layout.np_dtype(dtype))
+    header = fio.write_file(args.output, blocks, dtype=dtype, codec=args.codec,
+                            chunk_blocks=args.chunk_blocks)
+    raw = blocks.nbytes
+    import os
+    packed = os.path.getsize(args.output)
+    print(json.dumps({
+        "file": args.output, "dtype": dtype, "n_blocks": header["n_blocks"],
+        "raw_bytes": raw, "file_bytes": packed,
+        "ratio": round(raw / max(packed, 1), 3),
+        "chunks": [{"codec": c["codec"], "width": c["width"]} for c in header["chunks"][:8]],
+    }))
+    return 0
+
+
+def _cmd_decompress(args) -> int:
+    blocks = fio.read_blocks(args.input, args.start, args.stop)
+    np.save(args.output, blocks)
+    print(json.dumps({"file": args.output, "n_blocks": int(blocks.shape[0]),
+                      "dtype": str(blocks.dtype)}))
+    return 0
+
+
+def _cmd_inspect(args) -> int:
+    header = fio.read_header(args.input)
+    widths = [c["width"] for c in header["chunks"]]
+    codecs = {}
+    for c in header["chunks"]:
+        codecs[c["codec"]] = codecs.get(c["codec"], 0) + 1
+    print(json.dumps({
+        "dtype": header["dtype"], "n_blocks": header["n_blocks"],
+        "chunk_blocks": header["chunk_blocks"], "n_chunks": len(header["chunks"]),
+        "codecs": codecs,
+        "width_min": min(widths) if widths else None,
+        "width_max": max(widths) if widths else None,
+        "payload_bytes": sum(c["nbytes"] for c in header["chunks"]),
+    }, indent=2))
+    return 0
+
+
+def _cmd_get(args) -> int:
+    val = fio.read_single(args.input, args.block, args.index)
+    print(int(val))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fastlanes_tpu", description=__doc__.splitlines()[0])
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("compress", help="compress a .npy integer column to .flt")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.add_argument("--codec", default="auto", choices=["auto", "bitpack", "ffor", "delta"])
+    c.add_argument("--dtype", default=None, choices=list(layout.DTYPES))
+    c.add_argument("--chunk-blocks", type=int, default=1024)
+    c.set_defaults(fn=_cmd_compress)
+
+    d = sub.add_parser("decompress", help="decode an .flt file (or block range) to .npy")
+    d.add_argument("input")
+    d.add_argument("output")
+    d.add_argument("--start", type=int, default=0)
+    d.add_argument("--stop", type=int, default=None)
+    d.set_defaults(fn=_cmd_decompress)
+
+    i = sub.add_parser("inspect", help="print .flt header summary")
+    i.add_argument("input")
+    i.set_defaults(fn=_cmd_inspect)
+
+    g = sub.add_parser("get", help="random-access one element: get FILE BLOCK INDEX")
+    g.add_argument("input")
+    g.add_argument("block", type=int)
+    g.add_argument("index", type=int)
+    g.set_defaults(fn=_cmd_get)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    except (ValueError, IndexError, OSError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -43,15 +43,19 @@ def _encode_chunk(values: np.ndarray, dtype: str, codec: str):
         vmax = int(values.max()) if values.size else 0
         vmin = int(values.min()) if values.size else 0
         spread = (vmax - vmin) % (1 << t)
-        base = np.zeros(nl, np_dt)
         transposed = (native.transpose(values, dtype) if use_native
                       else npref.transpose(values, dtype))
+        base = transposed[:, :nl]  # per-lane row-0 seeds (index(0, lane) == lane)
         deltas = (native.delta(transposed, base, dtype) if use_native
-                  else npref.delta(transposed, np.broadcast_to(base, (len(values), nl)), dtype))
+                  else npref.delta(transposed, base, dtype))
+        # delta pays a base prefix of LANES words per block on top of the
+        # packed bits; charge it as the equivalent extra width so the
+        # smallest-file codec wins (LANES*T bits over 1024 values = T*T/1024).
+        delta_cost = _bits_needed_arr(deltas) + t * t / layout.BLOCK
         cands = {
-            "bitpack": vmax.bit_length(),
-            "ffor": spread.bit_length(),
-            "delta": _bits_needed_arr(deltas),
+            "bitpack": float(vmax.bit_length()),
+            "ffor": float(spread.bit_length()),
+            "delta": delta_cost,
         }
         codec = min(cands, key=lambda k: (cands[k], k != "ffor"))
 
@@ -69,11 +73,11 @@ def _encode_chunk(values: np.ndarray, dtype: str, codec: str):
         return {"codec": codec, "width": w, "reference": ref_val}, payload.tobytes()
 
     if codec == "delta":
-        base = np.zeros(nl, np_dt)
         transposed = (native.transpose(values, dtype) if use_native
                       else npref.transpose(values, dtype))
+        base = np.ascontiguousarray(transposed[:, :nl])  # (B, LANES) row-0 seeds
         deltas = (native.delta(transposed, base, dtype) if use_native
-                  else npref.delta(transposed, np.broadcast_to(base, (len(values), nl)), dtype))
+                  else npref.delta(transposed, base, dtype))
         w = min(t, _bits_needed_arr(deltas))
         packed = (native.pack(deltas, w, dtype) if use_native
                   else npref.pack(deltas, w, dtype))
@@ -91,11 +95,11 @@ def _decode_chunk(meta: dict, raw: bytes, n_blocks: int, dtype: str) -> np.ndarr
     codec = meta["codec"]
 
     if codec == "delta":
-        base_bytes = nl * np_dt.itemsize
-        base = np.frombuffer(raw[:base_bytes], np_dt)
+        base_bytes = n_blocks * nl * np_dt.itemsize
+        base = np.frombuffer(raw[:base_bytes], np_dt).reshape(n_blocks, nl)
         packed = np.frombuffer(raw[base_bytes:], np_dt).reshape(n_blocks, -1)
         transposed = (native.undelta_pack(packed, base, w, dtype) if use_native
-                      else npref.undelta_pack(packed, np.broadcast_to(base, (n_blocks, nl)), w, dtype))
+                      else npref.undelta_pack(packed, base, w, dtype))
         return (native.untranspose(transposed, dtype) if use_native
                 else npref.untranspose(transposed, dtype))
 

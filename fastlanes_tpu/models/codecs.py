@@ -149,8 +149,10 @@ class FFoRCodec(Codec):
 class DeltaCodec(Codec):
     """Transpose -> per-lane delta -> pack; fused single-pass decode
     (the delta.rs:80-96 pipeline as a driver). Stores the per-lane base
-    (first value of each lane's walk) so any input round-trips; decode
-    returns values in original order (untranspose applied)."""
+    (first value of each lane's walk, i.e. row 0 — transposed positions
+    [0, LANES), since index(0, lane) == lane) so the first delta is zero and
+    sorted data packs to gap-width; decode returns values in original order
+    (untranspose applied)."""
 
     name = "delta"
 
@@ -158,7 +160,7 @@ class DeltaCodec(Codec):
         dt = self.dtype
         transposed = dispatch.get("transpose", dt, 0)(values)
         nl = layout.lanes(dt)
-        base = _zero_base(values, dt, nl)
+        base = _lane_base(transposed, dt, nl)
         deltas = dispatch.get("delta", dt, 0)(transposed, base)
         if self.width is not None:
             w = self.width
@@ -178,6 +180,16 @@ def _zero_base(values, dtype, nl):
     if eng.is_limb(dtype):
         return jnp.zeros((nl, 2), jnp.uint32)
     return jnp.zeros((nl,), eng.jnp_dtype(dtype))
+
+
+def _lane_base(transposed, dtype, nl):
+    """Per-lane seed = row 0 of each lane's walk. In transposed order
+    index(0, lane) == lane (FL_ORDER[0] == 0, reference macros.rs:20-24),
+    so the seeds are the first LANES positions of every block."""
+    arr = jnp.asarray(transposed)
+    if eng.is_limb(dtype) and arr.dtype == jnp.uint32:
+        return arr[..., :nl, :]
+    return arr[..., :nl]
 
 
 def _as_param(value: int, dtype):
@@ -210,7 +222,7 @@ def auto_encode(values, dtype) -> Encoded:
     candidates.append(("ffor", min(t, bits_needed((vmax - vmin) % (1 << t)))))
     # delta width needs the deltas themselves; only compute if promising
     transposed = dispatch.get("transpose", dt, 0)(values)
-    base = _zero_base(values, dt, layout.lanes(dt))
+    base = _lane_base(transposed, dt, layout.lanes(dt))
     deltas = dispatch.get("delta", dt, 0)(transposed, base)
     candidates.append(("delta", min(t, bits_needed(_device_max(deltas, dt)))))
     name, width = min(candidates, key=lambda c: c[1])

@@ -32,12 +32,16 @@ _OPS = {
 }
 
 
-@functools.lru_cache(maxsize=None)
 def get(op: str, dtype: str, width: int):
     """Return the jitted kernel for (op, dtype, width). Cached — repeated
     runtime-width calls hit the same compiled executable, mirroring the
-    reference's monomorphized match arms."""
-    dtype = layout.canon_dtype(dtype)
+    reference's monomorphized match arms. The cache key is the canonical
+    dtype, so 'u32' and 'uint32' share one entry."""
+    return _get(op, layout.canon_dtype(dtype), width)
+
+
+@functools.lru_cache(maxsize=None)
+def _get(op: str, dtype: str, width: int):
     layout.check_width(dtype, width)
     if op not in _OPS:
         raise ValueError(f"unknown op {op!r}; have {sorted(_OPS)}")

@@ -1,0 +1,78 @@
+"""CLI round-trip tests (compress / decompress / inspect / get)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from fastlanes_tpu import cli
+from fastlanes_tpu.core import layout
+
+
+@pytest.fixture
+def column(rng):
+    # sorted-ish data so auto picks a non-trivial codec
+    return np.sort(rng.integers(0, 1 << 20, (8, layout.BLOCK), np.int64)
+                   .astype(np.uint32), axis=1)
+
+
+def test_cli_roundtrip(tmp_path, column, capsys):
+    raw = tmp_path / "col.npy"
+    flt = tmp_path / "col.flt"
+    out = tmp_path / "out.npy"
+    np.save(raw, column)
+
+    assert cli.main(["compress", str(raw), str(flt), "--chunk-blocks", "4"]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["n_blocks"] == 8
+    assert info["ratio"] > 1.0
+
+    assert cli.main(["decompress", str(flt), str(out)]) == 0
+    np.testing.assert_array_equal(np.load(out), column)
+
+
+def test_cli_block_range_and_get(tmp_path, column, capsys):
+    raw = tmp_path / "col.npy"
+    flt = tmp_path / "col.flt"
+    out = tmp_path / "out.npy"
+    np.save(raw, column)
+    cli.main(["compress", str(raw), str(flt), "--chunk-blocks", "2"])
+    capsys.readouterr()
+
+    cli.main(["decompress", str(flt), str(out), "--start", "3", "--stop", "6"])
+    capsys.readouterr()
+    np.testing.assert_array_equal(np.load(out), column[3:6])
+
+    cli.main(["get", str(flt), "5", "777"])
+    assert int(capsys.readouterr().out.strip()) == int(column[5, 777])
+
+
+def test_cli_inspect(tmp_path, column, capsys):
+    raw = tmp_path / "col.npy"
+    flt = tmp_path / "col.flt"
+    np.save(raw, column)
+    cli.main(["compress", str(raw), str(flt)])
+    capsys.readouterr()
+    cli.main(["inspect", str(flt)])
+    info = json.loads(capsys.readouterr().out)
+    assert info["dtype"] == "u32"
+    assert info["n_blocks"] == 8
+
+
+def test_cli_flat_input_and_signed_rejection(tmp_path, rng, capsys):
+    flat = rng.integers(0, 100, 2 * layout.BLOCK, np.int64).astype(np.uint16)
+    raw = tmp_path / "flat.npy"
+    flt = tmp_path / "flat.flt"
+    out = tmp_path / "out.npy"
+    np.save(raw, flat)
+    cli.main(["compress", str(raw), str(flt)])
+    capsys.readouterr()
+    cli.main(["decompress", str(flt), str(out)])
+    np.testing.assert_array_equal(np.load(out).reshape(-1), flat)
+
+    signed = tmp_path / "signed.npy"
+    np.save(signed, flat.astype(np.int32))
+    with pytest.raises(SystemExit):
+        cli.main(["compress", str(signed), str(flt)])
+    # but an explicit --dtype accepts signed input
+    assert cli.main(["compress", str(signed), str(flt), "--dtype", "u32"]) == 0

@@ -76,7 +76,7 @@ def test_delta_payload_matches_oracle(rng):
     values = np.sort(random_values(rng, "u16", 15, n_blocks=2), axis=1)
     enc = DeltaCodec("u16").encode(values)
     transposed = ref.transpose(values, "u16")
-    base = np.zeros(64, np.uint16)
+    base = transposed[..., :64]  # per-lane row-0 seeds (index(0, lane) == lane)
     gold = ref.pack(ref.delta(transposed, base, "u16"), enc.width, "u16")
     np.testing.assert_array_equal(np.asarray(enc.payload), gold)
 

@@ -157,7 +157,7 @@ def test_u64_native_x64(rng):
     """u64 arrays directly (jax x64 enabled) match the limb path."""
     import jax
 
-    with jax.experimental.enable_x64():
+    with jax.enable_x64(True):
         values = random_values(rng, "u64", 40, n_blocks=2)
         import jax.numpy as jnp
 
