@@ -30,6 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -42,8 +43,8 @@ from ..ops.bitpack import assemble_blocks, pack_words, unpack_row_stream
 # fits VMEM with headroom for the packed tile, the row-scratch planes (which
 # pad LANES up to 128 physical lanes) and pipeline double-buffering. u64 uses
 # a smaller tile: 2 limb arrays x 64 rows of (tile, 16->128-padded) scratch.
-DEFAULT_TILE_B = 128
-_TILE_BY_DTYPE = {"u8": 128, "u16": 128, "u32": 128, "u64": 32}
+DEFAULT_TILE_B = 256
+_TILE_BY_DTYPE = {"u8": 256, "u16": 256, "u32": 256, "u64": 32}
 
 
 def default_tile(dtype):
@@ -122,6 +123,79 @@ def _n_words(width, dtype):
     return layout.packed_len(dtype, width) // layout.lanes(dtype)
 
 
+# ---------------------------------------------------------------------------
+# wide (grouped-rows) decode: full 128-lane VPU utilization for nl < 128
+#
+# MEASURED SLOWER compiled (v5e: u32 W=3 decode 29.8e9 vs 44.2e9 ints/s at
+# tile_b=128) — Mosaic lowers the lane-concats and per-lane vector shifts
+# through relayouts that cost more than the 4x lane-utilization win. Kept
+# (bit-exact, covered by interpret tests when enabled) as the documented
+# experiment; see MOSAIC_NOTES.md.
+_WIDE_DECODE = False
+#
+# A (tile_b, LANES) row op uses only LANES of the VPU's 128 lanes (25% for
+# u32, 50% for u16). Every unpack row is the same two-term formula with
+# row-constant words/shifts/masks:
+#     out[r] = ((word[w1] >> s1) & m1) | ((word[w2] & m2) << s2)
+# so G = 128 // LANES rows fuse into ONE (tile_b, 128) op whose shift/mask
+# operands are per-lane constant vectors (Mosaic vector shifts). Sources are
+# concatenations of aligned scratch word planes; results are sliced back out
+# to aligned row planes. u64 (limb pairs) keeps the scalar-row path.
+
+
+def _wide_row_params(width, dtype):
+    """Per-row (w1, shift, w2, has_stitch) of the unpack formula
+    (reference macros.rs:142-170 restated as a uniform two-term extract):
+        out[r] = ((word[w1] >> s1) & m1) | ((word[w2] & m2) << s2)
+    with s1 = (r*W) %% T, m1 = (1 << min(W, T-s1)) - 1,
+    rem = max(s1+W-T, 0), m2 = (1 << rem) - 1, s2 = T - s1."""
+    t = layout.bit_width(dtype)
+    rows = []
+    for row in range(t):
+        cw = (row * width) // t
+        shift = (row * width) % t
+        nxt = ((row + 1) * width) // t
+        rem = ((row + 1) * width) % t
+        if nxt > cw and rem:  # stitch: high bits come from word nxt
+            rows.append((cw, shift, nxt, True))
+        else:
+            rows.append((cw, shift, cw, False))
+    return rows
+
+
+def _unpack_rows_wide(get_word, set_row, width, dtype):
+    """Stage-1 replacement: decode G = 128//LANES consecutive rows per
+    128-lane vector op. The per-lane shift/mask vectors are computed from a
+    lane iota (Pallas kernels cannot capture vector constants), exploiting
+    that s1 is affine in the lane-group index: s1 = W*(g0 + lane//nl) mod T."""
+    t = layout.bit_width(dtype)
+    nl = layout.lanes(dtype)
+    G = 128 // nl
+    params = _wide_row_params(width, dtype)
+    mask_w = jnp.uint32((1 << width) - 1)
+    # lane-group index g in [0, G): (1, 128) so every op below broadcasts.
+    # Mask algebra keeps every mask a shift of mask_w (this Mosaic toolchain
+    # does not legalize vector minui): with rem = max(s1 + W - T, 0):
+    #   m1 = mask(W - rem)      = mask_w >> rem
+    #   s2 = W - rem            (current_bits)
+    #   m2 = mask(rem)          = mask_w >> s2
+    gidx = (jax.lax.broadcasted_iota(jnp.uint32, (1, 128), 1) >> (nl.bit_length() - 1))
+    w_gidx = gidx * jnp.uint32(width)
+    for g0 in range(0, t, G):
+        grp = params[g0:g0 + G]
+        s1 = (w_gidx + jnp.uint32(g0 * width)) & jnp.uint32(t - 1)
+        rem = jnp.where(s1 > jnp.uint32(t - width),
+                        s1 - jnp.uint32(t - width), jnp.uint32(0))
+        src1 = jnp.concatenate([get_word(p[0]) for p in grp], axis=-1)
+        a = (src1 >> s1) & (mask_w >> rem)
+        if any(p[3] for p in grp):
+            s2 = jnp.uint32(width) - rem
+            src2 = jnp.concatenate([get_word(p[2]) for p in grp], axis=-1)
+            a = a | ((src2 & (mask_w >> s2)) << s2)
+        for j in range(G):
+            set_row(g0 + j, a[..., j * nl:(j + 1) * nl])
+
+
 def _unpack_body(width, dtype, post_row=None):
     """Decode: stage packed words into aligned scratch planes, run the row
     pipeline from there, stage rows, apply the fusion hook chain, assemble.
@@ -139,9 +213,17 @@ def _unpack_body(width, dtype, post_row=None):
         for w in range(nw):
             _scratch_write(word_scr, w, eng.cols(p, nl * w, nl, dtype), dtype)
         get_word = lambda w: _scratch_read(word_scr, w, dtype)  # noqa: E731
-        # stage 1: unpack rows (operands all aligned) into row planes
-        for row, elem in unpack_row_stream(None, width, dtype, get_word=get_word):
-            _scratch_write(row_scr, row, elem, dtype)
+        # stage 1: unpack rows (operands all aligned) into row planes.
+        # (A grouped-rows variant that fills all 128 VPU lanes per op exists
+        # as _unpack_rows_wide but measured ~1.5x SLOWER compiled — see
+        # MOSAIC_NOTES.md "wide decode experiment"; enable via _WIDE_DECODE.)
+        if _WIDE_DECODE and n_arrs == 1 and nl < 128 and 0 < width < t:
+            _unpack_rows_wide(
+                get_word, lambda r, v: _scratch_write(row_scr, r, v, dtype),
+                width, dtype)
+        else:
+            for row, elem in unpack_row_stream(None, width, dtype, get_word=get_word):
+                _scratch_write(row_scr, row, elem, dtype)
         # stage 2: fusion hook chain + assemble
         state = _load_extra(extra, dtype) if extra else None
         rows = {}
@@ -277,6 +359,8 @@ def _build_call(op: str, dtype: str, width: int, tile_b: int, n_tiles: int,
     in_specs = [_specs(in_cols, tile_b) for _ in range(n_arrs)]
     if param_kind == "base":
         in_specs += [_param_spec((tile_b, nl), tile_b) for _ in range(n_arrs)]
+    elif param_kind == "base_b":  # per-block base rides the grid like the payload
+        in_specs += [_specs(nl, tile_b) for _ in range(n_arrs)]
     elif param_kind == "ref":
         in_specs += [_param_spec((1, 1), tile_b, smem=True) for _ in range(n_arrs)]
     out_specs = tuple(_specs(out_cols, tile_b) for _ in range(n_arrs))
@@ -350,6 +434,11 @@ def _run(op, arrs, params, width, dtype, tile_b, interpret):
     if params is not None:
         kind, parr = params
         param_kind = kind
+        if kind == "base_b":  # per-block base: pad + shard like the payload
+            if parr.shape[0] != b:
+                raise ValueError(
+                    f"per-block base has {parr.shape[0]} rows for {b} blocks")
+            parr, _ = _pad_blocks(parr, tile_b)
         if limb:
             if kind == "ref":
                 call_inputs += [parr[..., 0].reshape(1, 1), parr[..., 1].reshape(1, 1)]
@@ -366,18 +455,25 @@ def _run(op, arrs, params, width, dtype, tile_b, interpret):
 
 
 def _prep_base(base, dtype, tile_b):
-    """base must be one per-lane seed vector shared by all blocks for the
-    kernel path (the reference's base: &[T; LANES], delta.rs:7); replicated
-    across the tile inside VMEM."""
+    """base: per-lane seed vector(s) (reference's &[T; LANES], delta.rs:7).
+    Returns (param_kind, array): a shared (LANES,) base is broadcast to one
+    replicated (tile_b, LANES) block ('base'); a per-block (B, LANES) base is
+    passed through to be block-sharded alongside the payload ('base_b')."""
     nl = layout.lanes(dtype)
     vec = jnp.asarray(base)
     if eng.is_limb(dtype):
-        if vec.shape not in ((nl, 2),):
-            raise ValueError(f"kernel path needs a shared ({nl}, 2) limb base, got {vec.shape}")
-        return jnp.broadcast_to(vec[None], (tile_b, nl, 2))
-    if vec.shape != (nl,):
-        raise ValueError(f"kernel path needs a shared ({nl},) base, got {vec.shape}")
-    return jnp.broadcast_to(vec[None], (tile_b, nl))
+        if vec.shape == (nl, 2):
+            return "base", jnp.broadcast_to(vec[None], (tile_b, nl, 2))
+        if vec.ndim == 3 and vec.shape[1:] == (nl, 2):
+            return "base_b", vec
+        raise ValueError(
+            f"base must be ({nl}, 2) shared or (B, {nl}, 2) per-block limb "
+            f"image, got {vec.shape}")
+    if vec.shape == (nl,):
+        return "base", jnp.broadcast_to(vec[None], (tile_b, nl))
+    if vec.ndim == 2 and vec.shape[1] == nl:
+        return "base_b", vec
+    raise ValueError(f"base must be ({nl},) shared or (B, {nl}) per-block, got {vec.shape}")
 
 
 def _prep_ref(reference, dtype):
@@ -431,7 +527,7 @@ def undelta_pack(packed, base, width, dtype, *, tile_b=None, interpret=None):
 
         return ops_delta.undelta_pack(packed, base, width, dtype)
     return _run("undelta_pack", jnp.asarray(packed),
-                ("base", _prep_base(base, dtype, tile)), width, dtype, tile, interp)
+                _prep_base(base, dtype, tile), width, dtype, tile, interp)
 
 
 def delta_pack(values, base, width, dtype, *, tile_b=None, interpret=None):
@@ -444,7 +540,7 @@ def delta_pack(values, base, width, dtype, *, tile_b=None, interpret=None):
     if width == 0:
         return _empty_packed(values, dtype)
     return _run("delta_pack", jnp.asarray(values),
-                ("base", _prep_base(base, dtype, tile)), width, dtype, tile, interp)
+                _prep_base(base, dtype, tile), width, dtype, tile, interp)
 
 
 def unfor_pack(packed, reference, width, dtype, *, tile_b=None, interpret=None):

@@ -60,14 +60,23 @@ def sharded_unpack(mesh, packed, width, dtype, axis="blocks", use_kernels=True):
 
 
 def sharded_undelta_pack(mesh, packed, base, width, dtype, axis="blocks", use_kernels=True):
-    """Fused delta decode; base is replicated (P(None)) to every device."""
+    """Fused delta decode. A shared per-lane base ((LANES,) or limb image) is
+    replicated (P(None)); a per-block base ((B, LANES)[, 2]) is sharded along
+    the block axis with the packed payload."""
     fn = _kernel_or_op("undelta_pack", use_kernels)
     spec = _block_spec(dtype, axis)
-    base_spec = P(*([None] * jnp.asarray(base).ndim))
+    packed, base = jnp.asarray(packed), jnp.asarray(base)
+    per_block = base.ndim == packed.ndim and base.shape[0] == packed.shape[0]
+    if per_block:
+        base_spec = P(axis, *([None] * (base.ndim - 1)))
+    else:
+        base_spec = P(*([None] * base.ndim))
     sharded = jax.shard_map(lambda p, b: fn(p, b, width, dtype),
                         mesh=mesh, in_specs=(spec, base_spec), out_specs=spec)
-    padded, b = _pad_to(jnp.asarray(packed), mesh.shape[axis])
-    return sharded(padded, jnp.asarray(base))[:b]
+    padded, b = _pad_to(packed, mesh.shape[axis])
+    if per_block:
+        base, _ = _pad_to(base, mesh.shape[axis])
+    return sharded(padded, base)[:b]
 
 
 def sharded_for_pack(mesh, values, reference, width, dtype, axis="blocks", use_kernels=True):

@@ -73,6 +73,15 @@ for dt in layout.DTYPES:
     got = from_jax_form(pk.undelta_pack(to_jax_form(gpacked, dt), to_jax_form(base, dt), w, dt), dt)
     check(f"undelta_pack {dt} W={w}", got, transposed)
 
+    # per-block base (the DeltaCodec/FLT form: base[b] = row-0 seeds)
+    pb_base = np.ascontiguousarray(transposed[:, :nl])
+    pb_deltas = ref.delta(transposed, pb_base, dt)
+    pb_w = min(t, int(pb_deltas.max()).bit_length()) or 1
+    pb_packed = ref.pack(pb_deltas, pb_w, dt)
+    got = from_jax_form(pk.undelta_pack(to_jax_form(pb_packed, dt),
+                                        to_jax_form(pb_base, dt), pb_w, dt), dt)
+    check(f"undelta_pack per-block-base {dt} W={pb_w}", got, transposed)
+
     refc = (1 << (w - 1)) + 3
     values = rand(dt, w - 1, N) + layout.np_dtype(dt).type(refc)
     gpacked = ref.for_pack(values, refc, w, dt)
