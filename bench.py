@@ -50,7 +50,10 @@ def main():
     on_tpu = platform == "tpu"
 
     W, DT = 3, "u32"
-    K = 32 if on_tpu else 4
+    # chain length: the remote-device tunnel adds ~26ms fixed overhead per
+    # host call; K=512 amortizes it to <0.1ms/iter (measured asymptote —
+    # K=32 under-reported throughput by ~40%)
+    K = 512 if on_tpu else 4
     n_blocks = 131072 if on_tpu else 2048
     n_ints = n_blocks * layout.BLOCK
     raw_gb = n_ints * 4 / 1e9

@@ -40,66 +40,78 @@ def _pad_to(arr, mult):
     return arr, b
 
 
-def _sharded_unary(mesh, fn, arr, dtype, axis):
+@functools.lru_cache(maxsize=None)
+def _build_sharded(name, use_kernels, width, dtype, axis, mesh, param):
+    """jit(shard_map(codec)) — cached so repeated calls with the same
+    (op, mesh, width, dtype) hit one compiled executable instead of
+    re-tracing an eager shard_map per call. `param` describes the second
+    operand: None, ('rep', ndim) replicated, or ('blk', ndim) block-sharded."""
+    fn = _kernel_or_op(name, use_kernels)
     spec = _block_spec(dtype, axis)
-    sharded = jax.shard_map(fn, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    # pallas_call's out_shape carries no varying-across-mesh info, so the
+    # shard_map replication checker cannot type the kernel path — disable it
+    # there (the ops path keeps the static check).
+    check = not use_kernels
+    if param is None:
+        sharded = jax.shard_map(lambda v: fn(v, width, dtype), mesh=mesh,
+                                in_specs=(spec,), out_specs=spec, check_vma=check)
+    else:
+        kind, ndim = param
+        if kind == "blk":
+            p_spec = P(axis, *([None] * (ndim - 1)))
+        else:
+            p_spec = P(*([None] * ndim))
+        sharded = jax.shard_map(lambda v, p: fn(v, p, width, dtype), mesh=mesh,
+                                in_specs=(spec, p_spec), out_specs=spec,
+                                check_vma=check)
+    return jax.jit(sharded)
+
+
+def _sharded_unary(name, use_kernels, mesh, arr, width, dtype, axis):
+    call = _build_sharded(name, use_kernels, width, dtype, axis, mesh, None)
     padded, b = _pad_to(jnp.asarray(arr), mesh.shape[axis])
-    return sharded(padded)[:b]
+    return call(padded)[:b]
 
 
 def sharded_pack(mesh, values, width, dtype, axis="blocks", use_kernels=True):
     """Data-parallel pack: each device packs its shard of blocks with the
     Pallas kernel (or XLA ops off-TPU). No collectives."""
-    fn = _kernel_or_op("pack", use_kernels)
-    return _sharded_unary(mesh, lambda v: fn(v, width, dtype), values, dtype, axis)
+    return _sharded_unary("pack", use_kernels, mesh, values, width, dtype, axis)
 
 
 def sharded_unpack(mesh, packed, width, dtype, axis="blocks", use_kernels=True):
-    fn = _kernel_or_op("unpack", use_kernels)
-    return _sharded_unary(mesh, lambda p: fn(p, width, dtype), packed, dtype, axis)
+    return _sharded_unary("unpack", use_kernels, mesh, packed, width, dtype, axis)
 
 
 def sharded_undelta_pack(mesh, packed, base, width, dtype, axis="blocks", use_kernels=True):
     """Fused delta decode. A shared per-lane base ((LANES,) or limb image) is
     replicated (P(None)); a per-block base ((B, LANES)[, 2]) is sharded along
     the block axis with the packed payload."""
-    fn = _kernel_or_op("undelta_pack", use_kernels)
-    spec = _block_spec(dtype, axis)
     packed, base = jnp.asarray(packed), jnp.asarray(base)
     per_block = base.ndim == packed.ndim and base.shape[0] == packed.shape[0]
-    if per_block:
-        base_spec = P(axis, *([None] * (base.ndim - 1)))
-    else:
-        base_spec = P(*([None] * base.ndim))
-    sharded = jax.shard_map(lambda p, b: fn(p, b, width, dtype),
-                        mesh=mesh, in_specs=(spec, base_spec), out_specs=spec)
+    param = ("blk" if per_block else "rep", base.ndim)
+    call = _build_sharded("undelta_pack", use_kernels, width, dtype, axis, mesh, param)
     padded, b = _pad_to(packed, mesh.shape[axis])
     if per_block:
         base, _ = _pad_to(base, mesh.shape[axis])
-    return sharded(padded, base)[:b]
+    return call(padded, base)[:b]
 
 
 def sharded_for_pack(mesh, values, reference, width, dtype, axis="blocks", use_kernels=True):
     """FFoR encode with replicated scalar reference."""
-    fn = _kernel_or_op("for_pack", use_kernels)
     ref_arr = _ref_array(reference, dtype)
-    spec = _block_spec(dtype, axis)
-    ref_spec = P(*([None] * ref_arr.ndim))
-    sharded = jax.shard_map(lambda v, r: fn(v, r, width, dtype),
-                        mesh=mesh, in_specs=(spec, ref_spec), out_specs=spec)
+    call = _build_sharded("for_pack", use_kernels, width, dtype, axis, mesh,
+                          ("rep", ref_arr.ndim))
     padded, b = _pad_to(jnp.asarray(values), mesh.shape[axis])
-    return sharded(padded, ref_arr)[:b]
+    return call(padded, ref_arr)[:b]
 
 
 def sharded_unfor_pack(mesh, packed, reference, width, dtype, axis="blocks", use_kernels=True):
-    fn = _kernel_or_op("unfor_pack", use_kernels)
     ref_arr = _ref_array(reference, dtype)
-    spec = _block_spec(dtype, axis)
-    ref_spec = P(*([None] * ref_arr.ndim))
-    sharded = jax.shard_map(lambda p, r: fn(p, r, width, dtype),
-                        mesh=mesh, in_specs=(spec, ref_spec), out_specs=spec)
+    call = _build_sharded("unfor_pack", use_kernels, width, dtype, axis, mesh,
+                          ("rep", ref_arr.ndim))
     padded, b = _pad_to(jnp.asarray(packed), mesh.shape[axis])
-    return sharded(padded, ref_arr)[:b]
+    return call(padded, ref_arr)[:b]
 
 
 def global_max_bits(mesh, values, dtype, axis="blocks"):
@@ -122,7 +134,7 @@ def global_max_bits(mesh, values, dtype, axis="blocks"):
         return _bit_len_u32(m.astype(jnp.uint32))
 
     spec = _block_spec(dtype, axis)
-    fn = jax.shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=P())
+    fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=P()))
     padded, _ = _pad_to(jnp.asarray(values), mesh.shape[axis])
     return fn(padded)
 
@@ -145,8 +157,8 @@ def all_gather_packed(mesh, packed_sharded, dtype, axis="blocks"):
     out_spec = P(*([None] * len(spec)))
     # all_gather makes the value replicated, but shard_map cannot infer that
     # statically -> disable the replication check for this one collective.
-    return jax.shard_map(gather, mesh=mesh, in_specs=(spec,), out_specs=out_spec,
-                     check_vma=False)(jnp.asarray(packed_sharded))
+    return jax.jit(jax.shard_map(gather, mesh=mesh, in_specs=(spec,), out_specs=out_spec,
+                                 check_vma=False))(jnp.asarray(packed_sharded))
 
 
 def sharded_roundtrip_check(mesh, values, width, dtype, axis="blocks", use_kernels=True):
@@ -166,7 +178,8 @@ def sharded_roundtrip_check(mesh, values, width, dtype, axis="blocks", use_kerne
         return jax.lax.psum(bad, axis)
 
     spec = _block_spec(dtype, axis)
-    fn = jax.shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=P())
+    fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=P(),
+                               check_vma=not use_kernels))
     padded, _ = _pad_to(jnp.asarray(values), mesh.shape[axis])
     return fn(padded)
 
