@@ -37,7 +37,6 @@ def main():
     from fastlanes_tpu.core import layout
     from fastlanes_tpu.ops import dispatch
     from fastlanes_tpu.kernels import pallas_codecs as pk
-    from fastlanes_tpu.utils.timing import median_time
     from fastlanes_tpu.utils.testing import to_jax_form
 
     platform = jax.devices()[0].platform
@@ -46,6 +45,39 @@ def main():
     n_ints = n_blocks * layout.BLOCK
     rng = np.random.default_rng(0)
     records = []
+
+    # chained in-graph timing (the bench.py pattern): K iterations inside one
+    # jit with a loop-carried data dependency, one scalar host fetch. Remote
+    # tunnels ack block_until_ready at enqueue, and single calls pay ~26ms of
+    # fixed dispatch — both would distort per-op medians.
+    K = 256 if on_tpu else 4
+
+    def chained_time(fn, main, *rest, iters=5, consume="sum"):
+        """Median seconds per op application; fn(main ^ carry, *rest).
+
+        consume='sum' reduces the whole output into the carry so XLA cannot
+        dead-code-eliminate any element (required for XLA-ops paths);
+        'first' reads one element — enough for opaque Pallas kernels and
+        free of the extra reduction pass."""
+        @jax.jit
+        def rep(x):
+            def body(c, _):
+                out = fn(x ^ c, *rest)
+                flat = out.reshape(-1)
+                probe = jnp.sum(flat, dtype=jnp.uint32) if consume == "sum" else flat[0]
+                np_dt = np.dtype(str(probe.dtype))
+                top = np_dt.type(np.iinfo(np_dt).max)
+                nc = jnp.where(probe < top, 0, 1)
+                return nc.astype(x.dtype), ()
+            c, _ = jax.lax.scan(body, jnp.zeros((), x.dtype), None, length=K)
+            return c
+        _ = np.asarray(rep(main))  # compile + warm
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            _ = np.asarray(rep(main))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times)) / K
 
     def emit(rec):
         rec.update(platform=platform, n_blocks=n_blocks)
@@ -67,8 +99,8 @@ def main():
             packf = dispatch.get("pack", dt, w)
             unpackf = dispatch.get("unpack", dt, w)
             packed = jax.block_until_ready(packf(vals_w))
-            te = median_time(packf, vals_w, iters=5)
-            td = median_time(unpackf, packed, iters=5)
+            te = chained_time(packf, vals_w)
+            td = chained_time(unpackf, packed)
             rec = {
                 "bench": "bitpack", "dtype": dt, "width": w, "path": "xla_ops",
                 "encode_ints_per_s": n_ints / te,
@@ -78,12 +110,10 @@ def main():
             }
             if on_tpu:
                 try:
-                    kp = jax.jit(lambda v, w=w, dt=dt: pk.pack(v, w, dt))
-                    ku = jax.jit(lambda p, w=w, dt=dt: pk.unpack(p, w, dt))
-                    jax.block_until_ready(kp(vals_w))
-                    jax.block_until_ready(ku(packed))
-                    tep = median_time(kp, vals_w, iters=5)
-                    tdp = median_time(ku, packed, iters=5)
+                    tep = chained_time(lambda v, w=w, dt=dt: pk.pack(v, w, dt),
+                                       vals_w, consume="first")
+                    tdp = chained_time(lambda p, w=w, dt=dt: pk.unpack(p, w, dt),
+                                       packed, consume="first")
                     rec["pallas_encode_ints_per_s"] = n_ints / tep
                     rec["pallas_decode_ints_per_s"] = n_ints / tdp
                 except Exception as e:
@@ -96,19 +126,17 @@ def main():
             to_jax_form(values_np & layout.np_dtype(dt).type((1 << w) - 1), dt))))
         singlef = dispatch.get("unpack_single", dt, w)
         idx = jnp.arange(1024)
-        jax.block_until_ready(singlef(packed, idx))
-        ts = median_time(singlef, packed, idx, iters=5)
+        ts = chained_time(singlef, packed, idx)
         emit({"bench": "unpack_single_all", "dtype": dt, "width": w,
               "ints_per_s": n_ints / ts})
 
         # transpose
         trf = dispatch.get("transpose", dt, 0)
         utf = dispatch.get("untranspose", dt, 0)
-        jax.block_until_ready(trf(values))
         emit({"bench": "transpose", "dtype": dt,
-              "ints_per_s": n_ints / median_time(trf, values, iters=5)})
+              "ints_per_s": n_ints / chained_time(trf, values)})
         emit({"bench": "untranspose", "dtype": dt,
-              "ints_per_s": n_ints / median_time(utf, values, iters=5)})
+              "ints_per_s": n_ints / chained_time(utf, values)})
 
     # fused vs unfused delta decode, u16 W=9 (benches/delta.rs:10-44)
     dt, w = "u16", 9
@@ -123,15 +151,12 @@ def main():
     fusedf = dispatch.get("undelta_pack", dt, w)
     unpackf = dispatch.get("unpack", dt, w)
     undeltaf = dispatch.get("undelta", dt, 0)
-    jax.block_until_ready(fusedf(packed, base))
-    t_fused = median_time(fusedf, packed, base, iters=5)
+    t_fused = chained_time(fusedf, packed, base)
 
     def unfused(p, b):
         return undeltaf(unpackf(p), b)
 
-    unfused_j = jax.jit(unfused)
-    jax.block_until_ready(unfused_j(packed, base))
-    t_unfused = median_time(unfused_j, packed, base, iters=5)
+    t_unfused = chained_time(unfused, packed, base)
     emit({"bench": "delta_decode", "dtype": dt, "width": w,
           "fused_ints_per_s": n_ints / t_fused,
           "unfused_ints_per_s": n_ints / t_unfused,

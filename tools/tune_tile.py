@@ -26,17 +26,22 @@ def main():
     rng = np.random.default_rng(0)
     values = rng.integers(0, 1 << W, (n_blocks, layout.BLOCK), np.int64).astype(
         layout.np_dtype(DT))
-    packed = jnp.asarray(ref.pack(values, W, DT))
+    packed_np = np.ascontiguousarray(ref.pack(values, W, DT))
+    if DT == "u64":  # limb image (..., 2) uint32
+        packed_np = packed_np.view(np.uint32).reshape(*packed_np.shape, 2)
+    packed = jnp.asarray(packed_np)
     n_ints = n_blocks * layout.BLOCK
 
     for tile_b in (32, 64, 128, 256, 512):
         def chained(p, tile_b=tile_b):
             def body(c, _):
                 out = pk.unpack(p ^ c, W, DT, tile_b=tile_b)
-                nc = jnp.where(out[0, 0] < out.dtype.type(~np.uint64(0) & ((1 << 8 * out.dtype.itemsize) - 1)),
-                               p.dtype.type(0), p.dtype.type(1))
-                return nc, ()
-            c, _ = jax.lax.scan(body, p.dtype.type(0), None, length=K)
+                probe = out.reshape(-1)[0]
+                top = np.dtype(str(probe.dtype)).type(
+                    np.iinfo(np.dtype(str(probe.dtype))).max)
+                nc = jnp.where(probe < top, 0, 1)
+                return nc.astype(p.dtype), ()
+            c, _ = jax.lax.scan(body, jnp.zeros((), p.dtype), None, length=K)
             return c
 
         try:
