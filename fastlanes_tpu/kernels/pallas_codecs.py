@@ -132,6 +132,12 @@ def _n_words(width, dtype):
 # (bit-exact, covered by interpret tests when enabled) as the documented
 # experiment; see MOSAIC_NOTES.md.
 _WIDE_DECODE = False
+
+# Decode row-plane staging: True routes unpacked rows through VMEM scratch
+# before the hook/assemble stage (historically paired with the word staging);
+# False feeds them straight into assemble. Toggled for measurement; the word
+# staging (the actual Mosaic miscompile fix) is unconditional.
+_STAGE_ROWS = False
 #
 # A (tile_b, LANES) row op uses only LANES of the VPU's 128 lanes (25% for
 # u32, 50% for u16). Every unpack row is the same two-term formula with
@@ -206,32 +212,45 @@ def _unpack_body(width, dtype, post_row=None):
     n_arrs = 2 if eng.is_limb(dtype) else 1
 
     def kernel(*refs):
-        packed, extra, out, scratch = _split_refs(refs, dtype, 2 * n_arrs)
+        n_scr = (2 * n_arrs) if _STAGE_ROWS else n_arrs
+        packed, extra, out, scratch = _split_refs(refs, dtype, n_scr)
         word_scr, row_scr = scratch[:n_arrs], scratch[n_arrs:]
         p = _load(packed, dtype)
         # stage 0: materialize each packed word at lane rotation 0
         for w in range(nw):
             _scratch_write(word_scr, w, eng.cols(p, nl * w, nl, dtype), dtype)
         get_word = lambda w: _scratch_read(word_scr, w, dtype)  # noqa: E731
-        # stage 1: unpack rows (operands all aligned) into row planes.
-        # (A grouped-rows variant that fills all 128 VPU lanes per op exists
-        # as _unpack_rows_wide but measured ~1.5x SLOWER compiled — see
-        # MOSAIC_NOTES.md "wide decode experiment"; enable via _WIDE_DECODE.)
-        if _WIDE_DECODE and n_arrs == 1 and nl < 128 and 0 < width < t:
-            _unpack_rows_wide(
-                get_word, lambda r, v: _scratch_write(row_scr, r, v, dtype),
-                width, dtype)
-        else:
-            for row, elem in unpack_row_stream(None, width, dtype, get_word=get_word):
-                _scratch_write(row_scr, row, elem, dtype)
-        # stage 2: fusion hook chain + assemble
         state = _load_extra(extra, dtype) if extra else None
-        rows = {}
-        for row in range(t):
-            elem = _scratch_read(row_scr, row, dtype)
-            if post_row is not None:
-                elem, state = post_row(elem, state)
-            rows[row] = elem
+        if _STAGE_ROWS:
+            # stage 1: unpack rows (operands all aligned) into row planes.
+            # (A grouped-rows variant that fills all 128 VPU lanes per op
+            # exists as _unpack_rows_wide but measured ~1.5x SLOWER compiled
+            # — see MOSAIC_NOTES.md; enable via _WIDE_DECODE.)
+            if _WIDE_DECODE and n_arrs == 1 and nl < 128 and 0 < width < t:
+                _unpack_rows_wide(
+                    get_word, lambda r, v: _scratch_write(row_scr, r, v, dtype),
+                    width, dtype)
+            else:
+                for row, elem in unpack_row_stream(None, width, dtype, get_word=get_word):
+                    _scratch_write(row_scr, row, elem, dtype)
+            # stage 2: fusion hook chain + assemble
+            rows = {}
+            for row in range(t):
+                elem = _scratch_read(row_scr, row, dtype)
+                if post_row is not None:
+                    elem, state = post_row(elem, state)
+                rows[row] = elem
+        else:
+            # direct: rows flow from the (aligned) word planes straight into
+            # the hook chain + assemble concat — no row-plane round trip.
+            # Safe per MOSAIC_NOTES.md: the miscompile needs mixed-rotation
+            # *operands* in shift/or chains; here every operand is aligned
+            # and only the final concat rotates (materialized values).
+            rows = {}
+            for row, elem in unpack_row_stream(None, width, dtype, get_word=get_word):
+                if post_row is not None:
+                    elem, state = post_row(elem, state)
+                rows[row] = elem
         _store(out, assemble_blocks(rows, dtype), dtype)
 
     return kernel
@@ -373,12 +392,18 @@ def _build_call(op: str, dtype: str, width: int, tile_b: int, n_tiles: int,
     # AND unpacked rows; encode stages rows only. See MOSAIC_NOTES.md.
     nw = layout.packed_len(dtype, width) // nl if width else 0
     scratch_shapes = []
+    n_row_planes = 0
     if decode:
         scratch_shapes += [pltpu.VMEM((nw, tile_b, nl), jnp.uint32) for _ in range(n_arrs)]
-    scratch_shapes += [pltpu.VMEM((t, tile_b, nl), jnp.uint32) for _ in range(n_arrs)]
+        if _STAGE_ROWS:
+            scratch_shapes += [pltpu.VMEM((t, tile_b, nl), jnp.uint32) for _ in range(n_arrs)]
+            n_row_planes = t
+    else:
+        scratch_shapes += [pltpu.VMEM((t, tile_b, nl), jnp.uint32) for _ in range(n_arrs)]
+        n_row_planes = t
 
     vregs_bytes = tile_b * (in_cols + out_cols) * 4 * n_arrs
-    scratch_bytes = (t + (nw if decode else 0)) * tile_b * max(nl, 128) * 4 * n_arrs
+    scratch_bytes = (n_row_planes + (nw if decode else 0)) * tile_b * max(nl, 128) * 4 * n_arrs
     return pl.pallas_call(
         body,
         grid=(n_tiles,),
