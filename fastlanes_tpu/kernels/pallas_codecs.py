@@ -138,6 +138,12 @@ _WIDE_DECODE = False
 # False feeds them straight into assemble. Toggled for measurement; the word
 # staging (the actual Mosaic miscompile fix) is unconditional.
 _STAGE_ROWS = False
+
+# Decode word staging: unpack's shift/or chains have at most TWO sources
+# (curr word, next word) — below the >=4 mixed-rotation terms the Mosaic
+# miscompile repro needs (MOSAIC_NOTES.md) — so direct packed-tile slices
+# may be safe for decode. Toggled for measurement; pack always stages.
+_STAGE_WORDS = True
 #
 # A (tile_b, LANES) row op uses only LANES of the VPU's 128 lanes (25% for
 # u32, 50% for u16). Every unpack row is the same two-term formula with
@@ -212,14 +218,18 @@ def _unpack_body(width, dtype, post_row=None):
     n_arrs = 2 if eng.is_limb(dtype) else 1
 
     def kernel(*refs):
-        n_scr = (2 * n_arrs) if _STAGE_ROWS else n_arrs
+        n_scr = n_arrs * ((1 if _STAGE_WORDS else 0) + (1 if _STAGE_ROWS else 0))
         packed, extra, out, scratch = _split_refs(refs, dtype, n_scr)
-        word_scr, row_scr = scratch[:n_arrs], scratch[n_arrs:]
         p = _load(packed, dtype)
-        # stage 0: materialize each packed word at lane rotation 0
-        for w in range(nw):
-            _scratch_write(word_scr, w, eng.cols(p, nl * w, nl, dtype), dtype)
-        get_word = lambda w: _scratch_read(word_scr, w, dtype)  # noqa: E731
+        if _STAGE_WORDS:
+            word_scr, row_scr = scratch[:n_arrs], scratch[n_arrs:]
+            # stage 0: materialize each packed word at lane rotation 0
+            for w in range(nw):
+                _scratch_write(word_scr, w, eng.cols(p, nl * w, nl, dtype), dtype)
+            get_word = lambda w: _scratch_read(word_scr, w, dtype)  # noqa: E731
+        else:
+            row_scr = scratch
+            get_word = lambda w: eng.cols(p, nl * w, nl, dtype)  # noqa: E731
         state = _load_extra(extra, dtype) if extra else None
         if _STAGE_ROWS:
             # stage 1: unpack rows (operands all aligned) into row planes.
@@ -392,18 +402,20 @@ def _build_call(op: str, dtype: str, width: int, tile_b: int, n_tiles: int,
     # AND unpacked rows; encode stages rows only. See MOSAIC_NOTES.md.
     nw = layout.packed_len(dtype, width) // nl if width else 0
     scratch_shapes = []
-    n_row_planes = 0
+    n_planes = 0
     if decode:
-        scratch_shapes += [pltpu.VMEM((nw, tile_b, nl), jnp.uint32) for _ in range(n_arrs)]
+        if _STAGE_WORDS:
+            scratch_shapes += [pltpu.VMEM((nw, tile_b, nl), jnp.uint32) for _ in range(n_arrs)]
+            n_planes += nw
         if _STAGE_ROWS:
             scratch_shapes += [pltpu.VMEM((t, tile_b, nl), jnp.uint32) for _ in range(n_arrs)]
-            n_row_planes = t
+            n_planes += t
     else:
         scratch_shapes += [pltpu.VMEM((t, tile_b, nl), jnp.uint32) for _ in range(n_arrs)]
-        n_row_planes = t
+        n_planes = t
 
     vregs_bytes = tile_b * (in_cols + out_cols) * 4 * n_arrs
-    scratch_bytes = (n_row_planes + (nw if decode else 0)) * tile_b * max(nl, 128) * 4 * n_arrs
+    scratch_bytes = n_planes * tile_b * max(nl, 128) * 4 * n_arrs
     return pl.pallas_call(
         body,
         grid=(n_tiles,),
