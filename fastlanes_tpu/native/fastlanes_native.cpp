@@ -51,6 +51,41 @@ constexpr T mask_of(int width) {
 // src_of(row) must return a pointer to the LANES contiguous values of the
 // transposed row (for plain pack: in + row_offset(row)).
 
+// One compile-time row of the pack pipeline: every shift/mask/word index is
+// a constant (the C++ twin of the reference's seq_t! unrolling, lib.rs:41-47
+// / macros.rs:67-69 — what makes the compiler emit straight-line SIMD).
+template <typename T, int W, int ROW, typename RowFn>
+inline void pack_row_step(RowFn& src_of, T* __restrict out, T* __restrict tmp) {
+  constexpr int TB = FL<T>::TB, NL = FL<T>::NL;
+  constexpr T mask = T((T(1) << W) - 1);
+  constexpr int shift = (ROW * W) % TB;
+  constexpr int curr_word = (ROW * W) / TB;
+  constexpr int next_word = ((ROW + 1) * W) / TB;
+  const T* src = src_of(ROW);
+  if constexpr (ROW == 0) {
+    for (int lane = 0; lane < NL; ++lane) tmp[lane] = T(src[lane] & mask);
+  } else {
+    for (int lane = 0; lane < NL; ++lane)
+      tmp[lane] = T(tmp[lane] | T(T(src[lane] & mask) << shift));
+  }
+  if constexpr (next_word > curr_word) {
+    T* dst = out + size_t(NL) * curr_word;
+    for (int lane = 0; lane < NL; ++lane) dst[lane] = tmp[lane];
+    constexpr int rem = ((ROW + 1) * W) % TB;
+    // carry bits that did not fit (W - rem <= W < TB)
+    for (int lane = 0; lane < NL; ++lane)
+      tmp[lane] = T(T(src[lane] & mask) >> (W - rem));
+  }
+}
+
+template <typename T, int W, typename RowFn, size_t... R>
+inline void pack_rows_unrolled(RowFn& src_of, T* __restrict out,
+                               std::index_sequence<R...>) {
+  constexpr int NL = FL<T>::NL;
+  T tmp[NL];
+  (pack_row_step<T, W, int(R)>(src_of, out, tmp), ...);
+}
+
 template <typename T, int W, typename RowFn>
 inline void pack_rows(RowFn src_of, T* __restrict out) {
   constexpr int TB = FL<T>::TB, NL = FL<T>::NL;
@@ -63,34 +98,64 @@ inline void pack_rows(RowFn src_of, T* __restrict out) {
       for (int lane = 0; lane < NL; ++lane) dst[lane] = src[lane];
     }
   } else {
-    constexpr T mask = T((T(1) << W) - 1);
-    T tmp[NL];
-    for (int row = 0; row < TB; ++row) {
-      const T* src = src_of(row);
-      const int shift = (row * W) % TB;
-      if (row == 0) {
-        for (int lane = 0; lane < NL; ++lane) tmp[lane] = T(src[lane] & mask);
-      } else {
-        for (int lane = 0; lane < NL; ++lane)
-          tmp[lane] = T(tmp[lane] | T(T(src[lane] & mask) << shift));
-      }
-      const int curr_word = (row * W) / TB;
-      const int next_word = ((row + 1) * W) / TB;
-      if (next_word > curr_word) {
-        T* dst = out + size_t(NL) * curr_word;
-        for (int lane = 0; lane < NL; ++lane) dst[lane] = tmp[lane];
-        const int rem = ((row + 1) * W) % TB;
-        // carry bits that did not fit (W - rem < TB)
-        for (int lane = 0; lane < NL; ++lane)
-          tmp[lane] = T(T(src[lane] & mask) >> (W - rem));
-      }
-    }
+    pack_rows_unrolled<T, W>(src_of, out, std::make_index_sequence<TB>{});
   }
 }
 
 // ---------------------------------------------------------------------------
 // unpack: reference macros.rs:101-174 semantics; sink(row, elems[NL]) gets
 // each transposed row — the kernel-body hook enabling fused delta/FoR.
+
+// One compile-time row of the unpack pipeline (constant words/shifts/masks;
+// reference macros.rs:142-170 via seq_t!-style unrolling).
+template <typename T, int W, int ROW, typename Sink>
+inline void unpack_row_step(const T* __restrict in, T* __restrict elems,
+                            Sink& sink) {
+  constexpr int TB = FL<T>::TB, NL = FL<T>::NL;
+  constexpr int curr_word = (ROW * W) / TB;
+  constexpr int next_word = ((ROW + 1) * W) / TB;
+  constexpr int shift = (ROW * W) % TB;
+  const T* src = in + size_t(NL) * curr_word;
+  if constexpr (next_word > curr_word) {
+    constexpr int rem = ((ROW + 1) * W) % TB;
+    constexpr T m_cur = mask_of<T>(W - rem);
+    for (int lane = 0; lane < NL; ++lane)
+      elems[lane] = T(T(src[lane] >> shift) & m_cur);
+    if constexpr (next_word < W) {
+      const T* src2 = in + size_t(NL) * next_word;
+      constexpr T m_rem = mask_of<T>(rem);
+      for (int lane = 0; lane < NL; ++lane)
+        elems[lane] = T(elems[lane] | T(T(src2[lane] & m_rem) << (W - rem)));
+    }
+  } else {
+    constexpr T m = mask_of<T>(W);
+    for (int lane = 0; lane < NL; ++lane)
+      elems[lane] = T(T(src[lane] >> shift) & m);
+  }
+  sink(ROW, elems);
+}
+
+template <typename T, int W, typename Sink, size_t... R>
+inline void unpack_rows_unrolled(const T* __restrict in, Sink& sink,
+                                 std::index_sequence<R...>) {
+  constexpr int NL = FL<T>::NL;
+  T elems[NL];
+  (unpack_row_step<T, W, int(R)>(in, elems, sink), ...);
+}
+
+// Plain decode specialization: each row is computed straight into its
+// (compile-time) destination slice — no elems bounce, no sink indirection.
+struct NoSink {
+  template <typename T>
+  void operator()(int, const T*) const {}
+};
+
+template <typename T, int W, size_t... R>
+inline void unpack_rows_direct(const T* __restrict in, T* __restrict out,
+                               std::index_sequence<R...>) {
+  NoSink nosink;
+  (unpack_row_step<T, W, int(R)>(in, out + row_offset(int(R)), nosink), ...);
+}
 
 template <typename T, int W, typename Sink>
 inline void unpack_rows(const T* __restrict in, Sink sink) {
@@ -106,30 +171,7 @@ inline void unpack_rows(const T* __restrict in, Sink sink) {
       sink(row, elems);
     }
   } else {
-    const T* src = in;  // word 0
-    for (int row = 0; row < TB; ++row) {
-      const int curr_word = (row * W) / TB;
-      const int next_word = ((row + 1) * W) / TB;
-      const int shift = (row * W) % TB;
-      if (next_word > curr_word) {
-        const int rem = ((row + 1) * W) % TB;
-        const int current_bits = W - rem;
-        const T m_cur = mask_of<T>(current_bits);
-        for (int lane = 0; lane < NL; ++lane)
-          elems[lane] = T(T(src[lane] >> shift) & m_cur);
-        if (next_word < W) {
-          src = in + size_t(NL) * next_word;
-          const T m_rem = mask_of<T>(rem);
-          for (int lane = 0; lane < NL; ++lane)
-            elems[lane] = T(elems[lane] | T(T(src[lane] & m_rem) << current_bits));
-        }
-      } else {
-        const T m = mask_of<T>(W);
-        for (int lane = 0; lane < NL; ++lane)
-          elems[lane] = T(T(src[lane] >> shift) & m);
-      }
-      sink(row, elems);
-    }
+    unpack_rows_unrolled<T, W>(in, sink, std::make_index_sequence<TB>{});
   }
 }
 
@@ -143,11 +185,15 @@ void pack_block(const T* in, T* out) {
 
 template <typename T, int W>
 void unpack_block(const T* in, T* out) {
-  constexpr int NL = FL<T>::NL;
-  unpack_rows<T, W>(in, [out](int row, const T* elems) {
-    T* dst = out + row_offset(row);
-    for (int lane = 0; lane < NL; ++lane) dst[lane] = elems[lane];
-  });
+  constexpr int TB = FL<T>::TB, NL = FL<T>::NL;
+  if constexpr (W != 0 && W != TB) {
+    unpack_rows_direct<T, W>(in, out, std::make_index_sequence<TB>{});
+  } else {
+    unpack_rows<T, W>(in, [out](int row, const T* elems) {
+      T* dst = out + row_offset(row);
+      for (int lane = 0; lane < NL; ++lane) dst[lane] = elems[lane];
+    });
+  }
 }
 
 // FoR: reference ffor.rs:24-50
