@@ -32,30 +32,36 @@ def _bits_needed_arr(arr: np.ndarray) -> int:
     return m.bit_length()
 
 
+def _delta_parts(values: np.ndarray, dtype: str, use_native: bool):
+    """transposed, per-block row-0 base (index(0, lane) == lane), deltas."""
+    nl = layout.lanes(dtype)
+    transposed = (native.transpose(values, dtype) if use_native
+                  else npref.transpose(values, dtype))
+    base = np.ascontiguousarray(transposed[:, :nl])
+    deltas = (native.delta(transposed, base, dtype) if use_native
+              else npref.delta(transposed, base, dtype))
+    return transposed, base, deltas
+
+
 def _encode_chunk(values: np.ndarray, dtype: str, codec: str):
     """Encode one chunk; returns (meta, payload_bytes)."""
     t = layout.bit_width(dtype)
-    nl = layout.lanes(dtype)
-    np_dt = layout.np_dtype(dtype)
     use_native = native.available()
+    delta_parts = None
 
     if codec == "auto":
         vmax = int(values.max()) if values.size else 0
         vmin = int(values.min()) if values.size else 0
         spread = (vmax - vmin) % (1 << t)
-        transposed = (native.transpose(values, dtype) if use_native
-                      else npref.transpose(values, dtype))
-        base = transposed[:, :nl]  # per-lane row-0 seeds (index(0, lane) == lane)
-        deltas = (native.delta(transposed, base, dtype) if use_native
-                  else npref.delta(transposed, base, dtype))
+        delta_parts = _delta_parts(values, dtype, use_native)
         # delta pays a base prefix of LANES words per block on top of the
-        # packed bits; charge it as the equivalent extra width so the
-        # smallest-file codec wins (LANES*T bits over 1024 values = T*T/1024).
-        delta_cost = _bits_needed_arr(deltas) + t * t / layout.BLOCK
+        # packed bits: LANES*T = 1024 bits per 1024-value block, i.e. exactly
+        # 1 extra bit/value for every dtype — charge it so the smallest-file
+        # codec wins.
         cands = {
             "bitpack": float(vmax.bit_length()),
             "ffor": float(spread.bit_length()),
-            "delta": delta_cost,
+            "delta": _bits_needed_arr(delta_parts[2]) + 1.0,
         }
         codec = min(cands, key=lambda k: (cands[k], k != "ffor"))
 
@@ -73,11 +79,9 @@ def _encode_chunk(values: np.ndarray, dtype: str, codec: str):
         return {"codec": codec, "width": w, "reference": ref_val}, payload.tobytes()
 
     if codec == "delta":
-        transposed = (native.transpose(values, dtype) if use_native
-                      else npref.transpose(values, dtype))
-        base = np.ascontiguousarray(transposed[:, :nl])  # (B, LANES) row-0 seeds
-        deltas = (native.delta(transposed, base, dtype) if use_native
-                  else npref.delta(transposed, base, dtype))
+        if delta_parts is None:
+            delta_parts = _delta_parts(values, dtype, use_native)
+        _, base, deltas = delta_parts
         w = min(t, _bits_needed_arr(deltas))
         packed = (native.pack(deltas, w, dtype) if use_native
                   else npref.pack(deltas, w, dtype))
@@ -206,6 +210,8 @@ def read_single(path: str, block: int, index: int):
     dtype = header["dtype"]
     if not 0 <= block < header["n_blocks"]:
         raise IndexError(f"block {block} out of range")
+    if not 0 <= index < layout.BLOCK:
+        raise IndexError(f"element index {index} out of range [0, {layout.BLOCK})")
     cb = header["chunk_blocks"]
     ci = block // cb
     meta = header["chunks"][ci]

@@ -458,6 +458,25 @@ def _on_tpu() -> bool:
         return False
 
 
+def _normalize(arr, dtype):
+    """Accept everything the ops layer accepts — batched or unbatched,
+    native-width uint arrays, uint64 (x64 on), or (..., 2) uint32 limb
+    images — and return the (B, cols[, 2]) uint form plus `had_batch`."""
+    vec = eng.to_vec(arr, dtype)
+    vec, had_batch = eng.promote_shape(vec, dtype)
+    if eng.is_limb(dtype):
+        return _join_limbs(vec[0], vec[1]), had_batch
+    return vec, had_batch
+
+
+def _denormalize(out, had_batch, dtype, like):
+    if not had_batch:
+        out = out[0]
+    if eng.is_limb(dtype):
+        return eng.from_vec((out[..., 0], out[..., 1]), dtype, like=like)
+    return out
+
+
 def _run(op, arrs, params, width, dtype, tile_b, interpret):
     """Common driver: pad, split limbs, call kernel, unpad, rejoin."""
     dtype = layout.canon_dtype(dtype)
@@ -534,37 +553,43 @@ def _maybe_fallback(interpret):
 
 
 def pack(values, width, dtype, *, tile_b=None, interpret=None):
-    """Pallas BitPacking::pack over a batch: (B, 1024) -> (B, plen)."""
+    """Pallas BitPacking::pack over a batch: (B, 1024) -> (B, plen).
+
+    Accepts the same input forms as the ops layer (batched or unbatched,
+    uint64 or (..., 2) uint32 limb image for u64); output mirrors the
+    input convention."""
     fallback, interp = _maybe_fallback(interpret)
     if fallback:
         return ops_bitpack.pack(values, width, dtype)
+    main, had_batch = _normalize(values, dtype)
     if width == 0:
-        return _empty_packed(values, dtype)
-    return _run("pack", jnp.asarray(values), None, width, dtype, tile_b, interp)
+        return _denormalize(_empty_packed(main, dtype), had_batch, dtype, values)
+    out = _run("pack", main, None, width, dtype, tile_b, interp)
+    return _denormalize(out, had_batch, dtype, values)
 
 
 def unpack(packed, width, dtype, *, tile_b=None, interpret=None):
     fallback, interp = _maybe_fallback(interpret)
     if fallback:
         return ops_bitpack.unpack(packed, width, dtype)
+    main, had_batch = _normalize(packed, dtype)
     if width == 0:
-        return _zero_blocks(packed, dtype)
-    return _run("unpack", jnp.asarray(packed), None, width, dtype, tile_b, interp)
+        return _denormalize(_zero_blocks(main, dtype), had_batch, dtype, packed)
+    out = _run("unpack", main, None, width, dtype, tile_b, interp)
+    return _denormalize(out, had_batch, dtype, packed)
 
 
 def undelta_pack(packed, base, width, dtype, *, tile_b=None, interpret=None):
     fallback, interp = _maybe_fallback(interpret)
-    if fallback:
+    if fallback or width == 0:
         from ..ops import delta as ops_delta
 
         return ops_delta.undelta_pack(packed, base, width, dtype)
     tile = tile_b or default_tile(dtype)
-    if width == 0:
-        from ..ops import delta as ops_delta
-
-        return ops_delta.undelta_pack(packed, base, width, dtype)
-    return _run("undelta_pack", jnp.asarray(packed),
-                _prep_base(base, dtype, tile), width, dtype, tile, interp)
+    main, had_batch = _normalize(packed, dtype)
+    out = _run("undelta_pack", main, _prep_base(base, dtype, tile),
+               width, dtype, tile, interp)
+    return _denormalize(out, had_batch, dtype, packed)
 
 
 def delta_pack(values, base, width, dtype, *, tile_b=None, interpret=None):
@@ -574,24 +599,24 @@ def delta_pack(values, base, width, dtype, *, tile_b=None, interpret=None):
 
         return ops_delta.delta_pack(values, base, width, dtype)
     tile = tile_b or default_tile(dtype)
+    main, had_batch = _normalize(values, dtype)
     if width == 0:
-        return _empty_packed(values, dtype)
-    return _run("delta_pack", jnp.asarray(values),
-                _prep_base(base, dtype, tile), width, dtype, tile, interp)
+        return _denormalize(_empty_packed(main, dtype), had_batch, dtype, values)
+    out = _run("delta_pack", main, _prep_base(base, dtype, tile),
+               width, dtype, tile, interp)
+    return _denormalize(out, had_batch, dtype, values)
 
 
 def unfor_pack(packed, reference, width, dtype, *, tile_b=None, interpret=None):
     fallback, interp = _maybe_fallback(interpret)
-    if fallback:
+    if fallback or width == 0:
         from ..ops import ffor as ops_ffor
 
         return ops_ffor.unfor_pack(packed, reference, width, dtype)
-    if width == 0:
-        from ..ops import ffor as ops_ffor
-
-        return ops_ffor.unfor_pack(packed, reference, width, dtype)
-    return _run("unfor_pack", jnp.asarray(packed), ("ref", _prep_ref(reference, dtype)),
-                width, dtype, tile_b, interp)
+    main, had_batch = _normalize(packed, dtype)
+    out = _run("unfor_pack", main, ("ref", _prep_ref(reference, dtype)),
+               width, dtype, tile_b, interp)
+    return _denormalize(out, had_batch, dtype, packed)
 
 
 def for_pack(values, reference, width, dtype, *, tile_b=None, interpret=None):
@@ -600,23 +625,23 @@ def for_pack(values, reference, width, dtype, *, tile_b=None, interpret=None):
         from ..ops import ffor as ops_ffor
 
         return ops_ffor.for_pack(values, reference, width, dtype)
+    main, had_batch = _normalize(values, dtype)
     if width == 0:
-        return _empty_packed(values, dtype)
-    return _run("for_pack", jnp.asarray(values), ("ref", _prep_ref(reference, dtype)),
-                width, dtype, tile_b, interp)
+        return _denormalize(_empty_packed(main, dtype), had_batch, dtype, values)
+    out = _run("for_pack", main, ("ref", _prep_ref(reference, dtype)),
+               width, dtype, tile_b, interp)
+    return _denormalize(out, had_batch, dtype, values)
 
 
-def _empty_packed(values, dtype):
-    arr = jnp.asarray(values)
-    b = arr.shape[0]
+def _empty_packed(main, dtype):
+    b = main.shape[0]
     if eng.is_limb(dtype):
         return jnp.zeros((b, 0, 2), jnp.uint32)
     return jnp.zeros((b, 0), eng.jnp_dtype(dtype))
 
 
-def _zero_blocks(packed, dtype):
-    arr = jnp.asarray(packed)
-    b = arr.shape[0]
+def _zero_blocks(main, dtype):
+    b = main.shape[0]
     if eng.is_limb(dtype):
         return jnp.zeros((b, layout.BLOCK, 2), jnp.uint32)
     return jnp.zeros((b, layout.BLOCK), eng.jnp_dtype(dtype))

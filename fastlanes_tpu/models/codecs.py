@@ -67,8 +67,14 @@ class Encoded:
 
     @property
     def packed_bytes(self) -> int:
-        return self.n_blocks * layout.packed_len(self.dtype, self.width) * (
-            layout.bit_width(self.dtype) // 8)
+        """Payload bytes plus any array params (e.g. the delta base vectors —
+        LANES words per block, which persistence must store)."""
+        elem = layout.bit_width(self.dtype) // 8
+        n = self.n_blocks * layout.packed_len(self.dtype, self.width) * elem
+        for val in (self.params or {}).values():
+            if not isinstance(val, (int, np.integer)):
+                n += np.asarray(val).size * elem
+        return n
 
     @property
     def raw_bytes(self) -> int:
@@ -218,14 +224,17 @@ def auto_encode(values, dtype) -> Encoded:
     t = layout.bit_width(dt)
     vmax = _device_max(values, dt)
     vmin = _device_min(values, dt)
-    candidates.append(("bitpack", min(t, bits_needed(vmax))))
-    candidates.append(("ffor", min(t, bits_needed((vmax - vmin) % (1 << t)))))
-    # delta width needs the deltas themselves; only compute if promising
+    candidates.append(("bitpack", float(min(t, bits_needed(vmax)))))
+    candidates.append(("ffor", float(min(t, bits_needed((vmax - vmin) % (1 << t))))))
+    # delta width needs the deltas themselves; its per-block base costs
+    # LANES*T = 1024 bits per 1024-value block = exactly +1 bit/value
     transposed = dispatch.get("transpose", dt, 0)(values)
     base = _lane_base(transposed, dt, layout.lanes(dt))
     deltas = dispatch.get("delta", dt, 0)(transposed, base)
-    candidates.append(("delta", min(t, bits_needed(_device_max(deltas, dt)))))
-    name, width = min(candidates, key=lambda c: c[1])
+    candidates.append(("delta", min(t, bits_needed(_device_max(deltas, dt))) + 1.0))
+    name, cost = min(candidates, key=lambda c: c[1])
     if name == "ffor":
-        return FFoRCodec(dt, width=width, reference=vmin).encode(values)
-    return get_codec(name, dt, width=width).encode(values)
+        return FFoRCodec(dt, width=int(cost), reference=vmin).encode(values)
+    if name == "delta":
+        return DeltaCodec(dt, width=int(cost - 1.0)).encode(values)
+    return get_codec(name, dt, width=int(cost)).encode(values)

@@ -78,7 +78,9 @@ def available() -> bool:
     try:
         _load()
         return True
-    except NativeUnavailable:
+    except (NativeUnavailable, OSError):
+        # OSError: corrupt / wrong-architecture .so from an interrupted or
+        # foreign build — fall back to the NumPy oracle rather than crash.
         return False
 
 
@@ -211,6 +213,9 @@ def unpack_single(packed, width, index, dtype):
     lib = _load()
     p = _prep(packed, dtype, layout.packed_len(dtype, width))
     idx = np.ascontiguousarray(np.atleast_1d(index), dtype=np.int64)
+    if idx.size and (idx.min() < 0 or idx.max() >= layout.BLOCK):
+        # the C side indexes raw buffers — bad indices would read OOB
+        raise IndexError(f"element index out of range [0, {layout.BLOCK})")
     out = np.empty((p.shape[0], idx.shape[0]), layout.np_dtype(dtype))
     _check(lib.fl_unpack_single(_DTYPE_CODE[dtype], width, _ptr(p), _ptr(idx),
                                 idx.shape[0], _ptr(out), p.shape[0]))

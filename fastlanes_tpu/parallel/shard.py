@@ -171,10 +171,7 @@ def sharded_roundtrip_check(mesh, values, width, dtype, axis="blocks", use_kerne
     def local(v):
         p = pack_fn(v, width, dtype)
         u = unpack_fn(p, width, dtype)
-        if eng.is_limb(layout.canon_dtype(dtype)):
-            bad = jnp.sum((u != v).astype(jnp.int32))
-        else:
-            bad = jnp.sum((u != v).astype(jnp.int32))
+        bad = jnp.sum((u != v).astype(jnp.int32))  # elementwise incl. limb axis
         return jax.lax.psum(bad, axis)
 
     spec = _block_spec(dtype, axis)
