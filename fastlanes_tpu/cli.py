@@ -25,13 +25,10 @@ from . import fio
 from .core import layout
 
 
-def _as_blocks(arr: np.ndarray) -> np.ndarray:
+def _as_column(arr: np.ndarray) -> np.ndarray:
+    """Flat vectors of any length (tail block padded by fio) or (B, 1024)."""
     if arr.ndim == 1:
-        if arr.size % layout.BLOCK:
-            raise SystemExit(
-                f"flat input length {arr.size} is not a multiple of {layout.BLOCK}; "
-                "pad the column before compressing")
-        return arr.reshape(-1, layout.BLOCK)
+        return arr
     if arr.ndim == 2 and arr.shape[1] == layout.BLOCK:
         return arr
     raise SystemExit(f"input must be flat or (B, {layout.BLOCK}), got shape {arr.shape}")
@@ -49,10 +46,10 @@ def _cmd_compress(args) -> int:
         raise SystemExit(
             f"signed input dtype {arr.dtype}: pass --dtype to choose the unsigned "
             "wire type (values are reinterpreted mod 2^T)")
-    blocks = _as_blocks(arr).astype(layout.np_dtype(dtype))
-    header = fio.write_file(args.output, blocks, dtype=dtype, codec=args.codec,
+    column = _as_column(arr).astype(layout.np_dtype(dtype))
+    header = fio.write_file(args.output, column, dtype=dtype, codec=args.codec,
                             chunk_blocks=args.chunk_blocks)
-    raw = blocks.nbytes
+    raw = column.nbytes
     import os
     packed = os.path.getsize(args.output)
     print(json.dumps({
@@ -65,10 +62,13 @@ def _cmd_compress(args) -> int:
 
 
 def _cmd_decompress(args) -> int:
-    blocks = fio.read_blocks(args.input, args.start, args.stop)
-    np.save(args.output, blocks)
-    print(json.dumps({"file": args.output, "n_blocks": int(blocks.shape[0]),
-                      "dtype": str(blocks.dtype)}))
+    if args.start == 0 and args.stop is None:
+        out = fio.read_file(args.input)  # flat columns come back trimmed
+    else:
+        out = fio.read_blocks(args.input, args.start, args.stop)
+    np.save(args.output, out)
+    print(json.dumps({"file": args.output, "shape": list(out.shape),
+                      "dtype": str(out.dtype)}))
     return 0
 
 

@@ -120,14 +120,25 @@ def _decode_chunk(meta: dict, raw: bytes, n_blocks: int, dtype: str) -> np.ndarr
 
 def write_file(path: str, values, dtype=None, codec: str = "auto",
                chunk_blocks: int = 1024) -> dict:
-    """Compress (B, 1024) values into an FLT file. Returns the header dict."""
+    """Compress values into an FLT file. Returns the header dict.
+
+    Accepts (B, 1024) block batches, or a flat vector of ANY length — a
+    partial tail block is padded by repeating the final value (keeps delta /
+    ffor widths tight) and the true length is recorded as `n_values` so
+    reads trim exactly."""
     arr = np.ascontiguousarray(values)
     dtype = layout.canon_dtype(dtype if dtype is not None else arr.dtype)
     arr = arr.astype(layout.np_dtype(dtype), copy=False)
+    n_values = None
     if arr.ndim == 1:
-        arr = arr.reshape(1, -1)
+        n_values = int(arr.size)  # flat in -> flat (trimmed) out
+        pad = (-arr.size) % layout.BLOCK
+        if pad:
+            fill = arr[-1:] if arr.size else np.zeros(1, arr.dtype)
+            arr = np.concatenate([arr, np.repeat(fill, pad)])
+        arr = arr.reshape(-1, layout.BLOCK)
     if arr.ndim != 2 or arr.shape[1] != layout.BLOCK:
-        raise ValueError(f"values must be (B, {layout.BLOCK}), got {arr.shape}")
+        raise ValueError(f"values must be (B, {layout.BLOCK}) or flat, got {arr.shape}")
 
     chunks, payloads, offset = [], [], 0
     for start in range(0, arr.shape[0], chunk_blocks):
@@ -142,6 +153,8 @@ def write_file(path: str, values, dtype=None, codec: str = "auto",
         "version": _VERSION, "dtype": dtype, "n_blocks": int(arr.shape[0]),
         "chunk_blocks": chunk_blocks, "chunks": chunks,
     }
+    if n_values is not None:
+        header["n_values"] = n_values  # flat column length before tail padding
     hdr = json.dumps(header).encode()
     with open(path, "wb") as f:
         f.write(MAGIC)
@@ -199,7 +212,14 @@ def read_blocks(path: str, start: int = 0, stop: Optional[int] = None) -> np.nda
 
 
 def read_file(path: str) -> np.ndarray:
-    return read_blocks(path)
+    """Decode the whole file. Columns written as flat vectors come back flat
+    and trimmed to their exact original length; block batches come back as
+    (B, 1024)."""
+    header = read_header(path)
+    blocks = read_blocks(path)
+    if "n_values" in header:
+        return blocks.reshape(-1)[:header["n_values"]]
+    return blocks
 
 
 def read_single(path: str, block: int, index: int):

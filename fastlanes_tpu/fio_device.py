@@ -108,4 +108,13 @@ def read_blocks_device(path: str, start: int = 0, stop: Optional[int] = None,
 
 
 def read_file_device(path: str, mesh=None, use_kernels: bool = True):
-    return read_blocks_device(path, mesh=mesh, use_kernels=use_kernels)
+    """Whole-file device decode; flat-written columns come back flat and
+    trimmed to their exact original length (see fio.write_file)."""
+    header = fio.read_header(path)
+    blocks = read_blocks_device(path, mesh=mesh, use_kernels=use_kernels)
+    if "n_values" in header:
+        n = header["n_values"]
+        if header["dtype"] == "u64":
+            return blocks.reshape(-1, 2)[:n]
+        return blocks.reshape(-1)[:n]
+    return blocks

@@ -68,7 +68,7 @@ def test_cli_flat_input_and_signed_rejection(tmp_path, rng, capsys):
     cli.main(["compress", str(raw), str(flt)])
     capsys.readouterr()
     cli.main(["decompress", str(flt), str(out)])
-    np.testing.assert_array_equal(np.load(out).reshape(-1), flat)
+    np.testing.assert_array_equal(np.load(out), flat)  # flat in -> flat out
 
     signed = tmp_path / "signed.npy"
     np.save(signed, flat.astype(np.int32))
