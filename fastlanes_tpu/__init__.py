@@ -26,5 +26,37 @@ from .core.layout import BLOCK, DTYPES, FL_ORDER, bit_width, lanes, packed_len
 
 __all__ = [
     "layout", "BLOCK", "DTYPES", "FL_ORDER", "bit_width", "lanes", "packed_len",
-    "__version__",
+    "pack", "unpack", "unpack_single", "delta", "undelta", "undelta_pack",
+    "delta_pack", "for_pack", "unfor_pack", "transpose", "untranspose",
+    "unchecked_pack", "unchecked_unpack", "unchecked_unpack_single",
+    "auto_encode", "get_codec", "write_file", "read_file", "read_blocks",
+    "read_single", "__version__",
 ]
+
+
+def __getattr__(name):
+    """Top-level re-exports (the reference's `pub use ...::*`, lib.rs:17-20),
+    resolved lazily so `import fastlanes_tpu` stays cheap until jax is used."""
+    from .ops import bitpack as _bitpack, delta as _delta, dispatch as _dispatch
+    from .ops import ffor as _ffor, single as _single, transpose as _transpose
+
+    ops_api = {
+        "pack": _bitpack.pack, "unpack": _bitpack.unpack,
+        "unpack_single": _single.unpack_single,
+        "delta": _delta.delta, "undelta": _delta.undelta,
+        "undelta_pack": _delta.undelta_pack, "delta_pack": _delta.delta_pack,
+        "for_pack": _ffor.for_pack, "unfor_pack": _ffor.unfor_pack,
+        "transpose": _transpose.transpose, "untranspose": _transpose.untranspose,
+        "unchecked_pack": _dispatch.unchecked_pack,
+        "unchecked_unpack": _dispatch.unchecked_unpack,
+        "unchecked_unpack_single": _dispatch.unchecked_unpack_single,
+    }
+    if name in ops_api:
+        return ops_api[name]
+    if name in ("auto_encode", "get_codec"):
+        from .models import codecs as _codecs
+        return getattr(_codecs, name)
+    if name in ("write_file", "read_file", "read_blocks", "read_single"):
+        from . import fio as _fio
+        return getattr(_fio, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
