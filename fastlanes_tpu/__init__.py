@@ -34,29 +34,26 @@ __all__ = [
 ]
 
 
-def __getattr__(name):
-    """Top-level re-exports (the reference's `pub use ...::*`, lib.rs:17-20),
-    resolved lazily so `import fastlanes_tpu` stays cheap until jax is used."""
-    from .ops import bitpack as _bitpack, delta as _delta, dispatch as _dispatch
-    from .ops import ffor as _ffor, single as _single, transpose as _transpose
+# name -> owning submodule for the lazy re-exports (the reference's
+# `pub use ...::*`, lib.rs:17-20); only the owner is imported, so host-only
+# IO names never pull in jax.
+_API_HOME = {
+    **{n: "ops.bitpack" for n in ("pack", "unpack")},
+    "unpack_single": "ops.single",
+    **{n: "ops.delta" for n in ("delta", "undelta", "undelta_pack", "delta_pack")},
+    **{n: "ops.ffor" for n in ("for_pack", "unfor_pack")},
+    **{n: "ops.transpose" for n in ("transpose", "untranspose")},
+    **{n: "ops.dispatch" for n in ("unchecked_pack", "unchecked_unpack",
+                                   "unchecked_unpack_single")},
+    **{n: "models.codecs" for n in ("auto_encode", "get_codec")},
+    **{n: "fio" for n in ("write_file", "read_file", "read_blocks", "read_single")},
+}
 
-    ops_api = {
-        "pack": _bitpack.pack, "unpack": _bitpack.unpack,
-        "unpack_single": _single.unpack_single,
-        "delta": _delta.delta, "undelta": _delta.undelta,
-        "undelta_pack": _delta.undelta_pack, "delta_pack": _delta.delta_pack,
-        "for_pack": _ffor.for_pack, "unfor_pack": _ffor.unfor_pack,
-        "transpose": _transpose.transpose, "untranspose": _transpose.untranspose,
-        "unchecked_pack": _dispatch.unchecked_pack,
-        "unchecked_unpack": _dispatch.unchecked_unpack,
-        "unchecked_unpack_single": _dispatch.unchecked_unpack_single,
-    }
-    if name in ops_api:
-        return ops_api[name]
-    if name in ("auto_encode", "get_codec"):
-        from .models import codecs as _codecs
-        return getattr(_codecs, name)
-    if name in ("write_file", "read_file", "read_blocks", "read_single"):
-        from . import fio as _fio
-        return getattr(_fio, name)
-    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+def __getattr__(name):
+    home = _API_HOME.get(name)
+    if home is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(f".{home}", __name__), name)

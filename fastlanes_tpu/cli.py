@@ -7,10 +7,11 @@
 
 The role the `vortex` CLI plays around the Rust crate: compress whole
 columns to disk, decode block ranges, random-access single elements.
-Input/output is .npy (any integer array whose tail pads to 1024-value
-blocks must already be (B, 1024) or a multiple-of-1024 flat vector).
-All work runs on the host (C++ codec when built, NumPy oracle otherwise);
-device decode paths live in the library API, not the CLI.
+Input/output is .npy — flat integer vectors of ANY length (the partial tail
+block is padded internally and reads trim to the exact original length) or
+pre-blocked (B, 1024) batches. All work runs on the host (C++ codec when
+built, NumPy oracle otherwise); device decode paths live in the library API
+(fastlanes_tpu.fio_device), not the CLI.
 """
 
 from __future__ import annotations

@@ -232,6 +232,11 @@ def read_single(path: str, block: int, index: int):
         raise IndexError(f"block {block} out of range")
     if not 0 <= index < layout.BLOCK:
         raise IndexError(f"element index {index} out of range [0, {layout.BLOCK})")
+    n_values = header.get("n_values")
+    if n_values is not None and block * layout.BLOCK + index >= n_values:
+        # flat-written ragged column: positions past n_values are tail padding
+        raise IndexError(
+            f"element {block * layout.BLOCK + index} past column end ({n_values})")
     cb = header["chunk_blocks"]
     ci = block // cb
     meta = header["chunks"][ci]

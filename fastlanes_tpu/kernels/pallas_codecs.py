@@ -357,9 +357,12 @@ def _param_spec(shape, tile_b, smem=False):
 
 @functools.lru_cache(maxsize=None)
 def _build_call(op: str, dtype: str, width: int, tile_b: int, n_tiles: int,
-                interpret: bool, param_kind: str):
+                interpret: bool, param_kind: str,
+                staging: tuple = None):
     """Build the pallas_call for (op, dtype, width) over a padded batch of
-    n_tiles * tile_b blocks. param_kind: '', 'base' (per-lane, replicated
+    n_tiles * tile_b blocks. `staging` keys the cache on the module staging
+    flags (the kernel body + scratch shapes snapshot them — toggling the
+    flags must not hit stale entries). param_kind: '', 'base' (per-lane, replicated
     across blocks) or 'ref' (scalar FoR reference as (1,1))."""
     dtype = layout.canon_dtype(dtype)
     t = layout.bit_width(dtype)
@@ -503,7 +506,8 @@ def _run(op, arrs, params, width, dtype, tile_b, interpret):
         else:
             call_inputs += [parr.reshape(1, 1) if kind == "ref" else parr]
 
-    call = _build_call(op, dtype, width, tile_b, n_tiles, interpret, param_kind)
+    call = _build_call(op, dtype, width, tile_b, n_tiles, interpret, param_kind,
+                       (_STAGE_WORDS, _STAGE_ROWS, _WIDE_DECODE))
     out = call(*call_inputs)
     if limb:
         out = _join_limbs(out[0], out[1])

@@ -73,7 +73,7 @@ class Encoded:
         n = self.n_blocks * layout.packed_len(self.dtype, self.width) * elem
         for val in (self.params or {}).values():
             if not isinstance(val, (int, np.integer)):
-                n += np.asarray(val).size * elem
+                n += np.asarray(val).nbytes  # u64 params may be uint32 limb images
         return n
 
     @property

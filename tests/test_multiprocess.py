@@ -39,19 +39,33 @@ _WORKER = textwrap.dedent("""
 """).format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def test_two_process_distributed_roundtrip(tmp_path):
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = str(s.getsockname()[1])
-    worker = tmp_path / "worker.py"
-    worker.write_text(_WORKER)
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+def _run_workers(worker, port, env):
     procs = [subprocess.Popen([sys.executable, str(worker), str(pid), "2", port],
                               stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                               text=True, env=env)
              for pid in range(2)]
-    outs = [p.communicate(timeout=240)[0] for p in procs]
+    try:
+        return [p.communicate(timeout=240)[0] for p in procs], procs
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        return None, procs
+
+
+def test_two_process_distributed_roundtrip(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    outs = procs = None
+    for _attempt in range(2):  # bind-then-close port pick is racy: retry once
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = str(s.getsockname()[1])
+        outs, procs = _run_workers(worker, port, env)
+        if outs is not None:
+            break
+    assert outs is not None, "workers hung twice (coordinator port race?)"
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-2000:]}"
         assert f"OK {pid}" in out

@@ -77,3 +77,39 @@ def test_encoded_packed_bytes_includes_base(rng):
         payload = np.asarray(enc.payload).nbytes
         base = np.asarray(enc.params["base"]).nbytes
         assert enc.packed_bytes == payload + base
+
+
+def test_ragged_read_single_rejects_padding(tmp_path):
+    col = np.arange(1500, dtype=np.uint32)
+    path = str(tmp_path / "r.flt")
+    fio.write_file(path, col)
+    assert fio.read_single(path, 1, 400) == col[1424]
+    with pytest.raises(IndexError):
+        fio.read_single(path, 1, 500)  # linear 1524 >= n_values=1500
+
+
+def test_u64_packed_bytes_counts_limb_params(rng):
+    from fastlanes_tpu.models.codecs import DeltaCodec
+    vals = np.sort(rng.integers(0, 1 << 40, (4, 1024), np.int64)
+                   .astype(np.uint64), axis=1)
+    limbs = np.ascontiguousarray(vals).view(np.uint32).reshape(4, 1024, 2)
+    enc = DeltaCodec("u64").encode(limbs)
+    assert enc.packed_bytes == (np.asarray(enc.payload).nbytes
+                                + np.asarray(enc.params["base"]).nbytes)
+
+
+def test_lazy_reexports_do_not_import_ops():
+    """Host-IO re-exports must not pull in the jax-backed ops modules."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        f"import sys; sys.path.insert(0, {repo!r})\n"
+        "import fastlanes_tpu as fl\n"
+        "_ = fl.write_file\n"
+        "assert 'fastlanes_tpu.ops' not in sys.modules\n"
+    )
+    r = subprocess.run([_sys.executable, "-c", code], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-1000:]
