@@ -1,0 +1,111 @@
+"""Seeded differential fuzzing: random (dtype, width, data shape, pipeline)
+configs must agree bit-for-bit across the NumPy oracle, the XLA ops layer,
+the C++ host codec, and (sampled — interpret mode is slow) Pallas kernels.
+
+The fixed sweeps cover the (dtype, width) grid; this covers the *seams*:
+odd batch sizes (kernel grid padding), extreme values (all-zeros, all-max),
+random per-block bases, and composed pipelines.
+"""
+
+import numpy as np
+import pytest
+
+from fastlanes_tpu import native
+from fastlanes_tpu.core import layout
+from fastlanes_tpu.kernels import pallas_codecs as pk
+from fastlanes_tpu.ops import bitpack, delta as delta_ops, ffor as ffor_ops
+from fastlanes_tpu.ref import numpy_ref as ref
+from fastlanes_tpu.utils.testing import from_jax_form, to_jax_form
+
+N_CASES = 60
+_HAVE_NATIVE = native.available()
+
+
+def _gen_case(rng):
+    dt = rng.choice(layout.DTYPES)
+    t = layout.bit_width(dt)
+    w = int(rng.integers(1, t + 1))
+    b = int(rng.choice([1, 2, 3, 5, 7, 16]))
+    kind = rng.choice(["random", "zeros", "max", "sorted"])
+    if kind == "zeros":
+        vals = np.zeros((b, 1024), layout.np_dtype(dt))
+    elif kind == "max":
+        vals = np.full((b, 1024), (1 << w) - 1, dtype=np.uint64).astype(
+            layout.np_dtype(dt))
+    else:
+        vals = rng.integers(0, 1 << min(w, 63), (b, 1024), np.uint64).astype(
+            layout.np_dtype(dt))
+        if kind == "sorted":
+            vals = np.sort(vals, axis=1)
+    return dt, w, vals
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_fuzz_pack_roundtrip_all_impls(seed):
+    rng = np.random.default_rng(0xF022 + seed)
+    dt, w, vals = _gen_case(rng)
+    gold = ref.pack(vals, w, dt)
+    np.testing.assert_array_equal(ref.unpack(gold, w, dt), vals)
+
+    ops_packed = from_jax_form(bitpack.pack(to_jax_form(vals, dt), w, dt), dt)
+    np.testing.assert_array_equal(ops_packed, gold)
+    np.testing.assert_array_equal(
+        from_jax_form(bitpack.unpack(to_jax_form(gold, dt), w, dt), dt), vals)
+
+    if _HAVE_NATIVE:
+        np.testing.assert_array_equal(native.pack(vals, w, dt), gold)
+        np.testing.assert_array_equal(native.unpack(gold, w, dt), vals)
+
+    # unpack_single at random indices
+    idx = rng.integers(0, 1024, 8)
+    np.testing.assert_array_equal(
+        ref.unpack_single(gold, w, idx, dt), vals[:, idx])
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_fuzz_delta_ffor_pipelines(seed):
+    rng = np.random.default_rng(0xD317 + seed)
+    dt, w, vals = _gen_case(rng)
+    t = layout.bit_width(dt)
+    nl = layout.lanes(dt)
+    np_dt = layout.np_dtype(dt)
+
+    # delta with a RANDOM per-block base (not just row-0 seeds)
+    transposed = ref.transpose(vals, dt)
+    base = rng.integers(0, 1 << min(t - 1, 63), (vals.shape[0], nl),
+                        np.uint64).astype(np_dt)
+    deltas = ref.delta(transposed, base, dt)
+    wd = max(1, min(t, int(deltas.max()).bit_length()))
+    dp = ref.pack(deltas, wd, dt)
+    np.testing.assert_array_equal(ref.undelta_pack(dp, base, wd, dt), transposed)
+    got = from_jax_form(delta_ops.undelta_pack(
+        to_jax_form(dp, dt), to_jax_form(base, dt), wd, dt), dt)
+    np.testing.assert_array_equal(got, transposed)
+    if _HAVE_NATIVE:
+        np.testing.assert_array_equal(native.undelta_pack(dp, base, wd, dt),
+                                      transposed)
+    np.testing.assert_array_equal(ref.untranspose(transposed, dt), vals)
+
+    # ffor with a random reference
+    refc = int(rng.integers(0, 1 << min(t - 1, 63)))
+    fp = ref.for_pack(vals, refc, w, dt)
+    want = ((vals.astype(np.uint64) - refc) & ((1 << w) - 1)).astype(np_dt) \
+        if w < t else (vals.astype(np.uint64) - refc).astype(np_dt)
+    np.testing.assert_array_equal(ref.unpack(fp, w, dt), want)
+    got = from_jax_form(ffor_ops.for_pack(to_jax_form(vals, dt), refc, w, dt), dt)
+    np.testing.assert_array_equal(got, fp)
+    if _HAVE_NATIVE:
+        np.testing.assert_array_equal(native.for_pack(vals, refc, w, dt), fp)
+
+
+@pytest.mark.parametrize("seed", range(8))  # interpret mode is slow: sample
+def test_fuzz_pallas_interpret(seed):
+    rng = np.random.default_rng(0x9A11 + seed)
+    dt, w, vals = _gen_case(rng)
+    gold = ref.pack(vals, w, dt)
+    got = from_jax_form(pk.pack(to_jax_form(vals, dt), w, dt,
+                                tile_b=4, interpret=True), dt)
+    np.testing.assert_array_equal(got, gold)
+    out = from_jax_form(pk.unpack(to_jax_form(gold, dt), w, dt,
+                                  tile_b=4, interpret=True), dt)
+    np.testing.assert_array_equal(out, vals)
