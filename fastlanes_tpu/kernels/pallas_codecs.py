@@ -43,8 +43,8 @@ from ..ops.bitpack import assemble_blocks, pack_words, unpack_row_stream
 # fits VMEM with headroom for the packed tile, the row-scratch planes (which
 # pad LANES up to 128 physical lanes) and pipeline double-buffering. u64 uses
 # a smaller tile: 2 limb arrays x 64 rows of (tile, 16->128-padded) scratch.
-DEFAULT_TILE_B = 256
-_TILE_BY_DTYPE = {"u8": 256, "u16": 256, "u32": 256, "u64": 32}
+DEFAULT_TILE_B = 512
+_TILE_BY_DTYPE = {"u8": 512, "u16": 512, "u32": 512, "u64": 32}
 
 
 def default_tile(dtype):
