@@ -73,7 +73,58 @@ def _cmd_decompress(args) -> int:
     return 0
 
 
+def _cmd_compress_table(args) -> int:
+    from . import fio_table
+
+    data = np.load(args.input)
+    columns = {}
+    for name in data.files:
+        arr = data[name]
+        if not np.issubdtype(arr.dtype, np.integer):
+            raise SystemExit(f"column {name!r} is {arr.dtype}; FastLanes "
+                             "compresses integers")
+        if arr.dtype.kind != "u":
+            raise SystemExit(f"column {name!r} is signed ({arr.dtype}); "
+                             "convert to an unsigned dtype first")
+        columns[name] = arr
+    header = fio_table.write_table(args.output, columns, codec=args.codec,
+                                   chunk_blocks=args.chunk_blocks)
+    import os
+    raw = sum(int(c.nbytes) for c in columns.values())
+    print(json.dumps({
+        "file": args.output, "columns": sorted(columns),
+        "raw_bytes": raw, "file_bytes": os.path.getsize(args.output),
+        "ratio": round(raw / max(os.path.getsize(args.output), 1), 3),
+    }))
+    return 0
+
+
+def _cmd_decompress_table(args) -> int:
+    from . import fio_table
+
+    table = fio_table.read_table(args.input,
+                                 names=args.columns.split(",") if args.columns else None)
+    np.savez(args.output, **table)
+    print(json.dumps({"file": args.output,
+                      "columns": {k: list(v.shape) for k, v in table.items()}}))
+    return 0
+
+
 def _cmd_inspect(args) -> int:
+    with open(args.input, "rb") as f:
+        magic = f.read(8)
+    if magic.startswith(b"FLTTAB1"):
+        from . import fio_table
+
+        header = fio_table.read_table_header(args.input)
+        print(json.dumps({
+            "kind": "table",
+            "columns": {name: {"dtype": c["dtype"], "n_blocks": c["n_blocks"],
+                               **({"n_values": c["n_values"]} if "n_values" in c else {}),
+                               "codecs": sorted({ch["codec"] for ch in c["chunks"]})}
+                        for name, c in header["columns"].items()},
+        }, indent=2))
+        return 0
     header = fio.read_header(args.input)
     widths = [c["width"] for c in header["chunks"]]
     codecs = {}
@@ -115,9 +166,24 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--stop", type=int, default=None)
     d.set_defaults(fn=_cmd_decompress)
 
-    i = sub.add_parser("inspect", help="print .flt header summary")
+    i = sub.add_parser("inspect", help="print .flt / table header summary")
     i.add_argument("input")
     i.set_defaults(fn=_cmd_inspect)
+
+    ct = sub.add_parser("compress-table",
+                        help="compress an .npz of named integer columns")
+    ct.add_argument("input")
+    ct.add_argument("output")
+    ct.add_argument("--codec", default="auto", choices=["auto", "bitpack", "ffor", "delta"])
+    ct.add_argument("--chunk-blocks", type=int, default=1024)
+    ct.set_defaults(fn=_cmd_compress_table)
+
+    dt = sub.add_parser("decompress-table", help="decode a table file to .npz")
+    dt.add_argument("input")
+    dt.add_argument("output")
+    dt.add_argument("--columns", default=None,
+                    help="comma-separated subset (default: all)")
+    dt.set_defaults(fn=_cmd_decompress_table)
 
     g = sub.add_parser("get", help="random-access one element: get FILE BLOCK INDEX")
     g.add_argument("input")

@@ -65,3 +65,19 @@ def test_subset_read(tmp_path, table):
     got = fio_table.read_table(path, names=["flags"])
     assert set(got) == {"flags"}
     np.testing.assert_array_equal(got["flags"], table["flags"])
+
+
+def test_cli_table_roundtrip(tmp_path, table, capsys):
+    import json
+    from fastlanes_tpu import cli
+    npz, flt, out = tmp_path / "t.npz", tmp_path / "t.flt", tmp_path / "o.npz"
+    np.savez(npz, a=table["ids"], b=table["counts"])
+    assert cli.main(["compress-table", str(npz), str(flt)]) == 0
+    assert json.loads(capsys.readouterr().out)["ratio"] > 1.0
+    assert cli.main(["inspect", str(flt)]) == 0
+    assert json.loads(capsys.readouterr().out)["kind"] == "table"
+    assert cli.main(["decompress-table", str(flt), str(out), "--columns", "a"]) == 0
+    capsys.readouterr()
+    got = np.load(out)
+    assert got.files == ["a"]
+    np.testing.assert_array_equal(got["a"], table["ids"])
