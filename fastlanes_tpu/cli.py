@@ -40,16 +40,16 @@ def _cmd_compress(args) -> int:
     if not np.issubdtype(arr.dtype, np.integer):
         raise SystemExit(f"FastLanes compresses integers, got dtype {arr.dtype}")
     if args.dtype:
-        dtype = args.dtype
-    elif arr.dtype.kind == "u":
-        dtype = layout.canon_dtype(arr.dtype)
+        # explicit wire dtype: signed inputs reinterpret mod 2^T
+        column = _as_column(arr).astype(layout.np_dtype(args.dtype))
+        wire_dtype = args.dtype
     else:
-        raise SystemExit(
-            f"signed input dtype {arr.dtype}: pass --dtype to choose the unsigned "
-            "wire type (values are reinterpreted mod 2^T)")
-    column = _as_column(arr).astype(layout.np_dtype(dtype))
-    header = fio.write_file(args.output, column, dtype=dtype, codec=args.codec,
-                            chunk_blocks=args.chunk_blocks)
+        # unsigned passes through; signed is zigzag-transformed by write_file
+        column = _as_column(arr)
+        wire_dtype = layout.canon_dtype(f"u{arr.dtype.itemsize * 8}")
+    header = fio.write_file(args.output, column, dtype=args.dtype,
+                            codec=args.codec, chunk_blocks=args.chunk_blocks)
+    dtype = wire_dtype
     raw = column.nbytes
     import os
     packed = os.path.getsize(args.output)
@@ -83,10 +83,7 @@ def _cmd_compress_table(args) -> int:
         if not np.issubdtype(arr.dtype, np.integer):
             raise SystemExit(f"column {name!r} is {arr.dtype}; FastLanes "
                              "compresses integers")
-        if arr.dtype.kind != "u":
-            raise SystemExit(f"column {name!r} is signed ({arr.dtype}); "
-                             "convert to an unsigned dtype first")
-        columns[name] = arr
+        columns[name] = arr  # signed columns are zigzag-transformed
     header = fio_table.write_table(args.output, columns, codec=args.codec,
                                    chunk_blocks=args.chunk_blocks)
     import os

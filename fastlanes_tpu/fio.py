@@ -21,6 +21,7 @@ import numpy as np
 
 from .core import layout
 from . import native
+from . import transforms
 from .ref import numpy_ref as npref
 
 MAGIC = b"FLTPU1"
@@ -125,8 +126,16 @@ def write_file(path: str, values, dtype=None, codec: str = "auto",
     Accepts (B, 1024) block batches, or a flat vector of ANY length — a
     partial tail block is padded by repeating the final value (keeps delta /
     ffor widths tight) and the true length is recorded as `n_values` so
-    reads trim exactly."""
+    reads trim exactly.
+
+    SIGNED input with dtype=None is zigzag-transformed (small magnitudes of
+    either sign get small codes) and comes back signed on read; an explicit
+    unsigned `dtype` instead reinterprets the bits mod 2^T."""
     arr = np.ascontiguousarray(values)
+    transform = None
+    if dtype is None and arr.dtype.kind == "i":
+        arr = transforms.zigzag_encode_np(arr)
+        transform = "zigzag"
     dtype = layout.canon_dtype(dtype if dtype is not None else arr.dtype)
     arr = arr.astype(layout.np_dtype(dtype), copy=False)
     n_values = None
@@ -155,6 +164,8 @@ def write_file(path: str, values, dtype=None, codec: str = "auto",
     }
     if n_values is not None:
         header["n_values"] = n_values  # flat column length before tail padding
+    if transform is not None:
+        header["transform"] = transform
     hdr = json.dumps(header).encode()
     with open(path, "wb") as f:
         f.write(MAGIC)
@@ -207,8 +218,12 @@ def read_blocks(path: str, start: int = 0, stop: Optional[int] = None) -> np.nda
             hi = min(stop, c_stop) - c_start
             out.append(blocks[lo:hi])
     if not out:
-        return np.empty((0, layout.BLOCK), layout.np_dtype(dtype))
-    return np.concatenate(out, axis=0)
+        blocks = np.empty((0, layout.BLOCK), layout.np_dtype(dtype))
+    else:
+        blocks = np.concatenate(out, axis=0)
+    if header.get("transform") == "zigzag":
+        return transforms.zigzag_decode_np(blocks)
+    return blocks
 
 
 def read_file(path: str) -> np.ndarray:
@@ -244,7 +259,7 @@ def read_single(path: str, block: int, index: int):
     base_off = _payload_base(path)
 
     if meta["codec"] == "delta":
-        blocks = read_blocks(path, block, block + 1)
+        blocks = read_blocks(path, block, block + 1)  # applies any transform
         return blocks[0, index]
 
     w = meta["width"]
@@ -261,4 +276,6 @@ def read_single(path: str, block: int, index: int):
         val = npref.unpack_single(packed, w, idx_arr, dtype)[0, 0]
     if meta["codec"] == "ffor":
         val = np_dt.type(val + np_dt.type(meta["reference"]))
+    if header.get("transform") == "zigzag":
+        return transforms.zigzag_decode_np(np.asarray([val], np_dt))[0]
     return val

@@ -19,7 +19,7 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from . import fio
+from . import fio, transforms
 from .core import layout
 from .kernels import pallas_codecs as pk
 from .ops import transpose as transpose_mod
@@ -102,9 +102,17 @@ def read_blocks_device(path: str, start: int = 0, stop: Optional[int] = None,
             out.append(blocks[lo:hi])
     if not out:
         shape = (0, layout.BLOCK, 2) if dtype == "u64" else (0, layout.BLOCK)
-        return jnp.zeros(shape, jnp.uint32 if dtype == "u64"
-                         else layout.np_dtype(dtype))
-    return jnp.concatenate(out, axis=0)
+        blocks = jnp.zeros(shape, jnp.uint32 if dtype == "u64"
+                           else layout.np_dtype(dtype))
+    else:
+        blocks = jnp.concatenate(out, axis=0)
+    if header.get("transform") == "zigzag":
+        if dtype == "u64":
+            raise NotImplementedError(
+                "zigzag-decoding u64 limb images on device needs jax x64; "
+                "use fio.read_blocks (host) for signed 64-bit columns")
+        blocks = transforms.zigzag_decode(blocks)
+    return blocks
 
 
 def read_file_device(path: str, mesh=None, use_kernels: bool = True):

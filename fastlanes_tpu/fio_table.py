@@ -21,7 +21,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from . import fio
+from . import fio, transforms
 from .core import layout
 
 MAGIC = b"FLTTAB1"
@@ -52,6 +52,10 @@ def write_table(path: str, columns: Dict[str, np.ndarray], dtypes=None,
     cols_meta, payloads, offset = {}, [], 0
     for name, arr in columns.items():
         arr = np.asarray(arr)
+        transform = None
+        if name not in dtypes and arr.dtype.kind == "i":
+            arr = transforms.zigzag_encode_np(arr)  # signed -> zigzag codes
+            transform = "zigzag"
         dtype = layout.canon_dtype(dtypes.get(name, arr.dtype))
         blocks, n_values = _blocks_of(arr, dtype)
         chunks = []
@@ -66,6 +70,8 @@ def write_table(path: str, columns: Dict[str, np.ndarray], dtypes=None,
                "chunk_blocks": chunk_blocks, "chunks": chunks}
         if n_values is not None:
             col["n_values"] = n_values
+        if transform is not None:
+            col["transform"] = transform
         cols_meta[name] = col
 
     header = {"version": _VERSION, "columns": cols_meta}
@@ -128,6 +134,8 @@ def read_column(path: str, name: str, start: int = 0,
                               min(stop, c_stop) - c_start])
     blocks = (np.concatenate(out, axis=0) if out
               else np.empty((0, layout.BLOCK), layout.np_dtype(dtype)))
+    if col.get("transform") == "zigzag":
+        blocks = transforms.zigzag_decode_np(blocks)
     if full and "n_values" in col:
         return blocks.reshape(-1)[:col["n_values"]]
     return blocks

@@ -1,0 +1,58 @@
+"""Value transforms applied before/after the FastLanes codecs.
+
+Zigzag maps signed integers to unsigned so small-magnitude values (positive
+or negative) get small codes: u = (v << 1) ^ (v >> (T-1)) (arithmetic
+shift); v = (u >> 1) ^ -(u & 1). A pre-transform, not a wire-format change —
+the packed bytes remain standard FastLanes for the mapped unsigned values.
+(The reference crate is unsigned-only; this is framework surface for real
+signed columns.)
+
+Both numpy (host IO path) and jnp (device path) implementations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .core import layout
+
+_SIGNED_OF = {"u8": np.int8, "u16": np.int16, "u32": np.int32, "u64": np.int64}
+
+
+def signed_dtype(dtype) -> np.dtype:
+    return np.dtype(_SIGNED_OF[layout.canon_dtype(dtype)])
+
+
+def zigzag_encode_np(values: np.ndarray) -> np.ndarray:
+    """Signed array -> same-width unsigned zigzag codes."""
+    if values.dtype.kind != "i":
+        raise ValueError(f"zigzag encodes signed integers, got {values.dtype}")
+    t = values.dtype.itemsize * 8
+    u = values.astype(np.dtype(f"uint{t}"))
+    return ((u << 1) ^ (values >> (t - 1)).astype(u.dtype))
+
+
+def zigzag_decode_np(codes: np.ndarray) -> np.ndarray:
+    """Unsigned zigzag codes -> signed array of the same width."""
+    if codes.dtype.kind != "u":
+        raise ValueError(f"zigzag decodes unsigned codes, got {codes.dtype}")
+    t = codes.dtype.itemsize * 8
+    s = np.dtype(f"int{t}")
+    return ((codes >> 1) ^ (-(codes & 1).astype(s)).astype(codes.dtype)).astype(s)
+
+
+def zigzag_encode(values):
+    """jnp twin (device path); u64 not supported without x64."""
+    import jax.numpy as jnp
+
+    t = values.dtype.itemsize * 8
+    u = values.astype(jnp.dtype(f"uint{t}"))
+    return (u << 1) ^ (values >> (t - 1)).astype(u.dtype)
+
+
+def zigzag_decode(codes):
+    import jax.numpy as jnp
+
+    t = codes.dtype.itemsize * 8
+    s = jnp.dtype(f"int{t}")
+    return ((codes >> 1) ^ (-(codes & 1).astype(s)).astype(codes.dtype)).astype(s)

@@ -70,9 +70,15 @@ def test_cli_flat_input_and_signed_rejection(tmp_path, rng, capsys):
     cli.main(["decompress", str(flt), str(out)])
     np.testing.assert_array_equal(np.load(out), flat)  # flat in -> flat out
 
+    # signed input is zigzag-transformed and round-trips signed
     signed = tmp_path / "signed.npy"
-    np.save(signed, flat.astype(np.int32))
-    with pytest.raises(SystemExit):
-        cli.main(["compress", str(signed), str(flt)])
-    # but an explicit --dtype accepts signed input
+    svals = rng.integers(-500, 500, 2000, np.int64).astype(np.int32)
+    np.save(signed, svals)
+    assert cli.main(["compress", str(signed), str(flt)]) == 0
+    capsys.readouterr()
+    assert cli.main(["decompress", str(flt), str(out)]) == 0
+    got = np.load(out)
+    assert got.dtype == np.int32
+    np.testing.assert_array_equal(got, svals)
+    # an explicit --dtype instead reinterprets the bits mod 2^T
     assert cli.main(["compress", str(signed), str(flt), "--dtype", "u32"]) == 0

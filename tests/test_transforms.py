@@ -1,0 +1,65 @@
+"""Zigzag transform + signed-column support in FLT files and tables."""
+
+import numpy as np
+import pytest
+
+from fastlanes_tpu import fio, fio_device, fio_table, transforms
+
+
+@pytest.mark.parametrize("dt", [np.int8, np.int16, np.int32, np.int64])
+def test_zigzag_roundtrip_all_widths(rng, dt):
+    info = np.iinfo(dt)
+    vals = rng.integers(info.min, info.max, 4096, np.int64).astype(dt)
+    vals[:4] = [info.min, info.max, 0, -1]
+    codes = transforms.zigzag_encode_np(vals)
+    assert codes.dtype.kind == "u"
+    np.testing.assert_array_equal(transforms.zigzag_decode_np(codes), vals)
+    # small magnitudes -> small codes (the point of the transform)
+    assert transforms.zigzag_encode_np(np.array([-1], dt))[0] == 1
+    assert transforms.zigzag_encode_np(np.array([1], dt))[0] == 2
+
+
+def test_zigzag_jnp_matches_np(rng):
+    vals = rng.integers(-1 << 30, 1 << 30, 2048, np.int64).astype(np.int32)
+    import jax.numpy as jnp
+
+    codes = np.asarray(transforms.zigzag_encode(jnp.asarray(vals)))
+    np.testing.assert_array_equal(codes, transforms.zigzag_encode_np(vals))
+    back = np.asarray(transforms.zigzag_decode(jnp.asarray(codes)))
+    np.testing.assert_array_equal(back, vals)
+
+
+def test_signed_flt_roundtrip(tmp_path, rng):
+    # near-sorted signed data: zigzag'd deltas stay small
+    col = np.cumsum(rng.integers(-10, 12, 5000, np.int64)).astype(np.int32)
+    path = str(tmp_path / "s.flt")
+    header = fio.write_file(path, col)
+    assert header["transform"] == "zigzag"
+    got = fio.read_file(path)
+    assert got.dtype == np.int32
+    np.testing.assert_array_equal(got, col)
+    # random access decodes through the transform too
+    assert fio.read_single(path, 2, 100) == col[2 * 1024 + 100]
+
+
+def test_signed_device_decode(tmp_path, rng):
+    col = rng.integers(-1000, 1000, 3000, np.int64).astype(np.int32)
+    path = str(tmp_path / "s.flt")
+    fio.write_file(path, col)
+    got = np.asarray(fio_device.read_file_device(path))
+    assert got.dtype == np.int32
+    np.testing.assert_array_equal(got, col)
+
+
+def test_signed_table_column(tmp_path, rng):
+    table = {
+        "balance": rng.integers(-10_000, 10_000, 3000, np.int64).astype(np.int16),
+        "id": np.arange(3000, dtype=np.uint32),
+    }
+    path = str(tmp_path / "t.flt")
+    header = fio_table.write_table(path, table)
+    assert header["columns"]["balance"]["transform"] == "zigzag"
+    got = fio_table.read_table(path)
+    assert got["balance"].dtype == np.int16
+    for k in table:
+        np.testing.assert_array_equal(got[k], table[k])
