@@ -42,14 +42,12 @@ def _cmd_compress(args) -> int:
     if args.dtype:
         # explicit wire dtype: signed inputs reinterpret mod 2^T
         column = _as_column(arr).astype(layout.np_dtype(args.dtype))
-        wire_dtype = args.dtype
     else:
         # unsigned passes through; signed is zigzag-transformed by write_file
         column = _as_column(arr)
-        wire_dtype = layout.canon_dtype(f"u{arr.dtype.itemsize * 8}")
     header = fio.write_file(args.output, column, dtype=args.dtype,
                             codec=args.codec, chunk_blocks=args.chunk_blocks)
-    dtype = wire_dtype
+    dtype = header["dtype"]  # the wire dtype write_file actually chose
     raw = column.nbytes
     import os
     packed = os.path.getsize(args.output)
@@ -77,6 +75,10 @@ def _cmd_compress_table(args) -> int:
     from . import fio_table
 
     data = np.load(args.input)
+    if not hasattr(data, "files"):
+        raise SystemExit(
+            f"{args.input} is a single array; compress-table needs an .npz "
+            "of named columns (use plain 'compress' for one column)")
     columns = {}
     for name in data.files:
         arr = data[name]
@@ -99,10 +101,12 @@ def _cmd_compress_table(args) -> int:
 def _cmd_decompress_table(args) -> int:
     from . import fio_table
 
-    table = fio_table.read_table(args.input,
-                                 names=args.columns.split(",") if args.columns else None)
-    np.savez(args.output, **table)
-    print(json.dumps({"file": args.output,
+    names = ([c.strip() for c in args.columns.split(",") if c.strip()]
+             if args.columns else None)
+    table = fio_table.read_table(args.input, names=names)
+    out_path = args.output if args.output.endswith(".npz") else args.output + ".npz"
+    np.savez(out_path, **table)  # savez appends .npz itself; report the real name
+    print(json.dumps({"file": out_path,
                       "columns": {k: list(v.shape) for k, v in table.items()}}))
     return 0
 
@@ -194,8 +198,9 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     try:
         return args.fn(args)
-    except (ValueError, IndexError, OSError) as e:
-        print(f"error: {e}", file=sys.stderr)
+    except (ValueError, IndexError, KeyError, OSError) as e:
+        msg = e.args[0] if isinstance(e, KeyError) and e.args else e
+        print(f"error: {msg}", file=sys.stderr)
         return 1
 
 

@@ -33,6 +33,52 @@ def _bits_needed_arr(arr: np.ndarray) -> int:
     return m.bit_length()
 
 
+def pad_to_blocks(arr: np.ndarray, dtype: str):
+    """Normalize a column to (B, 1024) blocks; flat input of any length is
+    tail-padded by repeating the last value. Returns (blocks, n_values or
+    None) — shared by write_file and fio_table."""
+    arr = np.ascontiguousarray(arr).astype(layout.np_dtype(dtype), copy=False)
+    n_values = None
+    if arr.ndim == 1:
+        n_values = int(arr.size)
+        pad = (-arr.size) % layout.BLOCK
+        if pad:
+            fill = arr[-1:] if arr.size else np.zeros(1, arr.dtype)
+            arr = np.concatenate([arr, np.repeat(fill, pad)])
+        arr = arr.reshape(-1, layout.BLOCK)
+    if arr.ndim != 2 or arr.shape[1] != layout.BLOCK:
+        raise ValueError(f"values must be (B, {layout.BLOCK}) or flat, got {arr.shape}")
+    return arr, n_values
+
+
+def payload_base_of(path: str, magic: bytes) -> int:
+    """Absolute offset of the payload area (after magic + header)."""
+    with open(path, "rb") as f:
+        f.seek(len(magic))
+        (hlen,) = struct.unpack("<I", f.read(4))
+    return len(magic) + 4 + hlen
+
+
+def read_chunk_range(f, chunks, base_off: int, chunk_blocks: int,
+                     start: int, stop: int, dtype: str) -> np.ndarray:
+    """Decode blocks [start, stop) from a chunk stream — touches only the
+    covering chunks. Shared by fio.read_blocks and fio_table.read_column."""
+    out = []
+    for ci, meta in enumerate(chunks):
+        c_start = ci * chunk_blocks
+        c_stop = c_start + meta["n_blocks"]
+        if c_stop <= start or c_start >= stop:
+            continue
+        f.seek(base_off + meta["offset"])
+        raw = f.read(meta["nbytes"])
+        blocks = _decode_chunk(meta, raw, meta["n_blocks"], dtype)
+        out.append(blocks[max(start, c_start) - c_start:
+                          min(stop, c_stop) - c_start])
+    if not out:
+        return np.empty((0, layout.BLOCK), layout.np_dtype(dtype))
+    return np.concatenate(out, axis=0)
+
+
 def _delta_parts(values: np.ndarray, dtype: str, use_native: bool):
     """transposed, per-block row-0 base (index(0, lane) == lane), deltas."""
     nl = layout.lanes(dtype)
@@ -137,17 +183,7 @@ def write_file(path: str, values, dtype=None, codec: str = "auto",
         arr = transforms.zigzag_encode_np(arr)
         transform = "zigzag"
     dtype = layout.canon_dtype(dtype if dtype is not None else arr.dtype)
-    arr = arr.astype(layout.np_dtype(dtype), copy=False)
-    n_values = None
-    if arr.ndim == 1:
-        n_values = int(arr.size)  # flat in -> flat (trimmed) out
-        pad = (-arr.size) % layout.BLOCK
-        if pad:
-            fill = arr[-1:] if arr.size else np.zeros(1, arr.dtype)
-            arr = np.concatenate([arr, np.repeat(fill, pad)])
-        arr = arr.reshape(-1, layout.BLOCK)
-    if arr.ndim != 2 or arr.shape[1] != layout.BLOCK:
-        raise ValueError(f"values must be (B, {layout.BLOCK}) or flat, got {arr.shape}")
+    arr, n_values = pad_to_blocks(arr, dtype)
 
     chunks, payloads, offset = [], [], 0
     for start in range(0, arr.shape[0], chunk_blocks):
@@ -188,10 +224,7 @@ def read_header(path: str) -> dict:
 
 
 def _payload_base(path: str) -> int:
-    with open(path, "rb") as f:
-        f.seek(len(MAGIC))
-        (hlen,) = struct.unpack("<I", f.read(4))
-    return len(MAGIC) + 4 + hlen
+    return payload_base_of(path, MAGIC)
 
 
 def read_blocks(path: str, start: int = 0, stop: Optional[int] = None) -> np.ndarray:
@@ -202,25 +235,9 @@ def read_blocks(path: str, start: int = 0, stop: Optional[int] = None) -> np.nda
     stop = n if stop is None else min(stop, n)
     if not 0 <= start <= stop:
         raise IndexError(f"bad block range [{start}, {stop})")
-    base_off = _payload_base(path)
-    cb = header["chunk_blocks"]
-    out = []
     with open(path, "rb") as f:
-        for ci, meta in enumerate(header["chunks"]):
-            c_start = ci * cb
-            c_stop = c_start + meta["n_blocks"]
-            if c_stop <= start or c_start >= stop:
-                continue
-            f.seek(base_off + meta["offset"])
-            raw = f.read(meta["nbytes"])
-            blocks = _decode_chunk(meta, raw, meta["n_blocks"], dtype)
-            lo = max(start, c_start) - c_start
-            hi = min(stop, c_stop) - c_start
-            out.append(blocks[lo:hi])
-    if not out:
-        blocks = np.empty((0, layout.BLOCK), layout.np_dtype(dtype))
-    else:
-        blocks = np.concatenate(out, axis=0)
+        blocks = read_chunk_range(f, header["chunks"], _payload_base(path),
+                                  header["chunk_blocks"], start, stop, dtype)
     if header.get("transform") == "zigzag":
         return transforms.zigzag_decode_np(blocks)
     return blocks

@@ -28,20 +28,7 @@ MAGIC = b"FLTTAB1"
 _VERSION = 1
 
 
-def _blocks_of(arr: np.ndarray, dtype: str):
-    """(blocks, n_values or None) — same padding contract as fio.write_file."""
-    arr = np.ascontiguousarray(arr).astype(layout.np_dtype(dtype), copy=False)
-    n_values = None
-    if arr.ndim == 1:
-        n_values = int(arr.size)
-        pad = (-arr.size) % layout.BLOCK
-        if pad:
-            fill = arr[-1:] if arr.size else np.zeros(1, arr.dtype)
-            arr = np.concatenate([arr, np.repeat(fill, pad)])
-        arr = arr.reshape(-1, layout.BLOCK)
-    if arr.ndim != 2 or arr.shape[1] != layout.BLOCK:
-        raise ValueError(f"column must be flat or (B, {layout.BLOCK}), got {arr.shape}")
-    return arr, n_values
+
 
 
 def write_table(path: str, columns: Dict[str, np.ndarray], dtypes=None,
@@ -57,7 +44,7 @@ def write_table(path: str, columns: Dict[str, np.ndarray], dtypes=None,
             arr = transforms.zigzag_encode_np(arr)  # signed -> zigzag codes
             transform = "zigzag"
         dtype = layout.canon_dtype(dtypes.get(name, arr.dtype))
-        blocks, n_values = _blocks_of(arr, dtype)
+        blocks, n_values = fio.pad_to_blocks(arr, dtype)
         chunks = []
         for start in range(0, blocks.shape[0], chunk_blocks):
             part = blocks[start:start + chunk_blocks]
@@ -97,43 +84,19 @@ def read_table_header(path: str) -> dict:
 
 
 def _payload_base(path: str) -> int:
-    with open(path, "rb") as f:
-        f.seek(len(MAGIC))
-        (hlen,) = struct.unpack("<I", f.read(4))
-    return len(MAGIC) + 4 + hlen
+    return fio.payload_base_of(path, MAGIC)
 
 
-def read_column(path: str, name: str, start: int = 0,
-                stop: Optional[int] = None) -> np.ndarray:
-    """Decode blocks [start, stop) of one column — touches only its covering
-    chunks. Full reads of flat-written columns are trimmed to exact length."""
-    header = read_table_header(path)
-    try:
-        col = header["columns"][name]
-    except KeyError:
-        raise KeyError(f"no column {name!r}; have {sorted(header['columns'])}") from None
+def _read_column(f, col: dict, base_off: int, start: int,
+                 stop: Optional[int]) -> np.ndarray:
     dtype = col["dtype"]
     n = col["n_blocks"]
     full = start == 0 and stop is None
     stop = n if stop is None else min(stop, n)
     if not 0 <= start <= stop:
         raise IndexError(f"bad block range [{start}, {stop})")
-    base_off = _payload_base(path)
-    cb = col["chunk_blocks"]
-    out = []
-    with open(path, "rb") as f:
-        for ci, meta in enumerate(col["chunks"]):
-            c_start = ci * cb
-            c_stop = c_start + meta["n_blocks"]
-            if c_stop <= start or c_start >= stop:
-                continue
-            f.seek(base_off + meta["offset"])
-            raw = f.read(meta["nbytes"])
-            blocks = fio._decode_chunk(meta, raw, meta["n_blocks"], dtype)
-            out.append(blocks[max(start, c_start) - c_start:
-                              min(stop, c_stop) - c_start])
-    blocks = (np.concatenate(out, axis=0) if out
-              else np.empty((0, layout.BLOCK), layout.np_dtype(dtype)))
+    blocks = fio.read_chunk_range(f, col["chunks"], base_off,
+                                  col["chunk_blocks"], start, stop, dtype)
     if col.get("transform") == "zigzag":
         blocks = transforms.zigzag_decode_np(blocks)
     if full and "n_values" in col:
@@ -141,7 +104,28 @@ def read_column(path: str, name: str, start: int = 0,
     return blocks
 
 
+def _col_meta(header: dict, name: str) -> dict:
+    try:
+        return header["columns"][name]
+    except KeyError:
+        raise KeyError(f"no column {name!r}; have {sorted(header['columns'])}") from None
+
+
+def read_column(path: str, name: str, start: int = 0,
+                stop: Optional[int] = None) -> np.ndarray:
+    """Decode blocks [start, stop) of one column — touches only its covering
+    chunks. Full reads of flat-written columns are trimmed to exact length."""
+    header = read_table_header(path)
+    col = _col_meta(header, name)
+    with open(path, "rb") as f:
+        return _read_column(f, col, _payload_base(path), start, stop)
+
+
 def read_table(path: str, names=None) -> Dict[str, np.ndarray]:
+    """Decode several (default: all) columns, parsing the header once."""
     header = read_table_header(path)
     names = list(header["columns"]) if names is None else list(names)
-    return {name: read_column(path, name) for name in names}
+    base_off = _payload_base(path)
+    with open(path, "rb") as f:
+        return {name: _read_column(f, _col_meta(header, name), base_off, 0, None)
+                for name in names}

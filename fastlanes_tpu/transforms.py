@@ -14,14 +14,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from .core import layout
-
-_SIGNED_OF = {"u8": np.int8, "u16": np.int16, "u32": np.int32, "u64": np.int64}
-
-
-def signed_dtype(dtype) -> np.dtype:
-    return np.dtype(_SIGNED_OF[layout.canon_dtype(dtype)])
-
 
 def zigzag_encode_np(values: np.ndarray) -> np.ndarray:
     """Signed array -> same-width unsigned zigzag codes."""
