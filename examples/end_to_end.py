@@ -76,6 +76,19 @@ def main():
     assert np.array_equal(np.asarray(codec.decode(enc)), sorted_vals)
     print(f"6. fused delta codec W={enc.width} ok")
 
+    # 7. Multi-column table with a signed (zigzag) column, any lengths.
+    from fastlanes_tpu import fio_table
+    rng = np.random.default_rng(7)
+    table = {"id": np.arange(3000, dtype=np.uint32),
+             "delta_t": rng.integers(-50, 50, 3000, np.int64).astype(np.int16)}
+    with tempfile.NamedTemporaryFile(suffix=".flt") as f:
+        fio_table.write_table(f.name, table)
+        got = fio_table.read_table(f.name)
+    assert got["delta_t"].dtype == np.int16
+    for k in table:
+        assert np.array_equal(got[k], table[k])
+    print("7. table file (unsigned + signed zigzag columns) ok")
+
 
 if __name__ == "__main__":
     main()
