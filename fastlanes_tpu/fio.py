@@ -90,6 +90,68 @@ def _delta_parts(values: np.ndarray, dtype: str, use_native: bool):
     return transposed, base, deltas
 
 
+def _zigzag_deltas(deltas: np.ndarray) -> np.ndarray:
+    """Wrapping-unsigned deltas -> zigzag codes: a small NEGATIVE step (which
+    wraps to a huge unsigned delta and ruins plain delta's width) becomes a
+    small code. The zdelta codec = Transpose -> Delta -> zigzag -> BitPack."""
+    t = deltas.dtype.itemsize * 8
+    signed = deltas.view(np.dtype(f"int{t}"))  # two's complement reinterpret
+    return transforms.zigzag_encode_np(signed)
+
+
+def _unzigzag_deltas(codes: np.ndarray) -> np.ndarray:
+    t = codes.dtype.itemsize * 8
+    return transforms.zigzag_decode_np(codes).view(np.dtype(f"uint{t}"))
+
+
+def _auto_candidates(values: np.ndarray, dtype: str, delta_parts) -> dict:
+    """Per-codec cost in equivalent bits/value. delta/zdelta pay their base
+    prefix: LANES*T = 1024 bits per 1024-value block = exactly +1 bit/value
+    for every dtype."""
+    t = layout.bit_width(dtype)
+    vmax = int(values.max()) if values.size else 0
+    vmin = int(values.min()) if values.size else 0
+    deltas = delta_parts[2]
+    return {
+        "bitpack": float(vmax.bit_length()),
+        "ffor": float((((vmax - vmin) % (1 << t))).bit_length()),
+        "delta": _bits_needed_arr(deltas) + 1.0,
+        "zdelta": _bits_needed_arr(_zigzag_deltas(deltas)) + 1.0,
+    }
+
+
+def choose_signed_transform(arr: np.ndarray, chunk_blocks: int = 1024):
+    """For a signed column, pick the file/column transform by probing the
+    first chunk: 'zigzag' (values mapped so |v| small -> code small; best for
+    clustered-around-zero data) vs 'viewu' (two's-complement reinterpret;
+    consecutive diffs survive, so sorted/walk data zdeltas tightly).
+    Returns (transformed unsigned array, transform name)."""
+    u_dt = np.dtype(f"uint{arr.dtype.itemsize * 8}")
+    wire = layout.canon_dtype(u_dt)
+    viewed = np.ascontiguousarray(arr).view(u_dt)
+    zigzagged = transforms.zigzag_encode_np(arr)
+    use_native = native.available()
+    costs = {}
+    for name, cand in (("viewu", viewed), ("zigzag", zigzagged)):
+        blocks, _ = pad_to_blocks(cand, wire)
+        probe = blocks[:chunk_blocks]
+        costs[name] = min(_auto_candidates(
+            probe, wire, _delta_parts(probe, wire, use_native)).values())
+    best = min(costs, key=costs.get)
+    return (viewed if best == "viewu" else zigzagged), best
+
+
+def apply_inverse_transform(blocks: np.ndarray, transform) -> np.ndarray:
+    """Undo a file/column-level transform on decoded unsigned blocks."""
+    if transform == "zigzag":
+        return transforms.zigzag_decode_np(blocks)
+    if transform == "viewu":
+        return blocks.view(np.dtype(f"int{blocks.dtype.itemsize * 8}"))
+    if transform is None:
+        return blocks
+    raise ValueError(f"unknown transform {transform!r}")
+
+
 def _encode_chunk(values: np.ndarray, dtype: str, codec: str):
     """Encode one chunk; returns (meta, payload_bytes)."""
     t = layout.bit_width(dtype)
@@ -97,19 +159,8 @@ def _encode_chunk(values: np.ndarray, dtype: str, codec: str):
     delta_parts = None
 
     if codec == "auto":
-        vmax = int(values.max()) if values.size else 0
-        vmin = int(values.min()) if values.size else 0
-        spread = (vmax - vmin) % (1 << t)
         delta_parts = _delta_parts(values, dtype, use_native)
-        # delta pays a base prefix of LANES words per block on top of the
-        # packed bits: LANES*T = 1024 bits per 1024-value block, i.e. exactly
-        # 1 extra bit/value for every dtype — charge it so the smallest-file
-        # codec wins.
-        cands = {
-            "bitpack": float(vmax.bit_length()),
-            "ffor": float(spread.bit_length()),
-            "delta": _bits_needed_arr(delta_parts[2]) + 1.0,
-        }
+        cands = _auto_candidates(values, dtype, delta_parts)
         codec = min(cands, key=lambda k: (cands[k], k != "ffor"))
 
     if codec == "bitpack":
@@ -134,6 +185,16 @@ def _encode_chunk(values: np.ndarray, dtype: str, codec: str):
                   else npref.pack(deltas, w, dtype))
         return {"codec": codec, "width": w}, base.tobytes() + packed.tobytes()
 
+    if codec == "zdelta":
+        if delta_parts is None:
+            delta_parts = _delta_parts(values, dtype, use_native)
+        _, base, deltas = delta_parts
+        zz = _zigzag_deltas(deltas)
+        w = min(t, _bits_needed_arr(zz))
+        packed = (native.pack(zz, w, dtype) if use_native
+                  else npref.pack(zz, w, dtype))
+        return {"codec": codec, "width": w}, base.tobytes() + packed.tobytes()
+
     raise ValueError(f"unknown codec {codec!r}")
 
 
@@ -151,6 +212,18 @@ def _decode_chunk(meta: dict, raw: bytes, n_blocks: int, dtype: str) -> np.ndarr
         packed = np.frombuffer(raw[base_bytes:], np_dt).reshape(n_blocks, -1)
         transposed = (native.undelta_pack(packed, base, w, dtype) if use_native
                       else npref.undelta_pack(packed, base, w, dtype))
+        return (native.untranspose(transposed, dtype) if use_native
+                else npref.untranspose(transposed, dtype))
+
+    if codec == "zdelta":
+        base_bytes = n_blocks * nl * np_dt.itemsize
+        base = np.frombuffer(raw[:base_bytes], np_dt).reshape(n_blocks, nl)
+        packed = np.frombuffer(raw[base_bytes:], np_dt).reshape(n_blocks, -1)
+        zz = (native.unpack(packed, w, dtype) if use_native
+              else npref.unpack(packed, w, dtype))
+        deltas = _unzigzag_deltas(zz)
+        transposed = (native.undelta(deltas, base, dtype) if use_native
+                      else npref.undelta(deltas, base, dtype))
         return (native.untranspose(transposed, dtype) if use_native
                 else npref.untranspose(transposed, dtype))
 
@@ -180,8 +253,7 @@ def write_file(path: str, values, dtype=None, codec: str = "auto",
     arr = np.ascontiguousarray(values)
     transform = None
     if dtype is None and arr.dtype.kind == "i":
-        arr = transforms.zigzag_encode_np(arr)
-        transform = "zigzag"
+        arr, transform = choose_signed_transform(arr, chunk_blocks)
     dtype = layout.canon_dtype(dtype if dtype is not None else arr.dtype)
     arr, n_values = pad_to_blocks(arr, dtype)
 
@@ -238,9 +310,7 @@ def read_blocks(path: str, start: int = 0, stop: Optional[int] = None) -> np.nda
     with open(path, "rb") as f:
         blocks = read_chunk_range(f, header["chunks"], _payload_base(path),
                                   header["chunk_blocks"], start, stop, dtype)
-    if header.get("transform") == "zigzag":
-        return transforms.zigzag_decode_np(blocks)
-    return blocks
+    return apply_inverse_transform(blocks, header.get("transform"))
 
 
 def read_file(path: str) -> np.ndarray:
@@ -275,7 +345,7 @@ def read_single(path: str, block: int, index: int):
     np_dt = layout.np_dtype(dtype)
     base_off = _payload_base(path)
 
-    if meta["codec"] == "delta":
+    if meta["codec"] in ("delta", "zdelta"):
         blocks = read_blocks(path, block, block + 1)  # applies any transform
         return blocks[0, index]
 
@@ -293,6 +363,7 @@ def read_single(path: str, block: int, index: int):
         val = npref.unpack_single(packed, w, idx_arr, dtype)[0, 0]
     if meta["codec"] == "ffor":
         val = np_dt.type(val + np_dt.type(meta["reference"]))
-    if header.get("transform") == "zigzag":
-        return transforms.zigzag_decode_np(np.asarray([val], np_dt))[0]
+    transform = header.get("transform")
+    if transform is not None:
+        return apply_inverse_transform(np.asarray([val], np_dt), transform)[0]
     return val

@@ -22,6 +22,7 @@ import numpy as np
 from . import fio, transforms
 from .core import layout
 from .kernels import pallas_codecs as pk
+from .ops import delta as delta_mod
 from .ops import transpose as transpose_mod
 from .parallel import shard as psh
 
@@ -43,13 +44,29 @@ def _decode_chunk_device(meta: dict, raw: bytes, n_blocks: int, dtype: str,
     codec = meta["codec"]
     plen = layout.packed_len(dtype, w)
 
-    if codec == "delta":
+    if codec in ("delta", "zdelta"):
         base_bytes = n_blocks * nl * np_dt.itemsize
         base = _np_to_device_form(
             np.frombuffer(raw[:base_bytes], np_dt).reshape(n_blocks, nl), dtype)
         packed = _np_to_device_form(
             np.frombuffer(raw[base_bytes:], np_dt).reshape(n_blocks, plen), dtype)
-        if mesh is not None:
+        if codec == "zdelta":
+            # unpack -> unzigzag the deltas -> prefix-sum (composed in-graph;
+            # XLA fuses the zigzag into the unpack consumer)
+            if dtype == "u64":
+                raise NotImplementedError(
+                    "device zdelta for u64 limb images needs jax x64; use "
+                    "fio.read_blocks (host) for 64-bit zdelta columns")
+            import jax
+
+            zz = (psh.sharded_unpack(mesh, packed, w, dtype,
+                                     use_kernels=use_kernels)
+                  if mesh is not None else pk.unpack(packed, w, dtype))
+            t = layout.bit_width(dtype)
+            deltas = jax.lax.bitcast_convert_type(
+                transforms.zigzag_decode(zz), jnp.dtype(f"uint{t}"))
+            transposed = delta_mod.undelta(deltas, base, dtype)
+        elif mesh is not None:
             transposed = psh.sharded_undelta_pack(mesh, packed, base, w, dtype,
                                                   use_kernels=use_kernels)
         else:
@@ -106,12 +123,21 @@ def read_blocks_device(path: str, start: int = 0, stop: Optional[int] = None,
                            else layout.np_dtype(dtype))
     else:
         blocks = jnp.concatenate(out, axis=0)
-    if header.get("transform") == "zigzag":
+    transform = header.get("transform")
+    if transform is not None:
         if dtype == "u64":
             raise NotImplementedError(
-                "zigzag-decoding u64 limb images on device needs jax x64; "
-                "use fio.read_blocks (host) for signed 64-bit columns")
-        blocks = transforms.zigzag_decode(blocks)
+                "signed-transform decode of u64 limb images on device needs "
+                "jax x64; use fio.read_blocks (host) for signed 64-bit columns")
+        if transform == "zigzag":
+            blocks = transforms.zigzag_decode(blocks)
+        elif transform == "viewu":
+            import jax
+
+            t = layout.bit_width(dtype)
+            blocks = jax.lax.bitcast_convert_type(blocks, jnp.dtype(f"int{t}"))
+        else:
+            raise ValueError(f"unknown transform {transform!r}")
     return blocks
 
 

@@ -41,8 +41,7 @@ def write_table(path: str, columns: Dict[str, np.ndarray], dtypes=None,
         arr = np.asarray(arr)
         transform = None
         if name not in dtypes and arr.dtype.kind == "i":
-            arr = transforms.zigzag_encode_np(arr)  # signed -> zigzag codes
-            transform = "zigzag"
+            arr, transform = fio.choose_signed_transform(arr, chunk_blocks)
         dtype = layout.canon_dtype(dtypes.get(name, arr.dtype))
         blocks, n_values = fio.pad_to_blocks(arr, dtype)
         chunks = []
@@ -97,8 +96,7 @@ def _read_column(f, col: dict, base_off: int, start: int,
         raise IndexError(f"bad block range [{start}, {stop})")
     blocks = fio.read_chunk_range(f, col["chunks"], base_off,
                                   col["chunk_blocks"], start, stop, dtype)
-    if col.get("transform") == "zigzag":
-        blocks = transforms.zigzag_decode_np(blocks)
+    blocks = fio.apply_inverse_transform(blocks, col.get("transform"))
     if full and "n_values" in col:
         return blocks.reshape(-1)[:col["n_values"]]
     return blocks

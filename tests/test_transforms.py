@@ -29,17 +29,41 @@ def test_zigzag_jnp_matches_np(rng):
     np.testing.assert_array_equal(back, vals)
 
 
-def test_signed_flt_roundtrip(tmp_path, rng):
-    # near-sorted signed data: zigzag'd deltas stay small
+def test_signed_flt_roundtrip_walk(tmp_path, rng):
+    # signed random walk: viewu keeps consecutive diffs small -> zdelta wins
     col = np.cumsum(rng.integers(-10, 12, 5000, np.int64)).astype(np.int32)
     path = str(tmp_path / "s.flt")
     header = fio.write_file(path, col)
-    assert header["transform"] == "zigzag"
+    assert header["transform"] == "viewu"
+    assert header["chunks"][0]["codec"] == "zdelta"
+    assert header["chunks"][0]["width"] <= 6  # |delta| <= 11 -> zigzag < 2^5
     got = fio.read_file(path)
     assert got.dtype == np.int32
     np.testing.assert_array_equal(got, col)
     # random access decodes through the transform too
     assert fio.read_single(path, 2, 100) == col[2 * 1024 + 100]
+
+
+def test_signed_flt_roundtrip_clustered(tmp_path, rng):
+    # unsorted values clustered around zero: zigzag(values) wins
+    col = rng.integers(-30, 30, 5000, np.int64).astype(np.int32)
+    path = str(tmp_path / "c.flt")
+    header = fio.write_file(path, col)
+    assert header["transform"] == "zigzag"
+    np.testing.assert_array_equal(fio.read_file(path), col)
+
+
+def test_zdelta_beats_delta_on_noisy_sorted(tmp_path, rng):
+    # mostly-ascending unsigned data with occasional small dips: plain delta
+    # wraps the negative steps to ~2^32 (width 32); zdelta stays tight
+    steps = rng.integers(-3, 20, 5000, np.int64)
+    col = (np.cumsum(steps) + 10_000).astype(np.uint32)
+    path = str(tmp_path / "n.flt")
+    header = fio.write_file(path, col)
+    assert header["chunks"][0]["codec"] == "zdelta"
+    assert header["chunks"][0]["width"] <= 6
+    np.testing.assert_array_equal(fio.read_file(path), col)
+    assert fio.read_single(path, 1, 7) == col[1024 + 7]
 
 
 def test_signed_device_decode(tmp_path, rng):
@@ -63,3 +87,23 @@ def test_signed_table_column(tmp_path, rng):
     assert got["balance"].dtype == np.int16
     for k in table:
         np.testing.assert_array_equal(got[k], table[k])
+
+
+def test_zdelta_device_decode(tmp_path, rng):
+    steps = rng.integers(-3, 20, 4000, np.int64)
+    col = (np.cumsum(steps) + 10_000).astype(np.uint32)
+    path = str(tmp_path / "n.flt")
+    header = fio.write_file(path, col)
+    assert header["chunks"][0]["codec"] == "zdelta"
+    got = np.asarray(fio_device.read_file_device(path))
+    np.testing.assert_array_equal(got, col)
+
+
+def test_viewu_device_decode(tmp_path, rng):
+    col = np.cumsum(rng.integers(-10, 12, 3000, np.int64)).astype(np.int32)
+    path = str(tmp_path / "w.flt")
+    header = fio.write_file(path, col)
+    assert header["transform"] == "viewu"
+    got = np.asarray(fio_device.read_file_device(path))
+    assert got.dtype == np.int32
+    np.testing.assert_array_equal(got, col)
