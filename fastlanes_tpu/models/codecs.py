@@ -182,6 +182,58 @@ class DeltaCodec(Codec):
         return dispatch.get("untranspose", enc.dtype, 0)(transposed)
 
 
+class ZDeltaCodec(Codec):
+    """Delta with zigzag'd deltas: Transpose -> Delta -> zigzag -> pack.
+    Plain delta wraps small NEGATIVE steps to ~2^T (full width); zigzag
+    keeps them small, so noisy-sorted data packs tightly. All stages run on
+    device (zigzag is 3 vector ops XLA fuses into the pipeline). u64 limb
+    images are not supported (device zigzag needs native-width ints)."""
+
+    name = "zdelta"
+
+    def encode(self, values) -> Encoded:
+        dt = self.dtype
+        if eng.is_limb(dt):
+            raise NotImplementedError("zdelta is not available for u64 limb images")
+        transposed = dispatch.get("transpose", dt, 0)(values)
+        base = _lane_base(transposed, dt, layout.lanes(dt))
+        deltas = dispatch.get("delta", dt, 0)(transposed, base)
+        zz = _zigzag_device(deltas, dt)
+        if self.width is not None:
+            w = self.width
+        else:
+            w = min(layout.bit_width(dt), bits_needed(_device_max(zz, dt)))
+        payload = dispatch.get("pack", dt, w)(zz)
+        return Encoded(self.name, dt, w, _n_blocks_of(values, dt), payload,
+                       params={"base": base})
+
+    def decode(self, enc: Encoded):
+        zz = dispatch.get("unpack", enc.dtype, enc.width)(enc.payload)
+        deltas = _unzigzag_device(zz, enc.dtype)
+        transposed = dispatch.get("undelta", enc.dtype, 0)(deltas, enc.params["base"])
+        return dispatch.get("untranspose", enc.dtype, 0)(transposed)
+
+
+def _zigzag_device(deltas, dtype):
+    import jax
+
+    from .. import transforms
+
+    t = layout.bit_width(dtype)
+    signed = jax.lax.bitcast_convert_type(deltas, jnp.dtype(f"int{t}"))
+    return transforms.zigzag_encode(signed)
+
+
+def _unzigzag_device(codes, dtype):
+    import jax
+
+    from .. import transforms
+
+    t = layout.bit_width(dtype)
+    return jax.lax.bitcast_convert_type(
+        transforms.zigzag_decode(codes), jnp.dtype(f"uint{t}"))
+
+
 def _zero_base(values, dtype, nl):
     if eng.is_limb(dtype):
         return jnp.zeros((nl, 2), jnp.uint32)
@@ -204,7 +256,7 @@ def _as_param(value: int, dtype):
     return jnp.asarray(np.asarray(value, layout.np_dtype(dtype)))
 
 
-_CODECS = {c.name: c for c in (BitPackedCodec, FFoRCodec, DeltaCodec)}
+_CODECS = {c.name: c for c in (BitPackedCodec, FFoRCodec, DeltaCodec, ZDeltaCodec)}
 
 
 def get_codec(name: str, dtype, **kw) -> Codec:
@@ -226,15 +278,18 @@ def auto_encode(values, dtype) -> Encoded:
     vmin = _device_min(values, dt)
     candidates.append(("bitpack", float(min(t, bits_needed(vmax)))))
     candidates.append(("ffor", float(min(t, bits_needed((vmax - vmin) % (1 << t))))))
-    # delta width needs the deltas themselves; its per-block base costs
-    # LANES*T = 1024 bits per 1024-value block = exactly +1 bit/value
+    # delta/zdelta width needs the deltas themselves; their per-block base
+    # costs LANES*T = 1024 bits per 1024-value block = exactly +1 bit/value
     transposed = dispatch.get("transpose", dt, 0)(values)
     base = _lane_base(transposed, dt, layout.lanes(dt))
     deltas = dispatch.get("delta", dt, 0)(transposed, base)
     candidates.append(("delta", min(t, bits_needed(_device_max(deltas, dt))) + 1.0))
+    if not eng.is_limb(dt):
+        zz = _zigzag_device(deltas, dt)
+        candidates.append(("zdelta", min(t, bits_needed(_device_max(zz, dt))) + 1.0))
     name, cost = min(candidates, key=lambda c: c[1])
     if name == "ffor":
         return FFoRCodec(dt, width=int(cost), reference=vmin).encode(values)
-    if name == "delta":
-        return DeltaCodec(dt, width=int(cost - 1.0)).encode(values)
+    if name in ("delta", "zdelta"):
+        return get_codec(name, dt, width=int(cost - 1.0)).encode(values)
     return get_codec(name, dt, width=int(cost)).encode(values)

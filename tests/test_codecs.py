@@ -101,3 +101,23 @@ def test_auto_encode_picks_delta_for_sorted_data(rng):
 def test_get_codec_unknown():
     with pytest.raises(ValueError):
         get_codec("zstd", "u32")
+
+
+def test_zdelta_codec_roundtrip(rng):
+    from fastlanes_tpu.models.codecs import ZDeltaCodec
+    # noisy-sorted: plain delta would need full width; zdelta stays tight
+    steps = rng.integers(-3, 20, (2, 1024), np.int64)
+    values = (np.cumsum(steps, axis=1) + 50_000).astype(np.uint32)
+    codec = ZDeltaCodec("u32")
+    enc = codec.encode(values)
+    assert enc.width <= 6
+    np.testing.assert_array_equal(np.asarray(codec.decode(enc)), values)
+
+
+def test_auto_encode_picks_zdelta_for_noisy_sorted(rng):
+    steps = rng.integers(-3, 20, (2, 1024), np.int64)
+    values = (np.cumsum(steps, axis=1) + 50_000).astype(np.uint32)
+    enc = auto_encode(values, "u32")
+    assert enc.codec == "zdelta"
+    np.testing.assert_array_equal(
+        np.asarray(get_codec(enc.codec, "u32").decode(enc)), values)
