@@ -35,6 +35,23 @@ def _np_to_device_form(arr: np.ndarray, dtype: str):
     return jnp.asarray(arr)
 
 
+def _unzigzag_device(codes, dtype: str):
+    """Zigzag codes -> two's-complement bits, in the wire's unsigned domain.
+    v = (u >> 1) ^ -(u & 1); for u64 limb images -(u & 1) is all-ones or
+    zero in BOTH limbs, so it stays pure 32-bit vector math."""
+    import jax
+
+    if dtype == "u64":
+        lo, hi = codes[..., 0], codes[..., 1]
+        s_lo = (lo >> 1) | (hi << 31)
+        s_hi = hi >> 1
+        m = jnp.uint32(0) - (lo & jnp.uint32(1))
+        return jnp.stack([s_lo ^ m, s_hi ^ m], axis=-1)
+    t = layout.bit_width(dtype)
+    return jax.lax.bitcast_convert_type(
+        transforms.zigzag_decode(codes), jnp.dtype(f"uint{t}"))
+
+
 def _decode_chunk_device(meta: dict, raw: bytes, n_blocks: int, dtype: str,
                          mesh=None, use_kernels: bool = True):
     t = layout.bit_width(dtype)
@@ -53,18 +70,10 @@ def _decode_chunk_device(meta: dict, raw: bytes, n_blocks: int, dtype: str,
         if codec == "zdelta":
             # unpack -> unzigzag the deltas -> prefix-sum (composed in-graph;
             # XLA fuses the zigzag into the unpack consumer)
-            if dtype == "u64":
-                raise NotImplementedError(
-                    "device zdelta for u64 limb images needs jax x64; use "
-                    "fio.read_blocks (host) for 64-bit zdelta columns")
-            import jax
-
             zz = (psh.sharded_unpack(mesh, packed, w, dtype,
                                      use_kernels=use_kernels)
                   if mesh is not None else pk.unpack(packed, w, dtype))
-            t = layout.bit_width(dtype)
-            deltas = jax.lax.bitcast_convert_type(
-                transforms.zigzag_decode(zz), jnp.dtype(f"uint{t}"))
+            deltas = _unzigzag_device(zz, dtype)
             transposed = delta_mod.undelta(deltas, base, dtype)
         elif mesh is not None:
             transposed = psh.sharded_undelta_pack(mesh, packed, base, w, dtype,
@@ -125,17 +134,19 @@ def read_blocks_device(path: str, start: int = 0, stop: Optional[int] = None,
         blocks = jnp.concatenate(out, axis=0)
     transform = header.get("transform")
     if transform is not None:
-        if dtype == "u64":
-            raise NotImplementedError(
-                "signed-transform decode of u64 limb images on device needs "
-                "jax x64; use fio.read_blocks (host) for signed 64-bit columns")
         if transform == "zigzag":
-            blocks = transforms.zigzag_decode(blocks)
+            if dtype == "u64":
+                # limb-domain unzigzag yields the int64 bit pattern, which
+                # IS the (..., 2) limb image of the signed values
+                blocks = _unzigzag_device(blocks, dtype)
+            else:
+                blocks = transforms.zigzag_decode(blocks)
         elif transform == "viewu":
-            import jax
+            if dtype != "u64":  # u64 limb image already carries the raw bits
+                import jax
 
-            t = layout.bit_width(dtype)
-            blocks = jax.lax.bitcast_convert_type(blocks, jnp.dtype(f"int{t}"))
+                t = layout.bit_width(dtype)
+                blocks = jax.lax.bitcast_convert_type(blocks, jnp.dtype(f"int{t}"))
         else:
             raise ValueError(f"unknown transform {transform!r}")
     return blocks

@@ -107,3 +107,28 @@ def test_viewu_device_decode(tmp_path, rng):
     got = np.asarray(fio_device.read_file_device(path))
     assert got.dtype == np.int32
     np.testing.assert_array_equal(got, col)
+
+
+def test_u64_zdelta_and_signed_device_decode(tmp_path, rng):
+    # u64 noisy-sorted: zdelta on device via limb-domain unzigzag
+    steps = rng.integers(-3, 20, 3000, np.int64)
+    col = (np.cumsum(steps).astype(np.int64) + (1 << 40)).astype(np.uint64)
+    path = str(tmp_path / "u64n.flt")
+    header = fio.write_file(path, col)
+    assert header["chunks"][0]["codec"] == "zdelta"
+    got = np.asarray(fio_device.read_file_device(path))  # (n, 2) limb image
+    got = np.ascontiguousarray(got).view(np.uint8).reshape(got.shape[0], -1) \
+        .view(np.uint64).reshape(-1)
+    np.testing.assert_array_equal(got, col)
+
+    # signed int64 walk: device read returns the limb image of the int64 bits
+    scol = np.cumsum(rng.integers(-10, 12, 2000, np.int64))
+    spath = str(tmp_path / "i64.flt")
+    sheader = fio.write_file(spath, scol)
+    assert sheader["transform"] in ("viewu", "zigzag")
+    dev = np.asarray(fio_device.read_file_device(spath))
+    dev = np.ascontiguousarray(dev).view(np.uint8).reshape(dev.shape[0], -1) \
+        .view(np.int64).reshape(-1)
+    np.testing.assert_array_equal(dev, scol)
+    # host read returns signed directly
+    np.testing.assert_array_equal(fio.read_file(spath), scol)
