@@ -68,13 +68,15 @@ def _decode_chunk_device(meta: dict, raw: bytes, n_blocks: int, dtype: str,
         packed = _np_to_device_form(
             np.frombuffer(raw[base_bytes:], np_dt).reshape(n_blocks, plen), dtype)
         if codec == "zdelta":
-            # unpack -> unzigzag the deltas -> prefix-sum (composed in-graph;
-            # XLA fuses the zigzag into the unpack consumer)
-            zz = (psh.sharded_unpack(mesh, packed, w, dtype,
-                                     use_kernels=use_kernels)
-                  if mesh is not None else pk.unpack(packed, w, dtype))
-            deltas = _unzigzag_device(zz, dtype)
-            transposed = delta_mod.undelta(deltas, base, dtype)
+            if mesh is not None:
+                # unpack -> unzigzag -> prefix-sum composed in-graph per shard
+                zz = psh.sharded_unpack(mesh, packed, w, dtype,
+                                        use_kernels=use_kernels)
+                deltas = _unzigzag_device(zz, dtype)
+                transposed = delta_mod.undelta(deltas, base, dtype)
+            else:
+                # single fused kernel pass
+                transposed = pk.unzdelta_pack(packed, base, w, dtype)
         elif mesh is not None:
             transposed = psh.sharded_undelta_pack(mesh, packed, base, w, dtype,
                                                   use_kernels=use_kernels)

@@ -7,11 +7,12 @@ from .pallas_codecs import (
     for_pack,
     pack,
     undelta_pack,
+    unzdelta_pack,
     unfor_pack,
     unpack,
 )
 
 __all__ = [
-    "pallas_codecs", "pack", "unpack", "undelta_pack", "delta_pack",
+    "pallas_codecs", "pack", "unpack", "undelta_pack", "unzdelta_pack", "delta_pack",
     "for_pack", "unfor_pack",
 ]

@@ -315,6 +315,28 @@ def _undelta_hook(dtype):
     return post_row
 
 
+def _unzigzag_vec(elem, dtype):
+    """zigzag code -> two's-complement delta bits: v = (u >> 1) ^ -(u & 1).
+    For limb pairs the sign mask -(u & 1) is identical in both limbs, so
+    everything stays 32-bit vector math (aligned operands only)."""
+    if eng.is_limb(dtype):
+        lo, hi = elem
+        m = jnp.uint32(0) - (lo & jnp.uint32(1))
+        return ((lo >> 1) | (hi << 31)) ^ m, (hi >> 1) ^ m
+    one = elem.dtype.type(1)
+    return (elem >> one) ^ (elem.dtype.type(0) - (elem & one))
+
+
+def _unzdelta_hook(dtype):
+    """Fused zdelta decode: unzigzag each unpacked row, then prefix-sum —
+    the zdelta analogue of reference delta.rs:48-63's fusion."""
+    def post_row(elem, prev):
+        nxt = eng.add(_unzigzag_vec(elem, dtype), prev, dtype)
+        return nxt, nxt
+
+    return post_row
+
+
 def _delta_hook(dtype):
     def pre_row(elem, prev):
         return eng.sub(elem, prev, dtype), elem
@@ -371,7 +393,7 @@ def _build_call(op: str, dtype: str, width: int, tile_b: int, n_tiles: int,
     limb = eng.is_limb(dtype)
     io_dt = _io_dtype(dtype)
 
-    decode = op in ("unpack", "undelta_pack", "unfor_pack")
+    decode = op in ("unpack", "undelta_pack", "unzdelta_pack", "unfor_pack")
     in_cols = plen if decode else layout.BLOCK
     out_cols = layout.BLOCK if decode else plen
 
@@ -379,6 +401,7 @@ def _build_call(op: str, dtype: str, width: int, tile_b: int, n_tiles: int,
         "unpack": (None, None),
         "pack": (None, None),
         "undelta_pack": (_undelta_hook(dtype), None),
+        "unzdelta_pack": (_unzdelta_hook(dtype), None),
         "unfor_pack": (_unfor_hook(dtype), None),
         "delta_pack": (None, _delta_hook(dtype)),
         "for_pack": (None, _for_hook(dtype)),
@@ -592,6 +615,33 @@ def undelta_pack(packed, base, width, dtype, *, tile_b=None, interpret=None):
     tile = tile_b or default_tile(dtype)
     main, had_batch = _normalize(packed, dtype)
     out = _run("undelta_pack", main, _prep_base(base, dtype, tile),
+               width, dtype, tile, interp)
+    return _denormalize(out, had_batch, dtype, packed)
+
+
+def unzdelta_pack(packed, base, width, dtype, *, tile_b=None, interpret=None):
+    """Fused zdelta decode: unpack -> unzigzag -> per-lane prefix-sum in one
+    kernel pass (the zdelta twin of undelta_pack)."""
+    fallback, interp = _maybe_fallback(interpret)
+    if fallback or width == 0:
+        from ..ops import delta as ops_delta
+
+        from .. import transforms as _tr
+
+        zz = ops_bitpack.unpack(packed, width, dtype)
+        arr = jnp.asarray(zz)
+        if eng.is_limb(dtype) and arr.dtype == jnp.uint32:
+            lo, hi = arr[..., 0], arr[..., 1]
+            m = jnp.uint32(0) - (lo & jnp.uint32(1))
+            deltas = jnp.stack([((lo >> 1) | (hi << 31)) ^ m, (hi >> 1) ^ m], -1)
+        else:
+            t = layout.bit_width(dtype)
+            deltas = jax.lax.bitcast_convert_type(
+                _tr.zigzag_decode(arr), jnp.dtype(f"uint{t}"))
+        return ops_delta.undelta(deltas, base, dtype)
+    tile = tile_b or default_tile(dtype)
+    main, had_batch = _normalize(packed, dtype)
+    out = _run("unzdelta_pack", main, _prep_base(base, dtype, tile),
                width, dtype, tile, interp)
     return _denormalize(out, had_batch, dtype, packed)
 

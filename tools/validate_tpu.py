@@ -82,6 +82,17 @@ for dt in layout.DTYPES:
                                         to_jax_form(pb_base, dt), pb_w, dt), dt)
     check(f"undelta_pack per-block-base {dt} W={pb_w}", got, transposed)
 
+    # fused zdelta decode (unzigzag + prefix-sum inside the unpack kernel)
+    np_s = np.dtype(f"int{t}")
+    np_u = layout.np_dtype(dt)
+    sd = pb_deltas.view(np_s)  # two's-complement deltas
+    zz = ((sd << 1) ^ (sd >> (t - 1))).view(np_u)  # zigzag codes
+    zw = min(t, int(zz.max()).bit_length()) or 1
+    zz_packed = ref.pack(zz, zw, dt)
+    got = from_jax_form(pk.unzdelta_pack(to_jax_form(zz_packed, dt),
+                                         to_jax_form(pb_base, dt), zw, dt), dt)
+    check(f"unzdelta_pack {dt} W={zw}", got, transposed)
+
     refc = (1 << (w - 1)) + 3
     values = rand(dt, w - 1, N) + layout.np_dtype(dt).type(refc)
     gpacked = ref.for_pack(values, refc, w, dt)
