@@ -36,17 +36,13 @@ def _np_to_device_form(arr: np.ndarray, dtype: str):
 
 
 def _unzigzag_device(codes, dtype: str):
-    """Zigzag codes -> two's-complement bits, in the wire's unsigned domain.
-    v = (u >> 1) ^ -(u & 1); for u64 limb images -(u & 1) is all-ones or
-    zero in BOTH limbs, so it stays pure 32-bit vector math."""
+    """Zigzag codes -> two's-complement bits, in the wire's unsigned domain
+    (limb images for u64; see transforms.zigzag_decode_limb)."""
     import jax
 
     if dtype == "u64":
-        lo, hi = codes[..., 0], codes[..., 1]
-        s_lo = (lo >> 1) | (hi << 31)
-        s_hi = hi >> 1
-        m = jnp.uint32(0) - (lo & jnp.uint32(1))
-        return jnp.stack([s_lo ^ m, s_hi ^ m], axis=-1)
+        return jnp.stack(
+            transforms.zigzag_decode_limb(codes[..., 0], codes[..., 1]), axis=-1)
     t = layout.bit_width(dtype)
     return jax.lax.bitcast_convert_type(
         transforms.zigzag_decode(codes), jnp.dtype(f"uint{t}"))
@@ -54,7 +50,6 @@ def _unzigzag_device(codes, dtype: str):
 
 def _decode_chunk_device(meta: dict, raw: bytes, n_blocks: int, dtype: str,
                          mesh=None, use_kernels: bool = True):
-    t = layout.bit_width(dtype)
     nl = layout.lanes(dtype)
     np_dt = layout.np_dtype(dtype)
     w = meta["width"]
@@ -99,6 +94,55 @@ def _decode_chunk_device(meta: dict, raw: bytes, n_blocks: int, dtype: str,
     raise ValueError(f"unknown codec {codec!r}")
 
 
+def _read_chunks_device(f, chunks, base_off: int, chunk_blocks: int,
+                        start: int, stop: int, dtype: str, mesh, use_kernels):
+    """Device twin of fio.read_chunk_range: only covering chunks decode."""
+    out = []
+    for ci, meta in enumerate(chunks):
+        c_start = ci * chunk_blocks
+        c_stop = c_start + meta["n_blocks"]
+        if c_stop <= start or c_start >= stop:
+            continue
+        f.seek(base_off + meta["offset"])
+        raw = f.read(meta["nbytes"])
+        blocks = _decode_chunk_device(meta, raw, meta["n_blocks"], dtype,
+                                      mesh=mesh, use_kernels=use_kernels)
+        out.append(blocks[max(start, c_start) - c_start:
+                          min(stop, c_stop) - c_start])
+    if not out:
+        shape = (0, layout.BLOCK, 2) if dtype == "u64" else (0, layout.BLOCK)
+        return jnp.zeros(shape, jnp.uint32 if dtype == "u64"
+                         else layout.np_dtype(dtype))
+    return jnp.concatenate(out, axis=0)
+
+
+def _apply_transform_device(blocks, transform, dtype: str):
+    if transform is None:
+        return blocks
+    if transform == "zigzag":
+        if dtype == "u64":
+            # limb-domain unzigzag yields the int64 bit pattern, which IS
+            # the (..., 2) limb image of the signed values
+            return _unzigzag_device(blocks, dtype)
+        return transforms.zigzag_decode(blocks)
+    if transform == "viewu":
+        if dtype == "u64":  # the limb image already carries the raw bits
+            return blocks
+        import jax
+
+        t = layout.bit_width(dtype)
+        return jax.lax.bitcast_convert_type(blocks, jnp.dtype(f"int{t}"))
+    raise ValueError(f"unknown transform {transform!r}")
+
+
+def _trim_flat(blocks, n_values, dtype: str):
+    if n_values is None:
+        return blocks
+    if dtype == "u64":
+        return blocks.reshape(-1, 2)[:n_values]
+    return blocks.reshape(-1)[:n_values]
+
+
 def read_blocks_device(path: str, start: int = 0, stop: Optional[int] = None,
                        mesh=None, use_kernels: bool = True):
     """Decode blocks [start, stop) of an FLT file on the accelerator.
@@ -112,46 +156,11 @@ def read_blocks_device(path: str, start: int = 0, stop: Optional[int] = None,
     stop = n if stop is None else min(stop, n)
     if not 0 <= start <= stop:
         raise IndexError(f"bad block range [{start}, {stop})")
-    base_off = fio._payload_base(path)
-    cb = header["chunk_blocks"]
-    out = []
     with open(path, "rb") as f:
-        for ci, meta in enumerate(header["chunks"]):
-            c_start = ci * cb
-            c_stop = c_start + meta["n_blocks"]
-            if c_stop <= start or c_start >= stop:
-                continue
-            f.seek(base_off + meta["offset"])
-            raw = f.read(meta["nbytes"])
-            blocks = _decode_chunk_device(meta, raw, meta["n_blocks"], dtype,
-                                          mesh=mesh, use_kernels=use_kernels)
-            lo = max(start, c_start) - c_start
-            hi = min(stop, c_stop) - c_start
-            out.append(blocks[lo:hi])
-    if not out:
-        shape = (0, layout.BLOCK, 2) if dtype == "u64" else (0, layout.BLOCK)
-        blocks = jnp.zeros(shape, jnp.uint32 if dtype == "u64"
-                           else layout.np_dtype(dtype))
-    else:
-        blocks = jnp.concatenate(out, axis=0)
-    transform = header.get("transform")
-    if transform is not None:
-        if transform == "zigzag":
-            if dtype == "u64":
-                # limb-domain unzigzag yields the int64 bit pattern, which
-                # IS the (..., 2) limb image of the signed values
-                blocks = _unzigzag_device(blocks, dtype)
-            else:
-                blocks = transforms.zigzag_decode(blocks)
-        elif transform == "viewu":
-            if dtype != "u64":  # u64 limb image already carries the raw bits
-                import jax
-
-                t = layout.bit_width(dtype)
-                blocks = jax.lax.bitcast_convert_type(blocks, jnp.dtype(f"int{t}"))
-        else:
-            raise ValueError(f"unknown transform {transform!r}")
-    return blocks
+        blocks = _read_chunks_device(f, header["chunks"], fio._payload_base(path),
+                                     header["chunk_blocks"], start, stop, dtype,
+                                     mesh, use_kernels)
+    return _apply_transform_device(blocks, header.get("transform"), dtype)
 
 
 def read_file_device(path: str, mesh=None, use_kernels: bool = True):
@@ -159,9 +168,31 @@ def read_file_device(path: str, mesh=None, use_kernels: bool = True):
     trimmed to their exact original length (see fio.write_file)."""
     header = fio.read_header(path)
     blocks = read_blocks_device(path, mesh=mesh, use_kernels=use_kernels)
-    if "n_values" in header:
-        n = header["n_values"]
-        if header["dtype"] == "u64":
-            return blocks.reshape(-1, 2)[:n]
-        return blocks.reshape(-1)[:n]
+    return _trim_flat(blocks, header.get("n_values"), header["dtype"])
+
+
+def read_column_device(path: str, name: str, start: int = 0,
+                       stop: Optional[int] = None, mesh=None,
+                       use_kernels: bool = True):
+    """Decode one column of an FLTTAB table file on the accelerator —
+    touches only the covering chunks, applies the column's transform, and
+    (for full reads of flat-written columns) trims to exact length."""
+    from . import fio_table
+
+    header = fio_table.read_table_header(path)
+    col = fio_table._col_meta(header, name)
+    dtype = col["dtype"]
+    n = col["n_blocks"]
+    full = start == 0 and stop is None
+    stop = n if stop is None else min(stop, n)
+    if not 0 <= start <= stop:
+        raise IndexError(f"bad block range [{start}, {stop})")
+    base_off = fio.payload_base_of(path, fio_table.MAGIC)
+    with open(path, "rb") as f:
+        blocks = _read_chunks_device(f, col["chunks"], base_off,
+                                     col["chunk_blocks"], start, stop, dtype,
+                                     mesh, use_kernels)
+    blocks = _apply_transform_device(blocks, col.get("transform"), dtype)
+    if full:
+        return _trim_flat(blocks, col.get("n_values"), dtype)
     return blocks

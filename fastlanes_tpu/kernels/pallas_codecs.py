@@ -316,13 +316,13 @@ def _undelta_hook(dtype):
 
 
 def _unzigzag_vec(elem, dtype):
-    """zigzag code -> two's-complement delta bits: v = (u >> 1) ^ -(u & 1).
-    For limb pairs the sign mask -(u & 1) is identical in both limbs, so
-    everything stays 32-bit vector math (aligned operands only)."""
+    """zigzag code -> two's-complement delta bits: v = (u >> 1) ^ -(u & 1),
+    in the kernel's uint32 compute domain (high garbage bits truncate at
+    store, which is mod-2^T correct). Aligned operands only."""
     if eng.is_limb(dtype):
-        lo, hi = elem
-        m = jnp.uint32(0) - (lo & jnp.uint32(1))
-        return ((lo >> 1) | (hi << 31)) ^ m, (hi >> 1) ^ m
+        from .. import transforms
+
+        return transforms.zigzag_decode_limb(*elem)
     one = elem.dtype.type(1)
     return (elem >> one) ^ (elem.dtype.type(0) - (elem & one))
 
@@ -624,16 +624,14 @@ def unzdelta_pack(packed, base, width, dtype, *, tile_b=None, interpret=None):
     kernel pass (the zdelta twin of undelta_pack)."""
     fallback, interp = _maybe_fallback(interpret)
     if fallback or width == 0:
-        from ..ops import delta as ops_delta
-
         from .. import transforms as _tr
+        from ..ops import delta as ops_delta
 
         zz = ops_bitpack.unpack(packed, width, dtype)
         arr = jnp.asarray(zz)
         if eng.is_limb(dtype) and arr.dtype == jnp.uint32:
-            lo, hi = arr[..., 0], arr[..., 1]
-            m = jnp.uint32(0) - (lo & jnp.uint32(1))
-            deltas = jnp.stack([((lo >> 1) | (hi << 31)) ^ m, (hi >> 1) ^ m], -1)
+            deltas = jnp.stack(
+                _tr.zigzag_decode_limb(arr[..., 0], arr[..., 1]), -1)
         else:
             t = layout.bit_width(dtype)
             deltas = jax.lax.bitcast_convert_type(

@@ -186,15 +186,13 @@ class ZDeltaCodec(Codec):
     """Delta with zigzag'd deltas: Transpose -> Delta -> zigzag -> pack.
     Plain delta wraps small NEGATIVE steps to ~2^T (full width); zigzag
     keeps them small, so noisy-sorted data packs tightly. All stages run on
-    device (zigzag is 3 vector ops XLA fuses into the pipeline). u64 limb
-    images are not supported (device zigzag needs native-width ints)."""
+    device (zigzag is 3 vector ops XLA fuses into the pipeline; u64 uses
+    the 32-bit limb formulation, transforms.zigzag_*_limb)."""
 
     name = "zdelta"
 
     def encode(self, values) -> Encoded:
         dt = self.dtype
-        if eng.is_limb(dt):
-            raise NotImplementedError("zdelta is not available for u64 limb images")
         transposed = dispatch.get("transpose", dt, 0)(values)
         base = _lane_base(transposed, dt, layout.lanes(dt))
         deltas = dispatch.get("delta", dt, 0)(transposed, base)
@@ -219,6 +217,9 @@ def _zigzag_device(deltas, dtype):
 
     from .. import transforms
 
+    if eng.is_limb(dtype):
+        arr = jnp.asarray(deltas)
+        return jnp.stack(transforms.zigzag_encode_limb(arr[..., 0], arr[..., 1]), -1)
     t = layout.bit_width(dtype)
     signed = jax.lax.bitcast_convert_type(deltas, jnp.dtype(f"int{t}"))
     return transforms.zigzag_encode(signed)
@@ -229,6 +230,9 @@ def _unzigzag_device(codes, dtype):
 
     from .. import transforms
 
+    if eng.is_limb(dtype):
+        arr = jnp.asarray(codes)
+        return jnp.stack(transforms.zigzag_decode_limb(arr[..., 0], arr[..., 1]), -1)
     t = layout.bit_width(dtype)
     return jax.lax.bitcast_convert_type(
         transforms.zigzag_decode(codes), jnp.dtype(f"uint{t}"))
@@ -284,9 +288,8 @@ def auto_encode(values, dtype) -> Encoded:
     base = _lane_base(transposed, dt, layout.lanes(dt))
     deltas = dispatch.get("delta", dt, 0)(transposed, base)
     candidates.append(("delta", min(t, bits_needed(_device_max(deltas, dt))) + 1.0))
-    if not eng.is_limb(dt):
-        zz = _zigzag_device(deltas, dt)
-        candidates.append(("zdelta", min(t, bits_needed(_device_max(zz, dt))) + 1.0))
+    zz = _zigzag_device(deltas, dt)
+    candidates.append(("zdelta", min(t, bits_needed(_device_max(zz, dt))) + 1.0))
     name, cost = min(candidates, key=lambda c: c[1])
     if name == "ffor":
         return FFoRCodec(dt, width=int(cost), reference=vmin).encode(values)

@@ -48,3 +48,25 @@ def zigzag_decode(codes):
     t = codes.dtype.itemsize * 8
     s = jnp.dtype(f"int{t}")
     return ((codes >> 1) ^ (-(codes & 1).astype(s)).astype(codes.dtype)).astype(s)
+
+
+# -- device limb-pair twins (u64 as (lo, hi) uint32; no 64-bit vector ints) --
+# Both masks are all-ones/zero in BOTH limbs, so everything stays pure
+# 32-bit vector math. The single source of truth for the limb zigzag —
+# kernels, ops drivers, and device IO all call these.
+
+
+def zigzag_encode_limb(lo, hi):
+    """u = (v << 1) ^ (v >> 63) on a two's-complement (lo, hi) limb pair."""
+    import jax.numpy as jnp
+
+    m = jnp.uint32(0) - (hi >> 31)  # arithmetic sign of the 64-bit value
+    return (lo << 1) ^ m, ((hi << 1) | (lo >> 31)) ^ m
+
+
+def zigzag_decode_limb(lo, hi):
+    """v = (u >> 1) ^ -(u & 1) on a (lo, hi) limb pair of zigzag codes."""
+    import jax.numpy as jnp
+
+    m = jnp.uint32(0) - (lo & jnp.uint32(1))
+    return ((lo >> 1) | (hi << 31)) ^ m, (hi >> 1) ^ m

@@ -121,3 +121,16 @@ def test_auto_encode_picks_zdelta_for_noisy_sorted(rng):
     assert enc.codec == "zdelta"
     np.testing.assert_array_equal(
         np.asarray(get_codec(enc.codec, "u32").decode(enc)), values)
+
+
+def test_zdelta_codec_u64_limbs(rng):
+    from fastlanes_tpu.models.codecs import ZDeltaCodec
+    steps = rng.integers(-3, 20, (2, 1024), np.int64)
+    values = (np.cumsum(steps, axis=1).astype(np.int64) + (1 << 40)).astype(np.uint64)
+    limbs = np.ascontiguousarray(values).view(np.uint32).reshape(2, 1024, 2)
+    codec = ZDeltaCodec("u64")
+    enc = codec.encode(limbs)
+    assert enc.width <= 6
+    out = np.asarray(codec.decode(enc))
+    out = np.ascontiguousarray(out).view(np.uint8).reshape(2, -1).view(np.uint64)
+    np.testing.assert_array_equal(out, values)

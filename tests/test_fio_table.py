@@ -81,3 +81,25 @@ def test_cli_table_roundtrip(tmp_path, table, capsys):
     got = np.load(out)
     assert got.files == ["a"]
     np.testing.assert_array_equal(got["a"], table["ids"])
+
+
+def test_read_column_device(tmp_path, table):
+    from fastlanes_tpu import fio_device
+    path = str(tmp_path / "t.flt")
+    fio_table.write_table(path, table, chunk_blocks=2)
+    for name in ("ids", "counts", "flags"):
+        got = np.asarray(fio_device.read_column_device(path, name))
+        np.testing.assert_array_equal(got, table[name], err_msg=name)
+    mid = np.asarray(fio_device.read_column_device(path, "stamps", 1, 3))
+    got = np.ascontiguousarray(mid).view(np.uint8).reshape(mid.shape[0], -1).view(np.uint64)
+    np.testing.assert_array_equal(got, table["stamps"][1:3])
+
+
+def test_read_column_device_signed(tmp_path, rng):
+    from fastlanes_tpu import fio_device
+    col = np.cumsum(rng.integers(-5, 7, 3000, np.int64)).astype(np.int32)
+    path = str(tmp_path / "s.flt")
+    fio_table.write_table(path, {"walk": col})
+    got = np.asarray(fio_device.read_column_device(path, "walk"))
+    assert got.dtype == np.int32
+    np.testing.assert_array_equal(got, col)
