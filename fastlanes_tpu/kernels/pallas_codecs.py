@@ -441,6 +441,8 @@ def _build_call(op: str, dtype: str, width: int, tile_b: int, n_tiles: int,
         n_planes = t
 
     vregs_bytes = tile_b * (in_cols + out_cols) * 4 * n_arrs
+    if param_kind in ("base", "base_b"):  # base rides VMEM, lane-padded
+        vregs_bytes += tile_b * max(nl, 128) * 4 * n_arrs
     scratch_bytes = n_planes * tile_b * max(nl, 128) * 4 * n_arrs
     return pl.pallas_call(
         body,
@@ -451,7 +453,7 @@ def _build_call(op: str, dtype: str, width: int, tile_b: int, n_tiles: int,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(int(vregs_bytes * 3) + scratch_bytes + (2 << 20),
+            vmem_limit_bytes=min(int(vregs_bytes * 3) + scratch_bytes + (4 << 20),
                                  120 * (1 << 20)),
         ),
     )
