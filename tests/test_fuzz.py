@@ -109,3 +109,34 @@ def test_fuzz_pallas_interpret(seed):
     out = from_jax_form(pk.unpack(to_jax_form(gold, dt), w, dt,
                                   tile_b=4, interpret=True), dt)
     np.testing.assert_array_equal(out, vals)
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_fuzz_zdelta_and_signed_files(seed, tmp_path):
+    """Random signed/unsigned columns of random lengths round-trip through
+    the FLT writer's full auto pipeline (transform choice + codec choice)."""
+    from fastlanes_tpu import fio
+
+    rng = np.random.default_rng(0x2D31 + seed)
+    t = int(rng.choice([8, 16, 32, 64]))
+    n = int(rng.integers(1, 6000))
+    kind = rng.choice(["walk", "clustered", "sorted", "random"])
+    if kind == "walk":
+        col = np.cumsum(rng.integers(-5, 7, n, np.int64))
+    elif kind == "clustered":
+        col = rng.integers(-40, 40, n, np.int64)
+    elif kind == "sorted":
+        col = np.sort(rng.integers(0, 1 << min(t - 1, 40), n, np.int64))
+    else:
+        col = rng.integers(-(1 << min(t - 2, 30)), 1 << min(t - 2, 30), n, np.int64)
+    signed = bool(rng.integers(0, 2))
+    dt = np.dtype(f"{'int' if signed else 'uint'}{t}")
+    col = col.astype(dt) if signed else np.abs(col).astype(dt)
+    path = str(tmp_path / "f.flt")
+    fio.write_file(path, col, chunk_blocks=int(rng.choice([1, 2, 1024])))
+    got = fio.read_file(path)
+    assert got.dtype == col.dtype
+    np.testing.assert_array_equal(got, col)
+    if n > 1:
+        idx = int(rng.integers(0, n))
+        assert fio.read_single(path, idx // 1024, idx % 1024) == col[idx]
