@@ -9,9 +9,11 @@ The role the `vortex` CLI plays around the Rust crate: compress whole
 columns to disk, decode block ranges, random-access single elements.
 Input/output is .npy — flat integer vectors of ANY length (the partial tail
 block is padded internally and reads trim to the exact original length) or
-pre-blocked (B, 1024) batches. All work runs on the host (C++ codec when
-built, NumPy oracle otherwise); device decode paths live in the library API
-(fastlanes_tpu.fio_device), not the CLI.
+pre-blocked (B, 1024) batches. Compression runs on the host (C++ codec when
+built, NumPy oracle otherwise); `decompress --device` decodes on the
+accelerator via fastlanes_tpu.fio_device. `bench` is the single-block
+latency micro-bench (the reference's criterion bench shape,
+benches/bitpacking.rs:13-63).
 """
 
 from __future__ import annotations
@@ -60,8 +62,32 @@ def _cmd_compress(args) -> int:
     return 0
 
 
+def _from_device(arr, header) -> np.ndarray:
+    """Device decode result -> the host array the CPU path would produce.
+    u64 columns come back as (..., 2) uint32 limb images; rejoin the limbs
+    and restore signedness for transformed (originally signed) columns."""
+    out = np.asarray(arr)
+    if header["dtype"] == "u64":
+        wide = np.ascontiguousarray(out).view(np.uint64)[..., 0]
+        if header.get("transform") in ("zigzag", "viewu"):
+            wide = wide.view(np.int64)  # limb image carries the int64 bits
+        return wide
+    return out
+
+
 def _cmd_decompress(args) -> int:
-    if args.start == 0 and args.stop is None:
+    full = args.start == 0 and args.stop is None
+    if getattr(args, "device", False):
+        from . import fio_device
+
+        if full:
+            out = _from_device(fio_device.read_file_device(args.input),
+                               fio.read_header(args.input))
+        else:
+            out = _from_device(
+                fio_device.read_blocks_device(args.input, args.start, args.stop),
+                fio.read_header(args.input))
+    elif full:
         out = fio.read_file(args.input)  # flat columns come back trimmed
     else:
         out = fio.read_blocks(args.input, args.start, args.stop)
@@ -148,6 +174,51 @@ def _cmd_get(args) -> int:
     return 0
 
 
+def _cmd_bench(args) -> int:
+    """Single-block latency micro-bench — the shape of the reference's
+    criterion benches (reference benches/bitpacking.rs:13-63): pack one
+    1024-value block, unpack it, and unpack_single over all 1024 indices,
+    reporting median ns/op per host path (C++ codec and NumPy oracle)."""
+    import time
+
+    from . import native
+    from .ref import numpy_ref as npref
+
+    dt = layout.canon_dtype(args.dtype)
+    t = layout.bit_width(dt)
+    w = args.width
+    if not 0 <= w <= t:
+        raise SystemExit(f"width {w} out of range for {dt} (0..{t})")
+    rng = np.random.default_rng(0)
+    block = rng.integers(0, 1 << max(w, 1), (1, layout.BLOCK),
+                         dtype=np.uint64).astype(layout.np_dtype(dt))
+    idx = np.arange(layout.BLOCK, dtype=np.int64)
+
+    def med_ns(fn, repeat):
+        fn()  # warm
+        times = []
+        for _ in range(repeat):
+            t0 = time.perf_counter_ns()
+            fn()
+            times.append(time.perf_counter_ns() - t0)
+        return int(np.median(times))
+
+    paths = {"numpy_oracle": npref}
+    if native.available():
+        paths["native_cpp"] = native
+    out = {"dtype": dt, "width": w, "block_values": layout.BLOCK}
+    for name, mod in paths.items():
+        packed = mod.pack(block, w, dt)
+        out[name] = {
+            "pack_ns": med_ns(lambda: mod.pack(block, w, dt), args.repeat),
+            "unpack_ns": med_ns(lambda: mod.unpack(packed, w, dt), args.repeat),
+            "unpack_single_all_ns": med_ns(
+                lambda: mod.unpack_single(packed, w, idx, dt), args.repeat),
+        }
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="fastlanes_tpu", description=__doc__.splitlines()[0])
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -155,7 +226,8 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("compress", help="compress a .npy integer column to .flt")
     c.add_argument("input")
     c.add_argument("output")
-    c.add_argument("--codec", default="auto", choices=["auto", "bitpack", "ffor", "delta"])
+    c.add_argument("--codec", default="auto",
+                   choices=["auto", "bitpack", "ffor", "delta", "zdelta"])
     c.add_argument("--dtype", default=None, choices=list(layout.DTYPES))
     c.add_argument("--chunk-blocks", type=int, default=1024)
     c.set_defaults(fn=_cmd_compress)
@@ -165,6 +237,8 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("output")
     d.add_argument("--start", type=int, default=0)
     d.add_argument("--stop", type=int, default=None)
+    d.add_argument("--device", action="store_true",
+                   help="decode on the accelerator (Pallas/XLA) instead of the host codec")
     d.set_defaults(fn=_cmd_decompress)
 
     i = sub.add_parser("inspect", help="print .flt / table header summary")
@@ -175,7 +249,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="compress an .npz of named integer columns")
     ct.add_argument("input")
     ct.add_argument("output")
-    ct.add_argument("--codec", default="auto", choices=["auto", "bitpack", "ffor", "delta"])
+    ct.add_argument("--codec", default="auto",
+                    choices=["auto", "bitpack", "ffor", "delta", "zdelta"])
     ct.add_argument("--chunk-blocks", type=int, default=1024)
     ct.set_defaults(fn=_cmd_compress_table)
 
@@ -191,6 +266,13 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("block", type=int)
     g.add_argument("index", type=int)
     g.set_defaults(fn=_cmd_get)
+
+    b = sub.add_parser("bench",
+                       help="single-block (1024-value) host latency micro-bench")
+    b.add_argument("--dtype", default="u16", choices=list(layout.DTYPES))
+    b.add_argument("--width", type=int, default=3)
+    b.add_argument("--repeat", type=int, default=200)
+    b.set_defaults(fn=_cmd_bench)
     return p
 
 

@@ -25,7 +25,11 @@ from . import transforms
 from .ref import numpy_ref as npref
 
 MAGIC = b"FLTPU1"
-_VERSION = 1
+# v1: delta chunks used a shared all-zero base (no payload prefix).
+# v2: delta/zdelta chunks carry a per-block row-0 base as a payload prefix
+#     (n_blocks * LANES words before the packed stream). Readers accept v1
+#     files only when no chunk depends on the changed base layout.
+_VERSION = 2
 
 
 def _bits_needed_arr(arr: np.ndarray) -> int:
@@ -290,8 +294,18 @@ def read_header(path: str) -> dict:
             raise ValueError("not an FLT file")
         (hlen,) = struct.unpack("<I", f.read(4))
         header = json.loads(f.read(hlen).decode())
-    if header["version"] != _VERSION:
-        raise ValueError(f"unsupported FLT version {header['version']}")
+    version = header["version"]
+    if version == 1:
+        # v1 predates the per-block delta base prefix; its delta chunks
+        # (shared zero base, no prefix) would misparse under the v2 layout.
+        if any(c["codec"] in ("delta", "zdelta") for c in header.get("chunks", [])):
+            raise ValueError(
+                "FLT v1 file contains delta-family chunks written with the "
+                "legacy shared-zero-base layout; re-encode with this version "
+                "(delta chunks now carry a per-block base prefix)")
+        return header
+    if version != _VERSION:
+        raise ValueError(f"unsupported FLT version {version}")
     return header
 
 

@@ -112,7 +112,8 @@ def _scratch_read(scratch, row, dtype):
 
 # NOTE on the scratch staging: Mosaic (remote-compile v5e toolchain) miscompiles
 # long shift/or/add chains whose operands are lane-slices with *different*
-# rotation offsets (off % 128) — see tests/test_tpu_compiled.py and the repro
+# rotation offsets (off % 128) — see tools/validate_tpu.py (compiled-vs-oracle
+# sweep that catches this class of miscompile on the real chip) and the repro
 # history in kernels/MOSAIC_NOTES.md. Writing each transposed row through a
 # VMEM scratch plane re-aligns every operand to lane 0 and fences the bad
 # fusion. VMEM bandwidth makes the extra round-trip ~free vs HBM.

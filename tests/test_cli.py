@@ -59,6 +59,65 @@ def test_cli_inspect(tmp_path, column, capsys):
     assert info["n_blocks"] == 8
 
 
+def test_cli_zdelta_codec(tmp_path, rng, capsys):
+    # noisy-sorted data: forcing zdelta must round-trip and report zdelta chunks
+    vals = (np.sort(rng.integers(0, 1 << 16, (4, layout.BLOCK), np.int64), axis=1)
+            + rng.integers(-3, 4, (4, layout.BLOCK))).astype(np.uint32)
+    raw, flt, out = tmp_path / "z.npy", tmp_path / "z.flt", tmp_path / "zo.npy"
+    np.save(raw, vals)
+    assert cli.main(["compress", str(raw), str(flt), "--codec", "zdelta"]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert all(c["codec"] == "zdelta" for c in info["chunks"])
+    assert cli.main(["decompress", str(flt), str(out)]) == 0
+    np.testing.assert_array_equal(np.load(out), vals)
+
+
+def test_cli_device_decompress(tmp_path, column, capsys):
+    raw, flt = tmp_path / "col.npy", tmp_path / "col.flt"
+    out = tmp_path / "dev.npy"
+    np.save(raw, column)
+    cli.main(["compress", str(raw), str(flt), "--chunk-blocks", "4"])
+    capsys.readouterr()
+    assert cli.main(["decompress", str(flt), str(out), "--device"]) == 0
+    np.testing.assert_array_equal(np.load(out), column)
+    # block range on device
+    assert cli.main(["decompress", str(flt), str(out), "--device",
+                     "--start", "2", "--stop", "5"]) == 0
+    np.testing.assert_array_equal(np.load(out), column[2:5])
+
+
+def test_cli_device_decompress_signed_and_u64(tmp_path, rng, capsys):
+    # signed i32 (zigzag/viewu transform) and u64 (limb image rejoin)
+    svals = rng.integers(-500, 500, 2000, np.int64).astype(np.int32)
+    raw, flt, out = tmp_path / "s.npy", tmp_path / "s.flt", tmp_path / "so.npy"
+    np.save(raw, svals)
+    cli.main(["compress", str(raw), str(flt)])
+    capsys.readouterr()
+    assert cli.main(["decompress", str(flt), str(out), "--device"]) == 0
+    got = np.load(out)
+    assert got.dtype == np.int32
+    np.testing.assert_array_equal(got, svals)
+
+    uvals = rng.integers(0, 1 << 40, 2000, np.int64).astype(np.uint64)
+    np.save(raw, uvals)
+    cli.main(["compress", str(raw), str(flt)])
+    capsys.readouterr()
+    assert cli.main(["decompress", str(flt), str(out), "--device"]) == 0
+    got = np.load(out)
+    assert got.dtype == np.uint64
+    np.testing.assert_array_equal(got, uvals)
+
+
+def test_cli_bench_single_block(capsys):
+    assert cli.main(["bench", "--dtype", "u16", "--width", "3",
+                     "--repeat", "3"]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["dtype"] == "u16" and info["width"] == 3
+    assert "numpy_oracle" in info
+    for key in ("pack_ns", "unpack_ns", "unpack_single_all_ns"):
+        assert info["numpy_oracle"][key] > 0
+
+
 def test_cli_flat_input_and_signed_rejection(tmp_path, rng, capsys):
     flat = rng.integers(0, 100, 2 * layout.BLOCK, np.int64).astype(np.uint16)
     raw = tmp_path / "flat.npy"

@@ -42,6 +42,25 @@ def test_future_version(flt):
         fio.read_file(flt)
 
 
+def test_v1_without_delta_chunks_reads(tmp_path, rng):
+    # v1 files are compatible unless they contain delta-family chunks
+    # (whose base layout changed in v2) — those get a clear error.
+    path = str(tmp_path / "v1.flt")
+    vals = rng.integers(0, 1 << 12, 3000, np.int64).astype(np.uint32)
+    fio.write_file(path, vals, codec="bitpack")
+    _patch_header(path, lambda h: h.update(version=1))
+    np.testing.assert_array_equal(fio.read_file(path), vals)
+
+
+def test_v1_with_delta_chunks_rejected(tmp_path, rng):
+    path = str(tmp_path / "v1d.flt")
+    vals = np.sort(rng.integers(0, 1 << 12, 3000, np.int64).astype(np.uint32))
+    fio.write_file(path, vals, codec="delta")
+    _patch_header(path, lambda h: h.update(version=1))
+    with pytest.raises(ValueError, match="legacy shared-zero-base"):
+        fio.read_file(path)
+
+
 def test_unknown_codec(flt):
     def mutate(h):
         h["chunks"][0]["codec"] = "zstd"
