@@ -271,28 +271,76 @@ def get_codec(name: str, dtype, **kw) -> Codec:
     return cls(dtype, **kw)
 
 
-def auto_encode(values, dtype) -> Encoded:
-    """Pick the smallest-output codec among bitpack/ffor/delta for this batch.
-    Simple, deterministic model selection — stats are 3 cheap device
-    reductions; encode runs once for the winner."""
-    candidates = []
-    dt = layout.canon_dtype(dtype)
+def _auto_plan(values, dt):
+    """One device probe pass shared by cost model and winner encode.
+
+    Returns (costs, widths, intermediates): `costs[name]` is the EXACT
+    payload+params byte count `Encoded.packed_bytes` would report for that
+    codec (payload = n_blocks * packed_len(W) * elem bytes; delta/zdelta add
+    their per-block (B, LANES) base, ffor's int reference is free), and
+    `intermediates` carries (vmin, transposed-deltas, zigzag codes) so the
+    winner packs directly — no second transpose/delta device pass."""
     t = layout.bit_width(dt)
+    nl = layout.lanes(dt)
+    elem = t // 8
+    n_blocks = _n_blocks_of(values, dt)
+
+    def payload_bytes(w):
+        return n_blocks * layout.packed_len(dt, w) * elem
+
     vmax = _device_max(values, dt)
     vmin = _device_min(values, dt)
-    candidates.append(("bitpack", float(min(t, bits_needed(vmax)))))
-    candidates.append(("ffor", float(min(t, bits_needed((vmax - vmin) % (1 << t))))))
-    # delta/zdelta width needs the deltas themselves; their per-block base
-    # costs LANES*T = 1024 bits per 1024-value block = exactly +1 bit/value
+    widths = {
+        "bitpack": min(t, bits_needed(vmax)),
+        "ffor": min(t, bits_needed((vmax - vmin) % (1 << t))),
+    }
     transposed = dispatch.get("transpose", dt, 0)(values)
-    base = _lane_base(transposed, dt, layout.lanes(dt))
+    base = _lane_base(transposed, dt, nl)
     deltas = dispatch.get("delta", dt, 0)(transposed, base)
-    candidates.append(("delta", min(t, bits_needed(_device_max(deltas, dt))) + 1.0))
+    widths["delta"] = min(t, bits_needed(_device_max(deltas, dt)))
     zz = _zigzag_device(deltas, dt)
-    candidates.append(("zdelta", min(t, bits_needed(_device_max(zz, dt))) + 1.0))
-    name, cost = min(candidates, key=lambda c: c[1])
+    widths["zdelta"] = min(t, bits_needed(_device_max(zz, dt)))
+    base_bytes = n_blocks * nl * elem  # np.asarray(base).nbytes, incl. limbs
+    costs = {
+        "bitpack": payload_bytes(widths["bitpack"]),
+        "ffor": payload_bytes(widths["ffor"]),
+        "delta": payload_bytes(widths["delta"]) + base_bytes,
+        "zdelta": payload_bytes(widths["zdelta"]) + base_bytes,
+    }
+    return costs, widths, (vmin, base, deltas, zz)
+
+
+def auto_costs(values, dtype) -> dict:
+    """Exact projected packed_bytes per codec for this batch (the auto_encode
+    cost model, exposed for inspection/testing)."""
+    costs, _, _ = _auto_plan(values, layout.canon_dtype(dtype))
+    return costs
+
+
+# tie-break order: prefer the cheapest DECODE on equal bytes (bitpack needs
+# no params, ffor one scalar add, delta a prefix sum, zdelta adds unzigzag)
+_TIE_ORDER = {"bitpack": 0, "ffor": 1, "delta": 2, "zdelta": 3}
+
+
+def auto_encode(values, dtype) -> Encoded:
+    """Pick the smallest-output codec among bitpack/ffor/delta/zdelta.
+
+    Deterministic: exact byte costs from one probe pass (see _auto_plan),
+    ties broken toward the simpler decode. The winner's encode REUSES the
+    probe's device intermediates — transpose/delta run exactly once per call
+    regardless of which codec wins."""
+    dt = layout.canon_dtype(dtype)
+    costs, widths, (vmin, base, deltas, zz) = _auto_plan(values, dt)
+    name = min(costs, key=lambda k: (costs[k], _TIE_ORDER[k]))
+    w = widths[name]
+    n_blocks = _n_blocks_of(values, dt)
+    if name == "bitpack":
+        payload = dispatch.get("pack", dt, w)(values)
+        return Encoded("bitpack", dt, w, n_blocks, payload)
     if name == "ffor":
-        return FFoRCodec(dt, width=int(cost), reference=vmin).encode(values)
-    if name in ("delta", "zdelta"):
-        return get_codec(name, dt, width=int(cost - 1.0)).encode(values)
-    return get_codec(name, dt, width=int(cost)).encode(values)
+        payload = dispatch.get("for_pack", dt, w)(values, _as_param(vmin, dt))
+        return Encoded("ffor", dt, w, n_blocks, payload,
+                       params={"reference": vmin})
+    src = deltas if name == "delta" else zz
+    payload = dispatch.get("pack", dt, w)(src)
+    return Encoded(name, dt, w, n_blocks, payload, params={"base": base})

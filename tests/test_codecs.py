@@ -123,6 +123,56 @@ def test_auto_encode_picks_zdelta_for_noisy_sorted(rng):
         np.asarray(get_codec(enc.codec, "u32").decode(enc)), values)
 
 
+def test_auto_encode_single_device_pass(rng, monkeypatch):
+    """The winner's encode reuses the probe's intermediates: transpose and
+    delta each run exactly once per auto_encode call, whatever codec wins."""
+    from fastlanes_tpu.models import codecs as codecs_mod
+    from fastlanes_tpu.ops import dispatch
+
+    calls = {"transpose": 0, "delta": 0, "pack": 0}
+    real_get = dispatch.get
+
+    def counting_get(op, dtype, width):
+        if op in calls:
+            calls[op] += 1
+        return real_get(op, dtype, width)
+
+    monkeypatch.setattr(codecs_mod.dispatch, "get", counting_get)
+    sorted_vals = np.sort(rng.integers(0, 1 << 31, (2, 1024), np.int64)
+                          .astype(np.uint32), axis=1)
+    flat_vals = random_values(rng, "u32", 4, n_blocks=2)
+    for values, want in ((sorted_vals, "delta"), (flat_vals, "bitpack")):
+        for k in calls:
+            calls[k] = 0
+        enc = codecs_mod.auto_encode(values, "u32")
+        assert enc.codec == want
+        assert calls["transpose"] == 1 and calls["delta"] == 1
+        assert calls["pack"] == (1 if want != "ffor" else 0)
+
+
+@pytest.mark.parametrize("dt", ["u16", "u64"])
+def test_auto_costs_byte_exact(dt, rng):
+    """auto_costs == the Encoded.packed_bytes each codec actually produces."""
+    from fastlanes_tpu.models.codecs import auto_costs
+    from fastlanes_tpu.utils.testing import to_jax_form as tjf
+
+    values = np.sort(random_values(rng, dt, layout.bit_width(dt) - 1,
+                                   n_blocks=3), axis=1)
+    jvals = tjf(values, dt)
+    costs = auto_costs(jvals, dt)
+    for name, cost in costs.items():
+        enc = get_codec(name, dt).encode(jvals)
+        assert enc.packed_bytes == cost, (name, enc.packed_bytes, cost)
+
+
+def test_auto_encode_tie_break_deterministic():
+    """All-zero input: every codec costs the same payload (W=0); the simplest
+    decode (bitpack) must win."""
+    values = np.zeros((2, 1024), np.uint32)
+    enc = auto_encode(values, "u32")
+    assert enc.codec == "bitpack" and enc.width == 0
+
+
 def test_zdelta_codec_u64_limbs(rng):
     from fastlanes_tpu.models.codecs import ZDeltaCodec
     steps = rng.integers(-3, 20, (2, 1024), np.int64)
