@@ -37,6 +37,28 @@ def test_round_trip_random(dt, w, rng):
     np.testing.assert_array_equal(out, values)
 
 
+@pytest.mark.parametrize("dt,w", width_sweep())
+def test_golden_sweep_sha256(dt, w):
+    """Every (dtype, width) config's packed bytes pinned as sha256, input =
+    the reference crate's test pattern values[i] = i % (1 << (W % T))
+    (reference bitpacking.rs:281; 9+17+33+65 = 124 configs). The pins were
+    generated from the NumPy oracle — four independent implementations agree
+    on them (oracle, XLA ops, Pallas kernels, C++ host codec), and
+    tools/rust_goldens makes them machine-checkable against the actual Rust
+    crate the moment a cargo toolchain is available."""
+    import json
+    import os
+
+    with open(os.path.join(os.path.dirname(__file__),
+                           "golden_sweep_sha256.json")) as f:
+        pins = json.load(f)
+    t = layout.bit_width(dt)
+    values = ref_pattern(dt, w, n_blocks=1)
+    packed = ref.pack(values, w, dt)
+    digest = hashlib.sha256(packed[0].astype(f"<u{t // 8}").tobytes()).hexdigest()
+    assert digest == pins[f"{dt}_w{w}"]
+
+
 def test_pack_masks_high_bits(rng):
     """Packing values wider than W keeps only the low W bits (macros.rs:74-76)."""
     w = 5
