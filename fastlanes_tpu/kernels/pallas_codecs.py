@@ -568,9 +568,11 @@ def _prep_ref(reference, dtype):
             return jnp.array([[reference & 0xFFFFFFFF, (reference >> 32) & 0xFFFFFFFF]],
                              jnp.uint32).reshape(1, 2)
         return jnp.asarray(reference, jnp.uint32).reshape(1, 2)
-    import numpy as np
-
-    return jnp.asarray(np.asarray(reference, layout.np_dtype(dtype))).reshape(1, 1)
+    if isinstance(reference, (int, np.integer)):
+        # host int: numpy conversion wraps mod 2^T like the Rust reference
+        return jnp.asarray(np.asarray(reference, layout.np_dtype(dtype))).reshape(1, 1)
+    # already an array (possibly a tracer inside shard_map) — stay in-graph
+    return jnp.asarray(reference).astype(eng.jnp_dtype(dtype)).reshape(1, 1)
 
 
 def _maybe_fallback(interpret):

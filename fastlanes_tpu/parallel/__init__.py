@@ -13,6 +13,7 @@ from .shard import (
     sharded_pack,
     sharded_unpack,
     sharded_undelta_pack,
+    sharded_unzdelta_pack,
     sharded_unfor_pack,
     sharded_for_pack,
     sharded_roundtrip_check,
@@ -20,7 +21,7 @@ from .shard import (
 
 __all__ = [
     "make_mesh", "local_device_count", "setup_distributed",
-    "sharded_pack", "sharded_unpack", "sharded_undelta_pack",
+    "sharded_pack", "sharded_unpack", "sharded_undelta_pack", "sharded_unzdelta_pack",
     "sharded_unfor_pack", "sharded_for_pack", "global_max_bits",
     "all_gather_packed", "sharded_roundtrip_check",
 ]

@@ -97,6 +97,19 @@ def sharded_undelta_pack(mesh, packed, base, width, dtype, axis="blocks", use_ke
     return call(padded, base)[:b]
 
 
+def sharded_unzdelta_pack(mesh, packed, base, width, dtype, axis="blocks", use_kernels=True):
+    """Fused zdelta decode (unpack -> unzigzag -> prefix-sum) sharded over
+    blocks; base replication/sharding rules as sharded_undelta_pack."""
+    packed, base = jnp.asarray(packed), jnp.asarray(base)
+    per_block = base.ndim == packed.ndim and base.shape[0] == packed.shape[0]
+    param = ("blk" if per_block else "rep", base.ndim)
+    call = _build_sharded("unzdelta_pack", use_kernels, width, dtype, axis, mesh, param)
+    padded, b = _pad_to(packed, mesh.shape[axis])
+    if per_block:
+        base, _ = _pad_to(base, mesh.shape[axis])
+    return call(padded, base)[:b]
+
+
 def sharded_for_pack(mesh, values, reference, width, dtype, axis="blocks", use_kernels=True):
     """FFoR encode with replicated scalar reference."""
     ref_arr = _ref_array(reference, dtype)
@@ -181,21 +194,45 @@ def sharded_roundtrip_check(mesh, values, width, dtype, axis="blocks", use_kerne
     return fn(padded)
 
 
+def _ops_unzdelta_pack(p, b, w, dt):
+    """XLA-ops zdelta decode: unpack -> unzigzag -> per-lane prefix sum."""
+    from .. import transforms as _tr
+
+    zz = jnp.asarray(bitpack.unpack(p, w, dt))
+    if eng.is_limb(dt) and zz.dtype == jnp.uint32:
+        deltas = jnp.stack(_tr.zigzag_decode_limb(zz[..., 0], zz[..., 1]), -1)
+    else:
+        t = layout.bit_width(dt)
+        deltas = jax.lax.bitcast_convert_type(
+            _tr.zigzag_decode(zz), jnp.dtype(f"uint{t}"))
+    return delta_mod.undelta(deltas, b, dt)
+
+
 def _kernel_or_op(name, use_kernels):
+    """use_kernels: True = Pallas kernels (compiled on TPU, ops fallback
+    elsewhere); 'interpret' = Pallas kernels in interpret mode with a small
+    tile — runs the EXACT kernel code path (incl. the check_vma=False seam)
+    on the CPU test mesh; False = XLA ops."""
     if use_kernels:
         from .. import kernels
 
-        return {
+        fns = {
             "pack": kernels.pack,
             "unpack": kernels.unpack,
             "undelta_pack": kernels.undelta_pack,
+            "unzdelta_pack": kernels.unzdelta_pack,
             "for_pack": kernels.for_pack,
             "unfor_pack": kernels.unfor_pack,
-        }[name]
+        }
+        fn = fns[name]
+        if use_kernels == "interpret":
+            return lambda *a, _fn=fn: _fn(*a, tile_b=8, interpret=True)
+        return fn
     return {
         "pack": lambda v, w, dt: bitpack.pack(v, w, dt),
         "unpack": lambda p, w, dt: bitpack.unpack(p, w, dt),
         "undelta_pack": lambda p, b, w, dt: delta_mod.undelta_pack(p, b, w, dt),
+        "unzdelta_pack": _ops_unzdelta_pack,
         "for_pack": lambda v, r, w, dt: ffor.for_pack(v, r, w, dt),
         "unfor_pack": lambda p, r, w, dt: ffor.unfor_pack(p, r, w, dt),
     }[name]

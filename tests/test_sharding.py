@@ -96,6 +96,92 @@ def test_sharded_roundtrip_check(mesh, rng):
     assert bad == 0
 
 
+# ---------------------------------------------------------------------------
+# kernel path under shard_map: use_kernels="interpret" runs the EXACT Pallas
+# kernel code (small tile, interpret mode) inside shard_map on the CPU mesh,
+# covering the check_vma=False seam that only the kernel path takes
+# (shard.py disables the replication checker because pallas_call's out_shape
+# carries no varying-across-mesh info).
+
+
+@pytest.mark.parametrize("dt", layout.DTYPES)
+def test_sharded_kernel_pack_unpack(mesh, dt, rng):
+    w = max(1, layout.bit_width(dt) // 2 - 1)
+    values = random_values(rng, dt, w, n_blocks=16)
+    gold = ref.pack(values, w, dt)
+    packed = parallel.sharded_pack(mesh, to_jax_form(values, dt), w, dt,
+                                   use_kernels="interpret")
+    np.testing.assert_array_equal(from_jax_form(packed, dt), gold)
+    out = parallel.sharded_unpack(mesh, to_jax_form(gold, dt), w, dt,
+                                  use_kernels="interpret")
+    np.testing.assert_array_equal(from_jax_form(out, dt), values)
+
+
+@pytest.mark.parametrize("dt", ["u16", "u64"])
+def test_sharded_kernel_fused_delta(mesh, dt, rng):
+    """Kernel undelta_pack under shard_map: shared (replicated) base AND
+    per-block (block-sharded) base."""
+    t = layout.bit_width(dt)
+    nl = layout.lanes(dt)
+    w = t - 1
+    values = np.sort(random_values(rng, dt, w, n_blocks=16), axis=1)
+    transposed = ref.transpose(values, dt)
+    # per-block row-0 base (the fio/file layout)
+    base_b = np.ascontiguousarray(transposed[:, :nl])
+    deltas = ref.delta(transposed, base_b, dt)
+    packed = ref.pack(deltas, w, dt)
+    out = parallel.sharded_undelta_pack(
+        mesh, to_jax_form(packed, dt), to_jax_form(base_b, dt), w, dt,
+        use_kernels="interpret")
+    np.testing.assert_array_equal(from_jax_form(out, dt), transposed)
+
+    # shared zero base, replicated over the mesh
+    base_s = np.zeros(nl, layout.np_dtype(dt))
+    deltas = ref.delta(transposed, np.broadcast_to(base_s, (16, nl)), dt)
+    packed = ref.pack(deltas, w, dt)
+    out = parallel.sharded_undelta_pack(
+        mesh, to_jax_form(packed, dt), to_jax_form(base_s, dt), w, dt,
+        use_kernels="interpret")
+    np.testing.assert_array_equal(from_jax_form(out, dt), transposed)
+
+
+def test_sharded_kernel_ffor(mesh, rng):
+    w, reference = 8, 1000
+    values = random_values(rng, "u32", 7, n_blocks=16) + np.uint32(reference)
+    packed = parallel.sharded_for_pack(mesh, values, reference, w, "u32",
+                                       use_kernels="interpret")
+    np.testing.assert_array_equal(np.asarray(packed),
+                                  ref.for_pack(values, reference, w, "u32"))
+    out = parallel.sharded_unfor_pack(mesh, packed, reference, w, "u32",
+                                      use_kernels="interpret")
+    np.testing.assert_array_equal(np.asarray(out), values)
+
+
+@pytest.mark.parametrize("use_kernels", [False, "interpret"])
+def test_sharded_unzdelta_pack(mesh, rng, use_kernels):
+    """Sharded fused zdelta decode, ops path and kernel path."""
+    from fastlanes_tpu import fio
+
+    dt, nl = "u32", 32
+    steps = rng.integers(-3, 20, (16, 1024), np.int64)
+    values = (np.cumsum(steps, axis=1) + 50_000).astype(np.uint32)
+    transposed = ref.transpose(values, dt)
+    base = np.ascontiguousarray(transposed[:, :nl])
+    zz = fio._zigzag_deltas(ref.delta(transposed, base, dt))
+    w = int(zz.max()).bit_length()
+    packed = ref.pack(zz, w, dt)
+    out = parallel.sharded_unzdelta_pack(mesh, packed, base, w, dt,
+                                         use_kernels=use_kernels)
+    np.testing.assert_array_equal(np.asarray(out), transposed)
+
+
+def test_sharded_kernel_roundtrip_check(mesh, rng):
+    values = random_values(rng, "u32", 13, n_blocks=16)
+    bad = int(parallel.sharded_roundtrip_check(mesh, values, 13, "u32",
+                                               use_kernels="interpret"))
+    assert bad == 0
+
+
 def test_full_distributed_pipeline(mesh, rng):
     """The end-to-end distributed flow of the north star: agree on width via
     pmax -> FFoR-encode data-parallel -> all-gather packed in vector order ->
