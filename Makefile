@@ -1,9 +1,12 @@
 # fastlanes-tpu developer workflow (the reference's CI surface, ci.yml:49-56)
 
-.PHONY: test test-fast native bench validate-tpu clean
+.PHONY: test test-fast lint native bench validate-tpu clean
 
 test:
 	python -m pytest tests/ -q
+
+lint:
+	python tools/lint.py
 
 test-fast:
 	python -m pytest tests/ -q -x -k "not sweep and not u64"

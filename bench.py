@@ -2,17 +2,24 @@
 """FastLanes-TPU benchmark. Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
-Headline metric: u32 W=3 decode (unpack) throughput per chip in integers/s,
-measured as a Pallas kernel chained K times inside one jit (in-graph scan
-with a data dependency between iterations + host fetch of a scalar). This
-excludes host dispatch latency but cannot skip any device work: Pallas
-kernels are opaque to XLA, so every chained decode fully executes.
+Headline metric: u32 W=3 decode (unpack) throughput per chip in integers/s
+through the PUBLIC entry point (kernels.unpack in auto mode — the measured
+fastest path per config via kernels.routing), with forced-Pallas and
+forced-XLA-ops measurements recorded alongside.
+
+Harness: K iterations chained inside one jit (lax.scan with a data
+dependency between iterations), each iteration's FULL output passed through
+jax.lax.optimization_barrier so XLA must materialize every element — no DCE
+behind a scalar probe, no fusing the probe into the producer — exactly the
+work the opaque Pallas kernel does. One scalar host fetch per repetition
+(the remote tunnel acks block_until_ready at enqueue; benchmarks/NOTES.md).
+
+Roofline honesty: each materialized path also reports `sol_frac`, its
+fraction of the HBM speed-of-light for the bytes it must move
+(read n*W/8 packed bytes + write n*elem decoded bytes at HBM_GBPS).
 
 Baseline: the north-star target of >100e9 u32 ints/s on a v5e-8 slice
 (BASELINE.json) = 12.5e9 ints/s per chip; vs_baseline = value / 12.5e9.
-
-Extra records: decode/encode XLA-ops and Pallas round-trip (decode->encode
-chained, bit-exact inverse — also DCE-proof for the XLA path), and GB/s.
 """
 
 from __future__ import annotations
@@ -22,6 +29,8 @@ import sys
 import time
 
 import numpy as np
+
+HBM_GBPS = 819.0  # TPU v5e HBM bandwidth (16 GB HBM2 @ ~819 GB/s)
 
 
 def _timed_scalar(rep_fn, arg, k, iters=5):
@@ -57,6 +66,12 @@ def main():
     n_blocks = 131072 if on_tpu else 2048
     n_ints = n_blocks * layout.BLOCK
     raw_gb = n_ints * 4 / 1e9
+    # HBM speed of light for materialized u32 W=3 decode: read 3/32 * 4 B/int
+    # packed + write 4 B/int values
+    decode_bytes_per_int = 4 * W / 32 + 4
+    encode_bytes_per_int = 4 + 4 * W / 32
+    sol_decode = HBM_GBPS * 1e9 / decode_bytes_per_int
+    sol_encode = HBM_GBPS * 1e9 / encode_bytes_per_int
 
     rng = np.random.default_rng(0)
     values_np = rng.integers(0, 1 << W, (n_blocks, layout.BLOCK), dtype=np.int64).astype(np.uint32)
@@ -64,11 +79,25 @@ def main():
     values = jnp.asarray(values_np)
     packed = jnp.asarray(packed_np)
 
-    # correctness gate before timing
-    got = np.asarray(jax.jit(lambda p: bitpack.unpack(p, W, DT))(packed))
-    assert np.array_equal(got, values_np), "ops unpack mismatch vs oracle"
+    # correctness gate before timing: the routed public entry vs the oracle
+    got = np.asarray(jax.jit(lambda p: pk.unpack(p, W, DT))(packed))
+    assert np.array_equal(got, values_np), "routed unpack mismatch vs oracle"
 
     results = {}
+
+    def chained_materialized(fn):
+        """Materialize-everything chain (fair across Pallas and XLA ops)."""
+        @jax.jit
+        def rep(x):
+            def body(c, _):
+                out = fn(jnp.bitwise_xor(x, c))
+                out = jax.lax.optimization_barrier(out)
+                nc = jnp.where(out.reshape(-1)[0] < jnp.uint32(0xFFFFFFFF),
+                               jnp.uint32(0), jnp.uint32(1))
+                return nc.astype(x.dtype), ()
+            c, _ = jax.lax.scan(body, jnp.zeros((), x.dtype), None, length=K)
+            return c
+        return rep
 
     def chained_roundtrip(unpack_fn, pack_fn):
         @jax.jit
@@ -79,71 +108,62 @@ def main():
             return jnp.sum(c[:4, :4].astype(jnp.uint32))
         return rep
 
-    def chained_single(fn, consume_cols=4):
-        """Chain fn with a data dependency that cannot be constant-folded."""
+    def chained_consume(fn):
+        """Decode fused into an on-chip consumer (sum) — the composition the
+        FastLanes layout exists for; intermediates never reach HBM."""
         @jax.jit
         def rep(x):
             def body(c, _):
-                out = fn(x ^ c)
-                nc = jnp.where(out[0, 0] < jnp.uint32(0xFFFFFFFF),
-                               jnp.uint32(0), jnp.uint32(1))
-                return nc, ()
+                out = fn(jnp.bitwise_xor(x, c))
+                return jnp.sum(out, dtype=jnp.uint32) & jnp.uint32(1), ()
             c, _ = jax.lax.scan(body, jnp.uint32(0), None, length=K)
             return c
         return rep
 
-    # XLA ops round-trip (decode+encode, DCE-proof by construction; XLA may
-    # fuse decode into encode, which is the production composition anyway)
+    def measure_materialized(tag, fn, arg, sol):
+        t = _timed_scalar(chained_materialized(fn), arg, K)
+        results[f"{tag}_ints_per_s"] = n_ints / t
+        results[f"{tag}_sol_frac"] = (n_ints / t) / sol
+
+    # the DEFAULT public path (kernels.routing picks the winner per config)
+    measure_materialized("routed_decode", lambda p: pk.unpack(p, W, DT),
+                         packed, sol_decode)
+    measure_materialized("routed_encode", lambda v: pk.pack(v, W, DT),
+                         values, sol_encode)
+    # forced XLA ops
+    measure_materialized("ops_decode", lambda p: bitpack.unpack(p, W, DT),
+                         packed, sol_decode)
+    measure_materialized("ops_encode", lambda v: bitpack.pack(v, W, DT),
+                         values, sol_encode)
+
+    # fused decode+consumer and packed->packed round trip (XLA compositions)
+    t = _timed_scalar(chained_consume(lambda p: bitpack.unpack(p, W, DT)), packed, K)
+    results["ops_fused_decode_ints_per_s"] = n_ints / t
     t = _timed_scalar(
         chained_roundtrip(lambda p: bitpack.unpack(p, W, DT),
                           lambda v: bitpack.pack(v, W, DT)), packed, K)
     results["ops_roundtrip_ints_per_s"] = n_ints / t
     results["ops_encdec_GBps"] = 2 * raw_gb / t
 
-    # fused decode+checksum: every element decoded and consumed on-chip (the
-    # fused-consumer pattern the FastLanes layout exists for)
-    def chained_consume(fn):
-        @jax.jit
-        def rep(x):
-            def body(c, _):
-                out = fn(x ^ c)
-                return jnp.sum(out, dtype=jnp.uint32) & jnp.uint32(1), ()
-            c, _ = jax.lax.scan(body, jnp.uint32(0), None, length=K)
-            return c
-        return rep
-
-    t = _timed_scalar(chained_consume(lambda p: bitpack.unpack(p, W, DT)), packed, K)
-    results["ops_fused_decode_ints_per_s"] = n_ints / t
-
-    headline = None
-    path = "xla_ops_roundtrip"
     if on_tpu:
         try:
-            t = _timed_scalar(
-                chained_roundtrip(lambda p: pk.unpack(p, W, DT),
-                                  lambda v: pk.pack(v, W, DT)), packed, K)
-            results["pallas_roundtrip_ints_per_s"] = n_ints / t
-            results["pallas_encdec_GBps"] = 2 * raw_gb / t
-
-            # decode-only / encode-only: pallas kernels are opaque -> no DCE
-            t = _timed_scalar(chained_single(lambda p: pk.unpack(p, W, DT)), packed, K)
-            results["pallas_decode_ints_per_s"] = n_ints / t
-            results["pallas_decode_GBps"] = raw_gb / t
-            t = _timed_scalar(chained_single(lambda v: pk.pack(v, W, DT)), values, K)
-            results["pallas_encode_ints_per_s"] = n_ints / t
-
-            headline = results["pallas_decode_ints_per_s"]
-            path = "pallas_decode"
+            # forced Pallas kernel (compiled)
+            measure_materialized(
+                "pallas_decode", lambda p: pk.unpack(p, W, DT, interpret=False),
+                packed, sol_decode)
+            measure_materialized(
+                "pallas_encode", lambda v: pk.pack(v, W, DT, interpret=False),
+                values, sol_encode)
         except Exception as e:  # pragma: no cover
             results["pallas_error"] = str(e)[:200]
 
-    if headline is None:
-        # off-TPU: conservative decode estimate from the round-trip
-        headline = results["ops_roundtrip_ints_per_s"]
+    headline = results["routed_decode_ints_per_s"]
+    path = "routed_decode(auto)"
 
     results["platform"] = platform
     results["path"] = path
     results["n_blocks"] = n_blocks
+    results["hbm_gbps_assumed"] = HBM_GBPS
 
     per_chip_target = 100e9 / 8  # north star: 100e9 ints/s across 8 chips
     print(json.dumps({
@@ -151,7 +171,7 @@ def main():
         "value": round(headline, 1),
         "unit": "ints/s",
         "vs_baseline": round(headline / per_chip_target, 4),
-        "extra": {k: (round(v, 1) if isinstance(v, float) else v)
+        "extra": {k: (round(v, 4) if isinstance(v, float) else v)
                   for k, v in results.items()},
     }))
 

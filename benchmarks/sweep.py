@@ -52,22 +52,23 @@ def main():
     # fixed dispatch — both would distort per-op medians.
     K = 256 if on_tpu else 4
 
-    def chained_time(fn, main, *rest, iters=5, consume="sum"):
+    def chained_time(fn, main, *rest, iters=5, consume=None):
         """Median seconds per op application; fn(main ^ carry, *rest).
 
-        consume='sum' reduces the whole output into the carry so XLA cannot
-        dead-code-eliminate any element (required for XLA-ops paths);
-        'first' reads one element — enough for opaque Pallas kernels and
-        free of the extra reduction pass."""
+        Every iteration's FULL output passes through
+        jax.lax.optimization_barrier: XLA must materialize all elements (no
+        DCE behind the scalar probe, no fusing the probe into the producer)
+        — the same work the opaque Pallas kernels do, so the two paths
+        compare fairly. (`consume` kept for signature compat; ignored.)"""
         @jax.jit
         def rep(x):
             def body(c, _):
-                out = fn(x ^ c, *rest)
+                out = fn(jnp.bitwise_xor(x, c), *rest)
+                out = jax.lax.optimization_barrier(out)
                 flat = out.reshape(-1)
-                probe = jnp.sum(flat, dtype=jnp.uint32) if consume == "sum" else flat[0]
-                np_dt = np.dtype(str(probe.dtype))
+                np_dt = np.dtype(str(flat.dtype))
                 top = np_dt.type(np.iinfo(np_dt).max)
-                nc = jnp.where(probe < top, 0, 1)
+                nc = jnp.where(flat[0] < top, 0, 1)
                 return nc.astype(x.dtype), ()
             c, _ = jax.lax.scan(body, jnp.zeros((), x.dtype), None, length=K)
             return c
@@ -87,7 +88,8 @@ def main():
     dtypes = ["u32"] if args.quick else list(layout.DTYPES)
     for dt in dtypes:
         t = layout.bit_width(dt)
-        widths = [3] if args.quick else sorted({1, 2, 3, 4, 8, t // 2, t - 1, t} & set(range(1, t + 1)))
+        widths = [3] if args.quick else sorted(
+            {1, 2, 3, 4, 8, t // 2, t - 1, t} & set(range(1, t + 1)))
         elem_bytes = t // 8
         values_np = (rng.integers(0, 1 << min(widths[-1], t), (n_blocks, 1024),
                                   dtype=np.uint64).astype(layout.np_dtype(dt)))
@@ -110,19 +112,28 @@ def main():
             }
             if on_tpu:
                 try:
-                    tep = chained_time(lambda v, w=w, dt=dt: pk.pack(v, w, dt),
-                                       vals_w, consume="first")
-                    tdp = chained_time(lambda p, w=w, dt=dt: pk.unpack(p, w, dt),
-                                       packed, consume="first")
+                    # forced compiled kernel (interpret=False bypasses routing)
+                    tep = chained_time(
+                        lambda v, w=w, dt=dt: pk.pack(v, w, dt, interpret=False),
+                        vals_w)
+                    tdp = chained_time(
+                        lambda p, w=w, dt=dt: pk.unpack(p, w, dt, interpret=False),
+                        packed)
                     rec["pallas_encode_ints_per_s"] = n_ints / tep
                     rec["pallas_decode_ints_per_s"] = n_ints / tdp
+                    # the routed public entry must match max(paths) within 5%
+                    ter = chained_time(lambda v, w=w, dt=dt: pk.pack(v, w, dt), vals_w)
+                    tdr = chained_time(lambda p, w=w, dt=dt: pk.unpack(p, w, dt), packed)
+                    rec["routed_encode_ints_per_s"] = n_ints / ter
+                    rec["routed_decode_ints_per_s"] = n_ints / tdr
                 except Exception as e:
                     rec["pallas_error"] = str(e)[:120]
             emit(rec)
 
         # unpack_single: all 1024 indices of every block at W=T//2
         w = t // 2
-        packed = jax.block_until_ready(dispatch.get("pack", dt, w)(values if w == t else jnp.asarray(
+        packed = jax.block_until_ready(dispatch.get("pack", dt, w)(
+            values if w == t else jnp.asarray(
             to_jax_form(values_np & layout.np_dtype(dt).type((1 << w) - 1), dt))))
         singlef = dispatch.get("unpack_single", dt, w)
         idx = jnp.arange(1024)

@@ -90,7 +90,8 @@ def check_width(dtype, width: int) -> int:
     src/bitpacking.rs:8-13). Raises ValueError outside [0, T]."""
     t = bit_width(dtype)
     if not 0 <= width <= t:
-        raise ValueError(f"width {width} not supported for {canon_dtype(dtype)} (need 0 <= W <= {t})")
+        raise ValueError(
+            f"width {width} not supported for {canon_dtype(dtype)} (need 0 <= W <= {t})")
     return width
 
 

@@ -175,7 +175,8 @@ def _encode_chunk(values: np.ndarray, dtype: str, codec: str):
 
     if codec == "ffor":
         ref_val = int(values.min()) if values.size else 0
-        w = min(t, int(((int(values.max()) - ref_val) % (1 << t))).bit_length()) if values.size else 0
+        spread = ((int(values.max()) - ref_val) % (1 << t)) if values.size else 0
+        w = min(t, int(spread).bit_length())
         payload = (native.for_pack(values, ref_val, w, dtype) if use_native
                    else npref.for_pack(values, ref_val, w, dtype))
         return {"codec": codec, "width": w, "reference": ref_val}, payload.tobytes()

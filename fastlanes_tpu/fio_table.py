@@ -21,7 +21,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from . import fio, transforms
+from . import fio
 from .core import layout
 
 MAGIC = b"FLTTAB1"

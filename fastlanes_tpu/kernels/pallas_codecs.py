@@ -584,14 +584,34 @@ def _maybe_fallback(interpret):
     return False, interpret
 
 
+def _route(op, width, dtype, interpret):
+    """Pick the execution strategy for a public entry point.
+
+    Returns (use_ops, interp): `interpret=True/False` forces the kernel
+    (interpret / compiled); `interpret=None` (auto) takes the measured
+    fastest path from kernels.routing on TPU and the ops path elsewhere.
+    This is what makes the default path the fastest path per config —
+    the reference's raison d'être (reference README.md:5-10)."""
+    if interpret is not None:
+        return False, interpret
+    if not _on_tpu():
+        return True, None
+    from . import routing
+
+    if routing.use_pallas(op, layout.canon_dtype(dtype), width):
+        return False, False
+    return True, None
+
+
 def pack(values, width, dtype, *, tile_b=None, interpret=None):
-    """Pallas BitPacking::pack over a batch: (B, 1024) -> (B, plen).
+    """BitPacking::pack over a batch: (B, 1024) -> (B, plen).
 
     Accepts the same input forms as the ops layer (batched or unbatched,
     uint64 or (..., 2) uint32 limb image for u64); output mirrors the
-    input convention."""
-    fallback, interp = _maybe_fallback(interpret)
-    if fallback:
+    input convention. interpret=None routes to the measured fastest path
+    (kernels.routing); interpret=True/False forces the kernel."""
+    use_ops, interp = _route("pack", width, dtype, interpret)
+    if use_ops:
         return ops_bitpack.pack(values, width, dtype)
     main, had_batch = _normalize(values, dtype)
     if width == 0:
@@ -601,8 +621,8 @@ def pack(values, width, dtype, *, tile_b=None, interpret=None):
 
 
 def unpack(packed, width, dtype, *, tile_b=None, interpret=None):
-    fallback, interp = _maybe_fallback(interpret)
-    if fallback:
+    use_ops, interp = _route("unpack", width, dtype, interpret)
+    if use_ops:
         return ops_bitpack.unpack(packed, width, dtype)
     main, had_batch = _normalize(packed, dtype)
     if width == 0:
@@ -612,8 +632,8 @@ def unpack(packed, width, dtype, *, tile_b=None, interpret=None):
 
 
 def undelta_pack(packed, base, width, dtype, *, tile_b=None, interpret=None):
-    fallback, interp = _maybe_fallback(interpret)
-    if fallback or width == 0:
+    use_ops, interp = _route("undelta_pack", width, dtype, interpret)
+    if use_ops or width == 0:
         from ..ops import delta as ops_delta
 
         return ops_delta.undelta_pack(packed, base, width, dtype)
@@ -627,8 +647,8 @@ def undelta_pack(packed, base, width, dtype, *, tile_b=None, interpret=None):
 def unzdelta_pack(packed, base, width, dtype, *, tile_b=None, interpret=None):
     """Fused zdelta decode: unpack -> unzigzag -> per-lane prefix-sum in one
     kernel pass (the zdelta twin of undelta_pack)."""
-    fallback, interp = _maybe_fallback(interpret)
-    if fallback or width == 0:
+    use_ops, interp = _route("unzdelta_pack", width, dtype, interpret)
+    if use_ops or width == 0:
         from .. import transforms as _tr
         from ..ops import delta as ops_delta
 
@@ -650,8 +670,8 @@ def unzdelta_pack(packed, base, width, dtype, *, tile_b=None, interpret=None):
 
 
 def delta_pack(values, base, width, dtype, *, tile_b=None, interpret=None):
-    fallback, interp = _maybe_fallback(interpret)
-    if fallback:
+    use_ops, interp = _route("delta_pack", width, dtype, interpret)
+    if use_ops:
         from ..ops import delta as ops_delta
 
         return ops_delta.delta_pack(values, base, width, dtype)
@@ -665,8 +685,8 @@ def delta_pack(values, base, width, dtype, *, tile_b=None, interpret=None):
 
 
 def unfor_pack(packed, reference, width, dtype, *, tile_b=None, interpret=None):
-    fallback, interp = _maybe_fallback(interpret)
-    if fallback or width == 0:
+    use_ops, interp = _route("unfor_pack", width, dtype, interpret)
+    if use_ops or width == 0:
         from ..ops import ffor as ops_ffor
 
         return ops_ffor.unfor_pack(packed, reference, width, dtype)
@@ -677,8 +697,8 @@ def unfor_pack(packed, reference, width, dtype, *, tile_b=None, interpret=None):
 
 
 def for_pack(values, reference, width, dtype, *, tile_b=None, interpret=None):
-    fallback, interp = _maybe_fallback(interpret)
-    if fallback:
+    use_ops, interp = _route("for_pack", width, dtype, interpret)
+    if use_ops:
         from ..ops import ffor as ops_ffor
 
         return ops_ffor.for_pack(values, reference, width, dtype)

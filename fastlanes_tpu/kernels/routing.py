@@ -1,0 +1,80 @@
+"""Measured per-(op, dtype, width) fastest-path routing.
+
+The framework has two execution strategies for every codec: the
+hand-scheduled Pallas kernel and the XLA ops composition (one semantics —
+ops/bitpack.py row streams — traced two ways). Neither dominates: on v5e
+the kernel wins most u16 decodes while plain XLA wins u32/u64 materialized
+decode and every encode (benchmarks/results_tpu.jsonl). The reference's
+whole reason to exist is being the FASTEST decode (reference README.md:5-10),
+so the public entry points must always take the measured winner.
+
+This module owns that decision: a committed table of measured throughputs
+per (op, dtype, width), generated on real hardware by tools/tune_routing.py
+and consulted by kernels.* entry points (auto mode) and parallel/shard.py
+(use_kernels="auto"). Missing configs fall back to the nearest measured
+width of the same (op, dtype); ops never measured at all default to the
+kernel (the pre-routing behavior).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+
+_TABLE_PATH = os.path.join(os.path.dirname(__file__), "routing_tpu.json")
+
+_override = None  # test/tuning hook; see set_table()
+
+
+def set_table(entries) -> None:
+    """Override the routing table in-process (None restores the file table).
+    `entries` maps "op:dtype:width" -> {"pallas": ips, "ops": ips}."""
+    global _override
+    _override = entries
+    _lookup.cache_clear()
+
+
+def _entries():
+    if _override is not None:
+        return _override
+    return _load_file()
+
+
+@functools.lru_cache(maxsize=1)
+def _load_file():
+    try:
+        with open(_TABLE_PATH) as f:
+            return json.load(f)["entries"]
+    except (OSError, KeyError, json.JSONDecodeError):
+        return {}
+
+
+@functools.lru_cache(maxsize=None)
+def _lookup(op: str, dtype: str, width: int):
+    """Winner for (op, dtype, width): 'pallas' | 'ops'. Nearest measured
+    width of the same (op, dtype) stands in for unmeasured widths (ties
+    toward the lower width); unmeasured ops keep the kernel."""
+    entries = _entries()
+    exact = entries.get(f"{op}:{dtype}:{width}")
+    if exact is None:
+        candidates = []
+        prefix = f"{op}:{dtype}:"
+        for key in entries:
+            if key.startswith(prefix):
+                candidates.append(int(key[len(prefix):]))
+        if not candidates:
+            return "pallas"
+        nearest = min(candidates, key=lambda w: (abs(w - width), w))
+        exact = entries[f"{op}:{dtype}:{nearest}"]
+    return "pallas" if exact.get("pallas", 0.0) >= exact.get("ops", 0.0) else "ops"
+
+
+def best_path(op: str, dtype: str, width: int) -> str:
+    from ..core import layout
+
+    return _lookup(op, layout.canon_dtype(dtype), int(width))
+
+
+def use_pallas(op: str, dtype: str, width: int) -> bool:
+    return best_path(op, dtype, width) == "pallas"

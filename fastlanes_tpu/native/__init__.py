@@ -58,14 +58,16 @@ def _load():
     lib.fl_pack.argtypes = [ctypes.c_int, ctypes.c_int, c, c, ctypes.c_long]
     lib.fl_unpack.argtypes = [ctypes.c_int, ctypes.c_int, c, c, ctypes.c_long]
     lib.fl_for_pack.argtypes = [ctypes.c_int, ctypes.c_int, c, ctypes.c_ulonglong, c, ctypes.c_long]
-    lib.fl_unfor_pack.argtypes = [ctypes.c_int, ctypes.c_int, c, ctypes.c_ulonglong, c, ctypes.c_long]
+    lib.fl_unfor_pack.argtypes = [ctypes.c_int, ctypes.c_int, c,
+                                  ctypes.c_ulonglong, c, ctypes.c_long]
     lib.fl_delta.argtypes = [ctypes.c_int, c, c, c, ctypes.c_long]
     lib.fl_undelta.argtypes = [ctypes.c_int, c, c, c, ctypes.c_long]
     lib.fl_delta_pack.argtypes = [ctypes.c_int, ctypes.c_int, c, c, c, ctypes.c_long]
     lib.fl_undelta_pack.argtypes = [ctypes.c_int, ctypes.c_int, c, c, c, ctypes.c_long]
     lib.fl_transpose.argtypes = [ctypes.c_int, c, c, ctypes.c_long]
     lib.fl_untranspose.argtypes = [ctypes.c_int, c, c, ctypes.c_long]
-    lib.fl_unpack_single.argtypes = [ctypes.c_int, ctypes.c_int, c, c, ctypes.c_long, c, ctypes.c_long]
+    lib.fl_unpack_single.argtypes = [ctypes.c_int, ctypes.c_int, c, c,
+                                     ctypes.c_long, c, ctypes.c_long]
     for fn in ("fl_pack", "fl_unpack", "fl_for_pack", "fl_unfor_pack", "fl_delta",
                "fl_undelta", "fl_delta_pack", "fl_undelta_pack", "fl_transpose",
                "fl_untranspose", "fl_unpack_single"):
@@ -126,7 +128,8 @@ def for_pack(values, reference, width, dtype):
     lib = _load()
     v = _prep(values, dtype, layout.BLOCK)
     out = np.empty((v.shape[0], layout.packed_len(dtype, width)), layout.np_dtype(dtype))
-    _check(lib.fl_for_pack(_DTYPE_CODE[dtype], width, _ptr(v), int(reference), _ptr(out), v.shape[0]))
+    _check(lib.fl_for_pack(_DTYPE_CODE[dtype], width, _ptr(v), int(reference),
+                           _ptr(out), v.shape[0]))
     return out
 
 
@@ -135,7 +138,8 @@ def unfor_pack(packed, reference, width, dtype):
     lib = _load()
     p = _prep(packed, dtype, layout.packed_len(dtype, width))
     out = np.empty((p.shape[0], layout.BLOCK), layout.np_dtype(dtype))
-    _check(lib.fl_unfor_pack(_DTYPE_CODE[dtype], width, _ptr(p), int(reference), _ptr(out), p.shape[0]))
+    _check(lib.fl_unfor_pack(_DTYPE_CODE[dtype], width, _ptr(p), int(reference),
+                             _ptr(out), p.shape[0]))
     return out
 
 

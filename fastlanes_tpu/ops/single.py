@@ -10,7 +10,6 @@ doubles as a batched `take` for packed columns.
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 from ..core import layout
 from . import _engine as eng

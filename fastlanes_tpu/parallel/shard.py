@@ -40,6 +40,19 @@ def _pad_to(arr, mult):
     return arr, b
 
 
+
+def _resolve_kernels(use_kernels, name, width, dtype):
+    """use_kernels="auto" -> the measured fastest path for this config
+    (kernels.routing) on TPU, ops elsewhere. True/False/"interpret" pass
+    through (force kernel / ops / interpret-mode kernel)."""
+    if use_kernels == "auto":
+        from ..kernels import pallas_codecs as pk
+        from ..kernels import routing
+
+        return bool(pk._on_tpu() and routing.use_pallas(name, dtype, width))
+    return use_kernels
+
+
 @functools.lru_cache(maxsize=None)
 def _build_sharded(name, use_kernels, width, dtype, axis, mesh, param):
     """jit(shard_map(codec)) — cached so repeated calls with the same
@@ -68,28 +81,31 @@ def _build_sharded(name, use_kernels, width, dtype, axis, mesh, param):
 
 
 def _sharded_unary(name, use_kernels, mesh, arr, width, dtype, axis):
+    use_kernels = _resolve_kernels(use_kernels, name, width, dtype)
     call = _build_sharded(name, use_kernels, width, dtype, axis, mesh, None)
     padded, b = _pad_to(jnp.asarray(arr), mesh.shape[axis])
     return call(padded)[:b]
 
 
-def sharded_pack(mesh, values, width, dtype, axis="blocks", use_kernels=True):
-    """Data-parallel pack: each device packs its shard of blocks with the
-    Pallas kernel (or XLA ops off-TPU). No collectives."""
+def sharded_pack(mesh, values, width, dtype, axis="blocks", use_kernels="auto"):
+    """Data-parallel pack: each device packs its shard of blocks via the
+    measured fastest path for the config (use_kernels="auto"; True forces
+    the Pallas kernel, False the XLA ops). No collectives."""
     return _sharded_unary("pack", use_kernels, mesh, values, width, dtype, axis)
 
 
-def sharded_unpack(mesh, packed, width, dtype, axis="blocks", use_kernels=True):
+def sharded_unpack(mesh, packed, width, dtype, axis="blocks", use_kernels="auto"):
     return _sharded_unary("unpack", use_kernels, mesh, packed, width, dtype, axis)
 
 
-def sharded_undelta_pack(mesh, packed, base, width, dtype, axis="blocks", use_kernels=True):
+def sharded_undelta_pack(mesh, packed, base, width, dtype, axis="blocks", use_kernels="auto"):
     """Fused delta decode. A shared per-lane base ((LANES,) or limb image) is
     replicated (P(None)); a per-block base ((B, LANES)[, 2]) is sharded along
     the block axis with the packed payload."""
     packed, base = jnp.asarray(packed), jnp.asarray(base)
     per_block = base.ndim == packed.ndim and base.shape[0] == packed.shape[0]
     param = ("blk" if per_block else "rep", base.ndim)
+    use_kernels = _resolve_kernels(use_kernels, "undelta_pack", width, dtype)
     call = _build_sharded("undelta_pack", use_kernels, width, dtype, axis, mesh, param)
     padded, b = _pad_to(packed, mesh.shape[axis])
     if per_block:
@@ -97,12 +113,13 @@ def sharded_undelta_pack(mesh, packed, base, width, dtype, axis="blocks", use_ke
     return call(padded, base)[:b]
 
 
-def sharded_unzdelta_pack(mesh, packed, base, width, dtype, axis="blocks", use_kernels=True):
+def sharded_unzdelta_pack(mesh, packed, base, width, dtype, axis="blocks", use_kernels="auto"):
     """Fused zdelta decode (unpack -> unzigzag -> prefix-sum) sharded over
     blocks; base replication/sharding rules as sharded_undelta_pack."""
     packed, base = jnp.asarray(packed), jnp.asarray(base)
     per_block = base.ndim == packed.ndim and base.shape[0] == packed.shape[0]
     param = ("blk" if per_block else "rep", base.ndim)
+    use_kernels = _resolve_kernels(use_kernels, "unzdelta_pack", width, dtype)
     call = _build_sharded("unzdelta_pack", use_kernels, width, dtype, axis, mesh, param)
     padded, b = _pad_to(packed, mesh.shape[axis])
     if per_block:
@@ -110,17 +127,19 @@ def sharded_unzdelta_pack(mesh, packed, base, width, dtype, axis="blocks", use_k
     return call(padded, base)[:b]
 
 
-def sharded_for_pack(mesh, values, reference, width, dtype, axis="blocks", use_kernels=True):
+def sharded_for_pack(mesh, values, reference, width, dtype, axis="blocks", use_kernels="auto"):
     """FFoR encode with replicated scalar reference."""
     ref_arr = _ref_array(reference, dtype)
+    use_kernels = _resolve_kernels(use_kernels, "for_pack", width, dtype)
     call = _build_sharded("for_pack", use_kernels, width, dtype, axis, mesh,
                           ("rep", ref_arr.ndim))
     padded, b = _pad_to(jnp.asarray(values), mesh.shape[axis])
     return call(padded, ref_arr)[:b]
 
 
-def sharded_unfor_pack(mesh, packed, reference, width, dtype, axis="blocks", use_kernels=True):
+def sharded_unfor_pack(mesh, packed, reference, width, dtype, axis="blocks", use_kernels="auto"):
     ref_arr = _ref_array(reference, dtype)
+    use_kernels = _resolve_kernels(use_kernels, "unfor_pack", width, dtype)
     call = _build_sharded("unfor_pack", use_kernels, width, dtype, axis, mesh,
                           ("rep", ref_arr.ndim))
     padded, b = _pad_to(jnp.asarray(packed), mesh.shape[axis])
@@ -174,12 +193,14 @@ def all_gather_packed(mesh, packed_sharded, dtype, axis="blocks"):
                                  check_vma=False))(jnp.asarray(packed_sharded))
 
 
-def sharded_roundtrip_check(mesh, values, width, dtype, axis="blocks", use_kernels=True):
+def sharded_roundtrip_check(mesh, values, width, dtype, axis="blocks", use_kernels="auto"):
     """pack -> unpack per shard, psum the mismatch count over the mesh.
     Returns a replicated scalar int32 (0 == bit-exact everywhere). The
     framework's distributed self-validation step."""
-    pack_fn = _kernel_or_op("pack", use_kernels)
-    unpack_fn = _kernel_or_op("unpack", use_kernels)
+    uk_pack = _resolve_kernels(use_kernels, "pack", width, dtype)
+    uk_unpack = _resolve_kernels(use_kernels, "unpack", width, dtype)
+    pack_fn = _kernel_or_op("pack", uk_pack)
+    unpack_fn = _kernel_or_op("unpack", uk_unpack)
 
     def local(v):
         p = pack_fn(v, width, dtype)
@@ -189,7 +210,7 @@ def sharded_roundtrip_check(mesh, values, width, dtype, axis="blocks", use_kerne
 
     spec = _block_spec(dtype, axis)
     fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=P(),
-                               check_vma=not use_kernels))
+                               check_vma=not (uk_pack or uk_unpack)))
     padded, _ = _pad_to(jnp.asarray(values), mesh.shape[axis])
     return fn(padded)
 

@@ -109,7 +109,8 @@ def unpack_rows(packed, width: int, dtype):
     b = p.shape[0]
     plen = layout.packed_len(dtype, width)
     if p.shape[1] != plen:
-        raise ValueError(f"packed must have shape (..., {plen}) for {dtype} W={width}, got {p.shape}")
+        raise ValueError(
+            f"packed must have shape (..., {plen}) for {dtype} W={width}, got {p.shape}")
 
     if width == 0:
         zero = np.zeros((b, nl), dtype=dt)

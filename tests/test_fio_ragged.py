@@ -6,7 +6,6 @@ import numpy as np
 import pytest
 
 from fastlanes_tpu import cli, fio, fio_device
-from fastlanes_tpu.core import layout
 
 
 @pytest.mark.parametrize("n", [1, 1000, 1024, 1025, 5000])
@@ -32,7 +31,8 @@ def test_flat_u64_device_decode(tmp_path, rng):
     path = str(tmp_path / "c.flt")
     fio.write_file(path, col, dtype="u64")
     got = np.asarray(fio_device.read_file_device(path))  # (n, 2) limb image
-    got = np.ascontiguousarray(got).view(np.uint8).reshape(got.shape[0], -1).view(np.uint64).reshape(-1)
+    got = (np.ascontiguousarray(got).view(np.uint8).reshape(got.shape[0], -1)
+           .view(np.uint64).reshape(-1))
     np.testing.assert_array_equal(got, col)
 
 

@@ -4,7 +4,6 @@ import numpy as np
 import pytest
 
 from fastlanes_tpu import fio_table
-from fastlanes_tpu.core import layout
 
 
 @pytest.fixture

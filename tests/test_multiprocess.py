@@ -12,7 +12,6 @@ import subprocess
 import sys
 import textwrap
 
-import pytest
 
 _WORKER = textwrap.dedent("""
     import os, sys

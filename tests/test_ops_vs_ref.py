@@ -9,7 +9,7 @@ from fastlanes_tpu.ops import (
     bitpack, delta as delta_mod, dispatch, ffor, single, transpose as tr)
 from fastlanes_tpu.ref import numpy_ref as ref
 
-from conftest import random_values, ref_pattern, width_sample, width_sweep
+from conftest import random_values, width_sample, width_sweep
 
 
 def to_jax_form(np_arr, dtype):

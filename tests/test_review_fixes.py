@@ -5,7 +5,6 @@ import numpy as np
 import pytest
 
 from fastlanes_tpu import fio
-from fastlanes_tpu.core import layout
 from fastlanes_tpu.kernels import pallas_codecs as pk
 from fastlanes_tpu.models.codecs import auto_encode
 from fastlanes_tpu.ref import numpy_ref as ref

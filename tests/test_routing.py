@@ -1,0 +1,93 @@
+"""Fastest-path routing: the public entry points must take the measured
+winner per (op, dtype, width) — kernels.routing consulted by kernels.* in
+auto mode and by parallel.shard use_kernels="auto"."""
+
+import numpy as np
+import pytest
+
+from fastlanes_tpu.kernels import pallas_codecs as pk
+from fastlanes_tpu.kernels import routing
+
+
+@pytest.fixture(autouse=True)
+def _restore_table():
+    yield
+    routing.set_table(None)
+
+
+def test_seeded_table_loads():
+    routing.set_table(None)
+    entries = routing._entries()
+    assert len(entries) >= 50
+    # the recorded v5e facts the table exists to encode:
+    assert routing.best_path("unpack", "u32", 3) == "ops"      # 126.6e9 vs 84.9e9
+    assert routing.best_path("unpack", "u16", 3) == "pallas"   # 119.3e9 vs 112.0e9
+    assert routing.best_path("unpack", "u8", 3) == "ops"       # anomalous 44.3e9 kernel
+    assert routing.best_path("pack", "u32", 3) == "ops"        # 81.9e9 vs 54.4e9
+    assert routing.best_path("unpack", "u64", 3) == "ops"      # 122.2e9 vs 41.1e9
+
+
+def test_canonical_dtype_and_nearest_width():
+    routing.set_table({
+        "unpack:u32:4": {"pallas": 10.0, "ops": 20.0},
+        "unpack:u32:16": {"pallas": 30.0, "ops": 5.0},
+    })
+    assert routing.best_path("unpack", "uint32", 4) == "ops"
+    # nearest measured width stands in: W=6 -> 4 (ops), W=12 -> 16 (pallas)
+    assert routing.best_path("unpack", "u32", 6) == "ops"
+    assert routing.best_path("unpack", "u32", 12) == "pallas"
+    # equidistant ties toward the lower width: W=10 -> 4 -> ops
+    assert routing.best_path("unpack", "u32", 10) == "ops"
+
+
+def test_unmeasured_op_defaults_to_kernel():
+    routing.set_table({"unpack:u32:4": {"pallas": 1.0, "ops": 2.0}})
+    assert routing.best_path("unzdelta_pack", "u32", 4) == "pallas"
+
+
+def test_route_off_tpu_is_ops():
+    # CPU test environment: auto mode always takes the ops path
+    use_ops, _ = pk._route("unpack", 3, "u32", None)
+    assert use_ops
+    # explicit interpret request forces the kernel regardless
+    use_ops, interp = pk._route("unpack", 3, "u32", True)
+    assert not use_ops and interp is True
+
+
+def test_route_on_tpu_follows_table(monkeypatch):
+    monkeypatch.setattr(pk, "_on_tpu", lambda: True)
+    routing.set_table({
+        "unpack:u32:3": {"pallas": 1.0, "ops": 2.0},
+        "unpack:u16:3": {"pallas": 2.0, "ops": 1.0},
+    })
+    assert pk._route("unpack", 3, "u32", None) == (True, None)
+    assert pk._route("unpack", 3, "u16", None) == (False, False)
+    # forcing compiled kernel bypasses the table
+    assert pk._route("unpack", 3, "u32", False) == (False, False)
+
+
+def test_sharded_auto_resolution(monkeypatch):
+    from fastlanes_tpu.parallel import shard
+
+    routing.set_table({"unpack:u32:3": {"pallas": 1.0, "ops": 2.0},
+                       "unpack:u16:3": {"pallas": 2.0, "ops": 1.0}})
+    # off-TPU: auto -> ops
+    assert shard._resolve_kernels("auto", "unpack", 3, "u32") is False
+    monkeypatch.setattr(pk, "_on_tpu", lambda: True)
+    assert shard._resolve_kernels("auto", "unpack", 3, "u32") is False
+    assert shard._resolve_kernels("auto", "unpack", 3, "u16") is True
+    # explicit settings pass through untouched
+    assert shard._resolve_kernels(True, "unpack", 3, "u32") is True
+    assert shard._resolve_kernels("interpret", "unpack", 3, "u32") == "interpret"
+
+
+def test_public_entry_routes_to_ops_off_tpu(rng):
+    """kernels.unpack in auto mode off-TPU == the ops path, bit-exact."""
+    from fastlanes_tpu.ref import numpy_ref as ref
+
+    values = rng.integers(0, 8, (4, 1024), np.int64).astype(np.uint32)
+    gold = ref.pack(values, 3, "u32")
+    packed = pk.pack(values, 3, "u32")
+    np.testing.assert_array_equal(np.asarray(packed), gold)
+    out = pk.unpack(packed, 3, "u32")
+    np.testing.assert_array_equal(np.asarray(out), values)

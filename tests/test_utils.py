@@ -1,7 +1,6 @@
 """utils: serialization round trip, limb views, sha helpers."""
 
 import numpy as np
-import pytest
 
 from fastlanes_tpu.models import BitPackedCodec, FFoRCodec
 from fastlanes_tpu.utils import load_encoded, save_encoded

@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Measure Pallas-kernel vs XLA-ops throughput per (op, dtype, width) and
+write the routing table consumed by fastlanes_tpu.kernels.routing.
+
+Fair harness (both paths identical): K iterations inside one jit via
+lax.scan with a data dependency between iterations; each iteration's FULL
+output passes through jax.lax.optimization_barrier, so XLA must materialize
+every element (no DCE behind a scalar probe, no fusing the probe into the
+producer) exactly like the opaque Pallas kernel must; then one element
+feeds the carry. One scalar host fetch per repetition (the remote tunnel
+acks block_until_ready at enqueue — benchmarks/NOTES.md).
+
+Usage:
+    python tools/tune_routing.py                  # full measure, write table
+    python tools/tune_routing.py --quick          # u32 pack/unpack only
+    python tools/tune_routing.py --dry            # print configs, no device
+    ... [--blocks N] [--out PATH] [--no-merge]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+TABLE_PATH = "fastlanes_tpu/kernels/routing_tpu.json"
+
+# widths measured per op family; unmeasured widths route via nearest-width
+PACK_WIDTHS = {8: [1, 2, 3, 4, 7, 8], 16: [1, 2, 3, 4, 8, 15, 16],
+               32: [1, 2, 3, 4, 8, 16, 31, 32], 64: [1, 2, 3, 4, 8, 16, 32, 63, 64]}
+FUSED_WIDTHS = {8: [3, 4], 16: [3, 8], 32: [3, 16], 64: [3, 32]}
+
+
+def build_configs(quick: bool):
+    from fastlanes_tpu.core import layout
+
+    configs = []
+    dtypes = ["u32"] if quick else list(layout.DTYPES)
+    for dt in dtypes:
+        t = layout.bit_width(dt)
+        for w in PACK_WIDTHS[t]:
+            configs.append(("pack", dt, w))
+            configs.append(("unpack", dt, w))
+        if quick:
+            continue
+        for w in FUSED_WIDTHS[t]:
+            for op in ("undelta_pack", "unzdelta_pack", "for_pack",
+                       "unfor_pack", "delta_pack"):
+                configs.append((op, dt, w))
+    return configs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--dry", action="store_true")
+    ap.add_argument("--blocks", type=int, default=None)
+    ap.add_argument("--out", default=TABLE_PATH)
+    ap.add_argument("--no-merge", action="store_true",
+                    help="start from an empty table instead of merging")
+    ap.add_argument("--k", type=int, default=None, help="chain length")
+    args = ap.parse_args()
+
+    configs = build_configs(args.quick)
+    if args.dry:
+        for c in configs:
+            print(":".join(map(str, c)))
+        print(f"# {len(configs)} configs x 2 paths")
+        return
+
+    import jax
+    import jax.numpy as jnp
+
+    from fastlanes_tpu.core import layout
+    from fastlanes_tpu.kernels import pallas_codecs as pk
+    from fastlanes_tpu.ops import bitpack as ops_bitpack
+    from fastlanes_tpu.ops import delta as ops_delta
+    from fastlanes_tpu.ops import ffor as ops_ffor
+    from fastlanes_tpu.parallel.shard import _ops_unzdelta_pack
+    from fastlanes_tpu.ref import numpy_ref as ref
+    from fastlanes_tpu.utils.testing import to_jax_form
+    from fastlanes_tpu import fio
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    n_blocks = args.blocks or (16384 if on_tpu else 64)
+    n_ints = n_blocks * layout.BLOCK
+    K = args.k or (256 if on_tpu else 2)
+    rng = np.random.default_rng(0)
+
+    def chained(fn, main, *rest, iters=5):
+        """Median s/op; identical materialize-everything harness."""
+        @jax.jit
+        def rep(x):
+            def body(c, _):
+                out = fn(jnp.bitwise_xor(x, c), *rest)
+                out = jax.lax.optimization_barrier(out)
+                flat = out.reshape(-1)
+                np_dt = np.dtype(str(flat.dtype))
+                top = np_dt.type(np.iinfo(np_dt).max)
+                nc = jnp.where(flat[0] < top, 0, 1)
+                return nc.astype(x.dtype), ()
+            c, _ = jax.lax.scan(body, jnp.zeros((), x.dtype), None, length=K)
+            return c
+        _ = np.asarray(rep(main))  # compile + warm
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            _ = np.asarray(rep(main))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times)) / K
+
+    def make_inputs(op, dt, w):
+        """Returns (main_input, rest_inputs) for both paths."""
+        t = layout.bit_width(dt)
+        nl = layout.lanes(dt)
+        np_dt = layout.np_dtype(dt)
+        hi = 1 << min(max(w, 1), t)
+        values = rng.integers(0, hi, (n_blocks, 1024), dtype=np.uint64).astype(np_dt)
+        if op in ("pack", "delta_pack", "for_pack"):
+            main = to_jax_form(values, dt)
+        else:
+            packed = ref.pack(values, w, dt)
+            main = to_jax_form(packed, dt)
+        if op in ("undelta_pack", "unzdelta_pack", "delta_pack"):
+            base = np.ascontiguousarray(ref.transpose(values, dt)[:, :nl])
+            return main, (to_jax_form(base, dt),)
+        if op in ("for_pack", "unfor_pack"):
+            return main, (int(values.min()),)
+        return main, ()
+
+    ops_fns = {
+        "pack": lambda v, w, dt: ops_bitpack.pack(v, w, dt),
+        "unpack": lambda p, w, dt: ops_bitpack.unpack(p, w, dt),
+        "undelta_pack": lambda p, b, w, dt: ops_delta.undelta_pack(p, b, w, dt),
+        "unzdelta_pack": _ops_unzdelta_pack,
+        "for_pack": lambda v, r, w, dt: ops_ffor.for_pack(v, r, w, dt),
+        "unfor_pack": lambda p, r, w, dt: ops_ffor.unfor_pack(p, r, w, dt),
+        "delta_pack": lambda v, b, w, dt: ops_delta.delta_pack(v, b, w, dt),
+    }
+    pk_fns = {
+        "pack": pk.pack, "unpack": pk.unpack, "undelta_pack": pk.undelta_pack,
+        "unzdelta_pack": pk.unzdelta_pack, "for_pack": pk.for_pack,
+        "unfor_pack": pk.unfor_pack, "delta_pack": pk.delta_pack,
+    }
+
+    entries = {}
+    if not args.no_merge:
+        try:
+            with open(args.out) as f:
+                entries = json.load(f)["entries"]
+        except (OSError, KeyError, json.JSONDecodeError):
+            pass
+
+    for op, dt, w in configs:
+        key = f"{op}:{dt}:{w}"
+        main, rest = make_inputs(op, dt, w)
+        rec = {}
+        try:
+            t_ops = chained(
+                lambda x, *r, _op=op, _w=w, _dt=dt: ops_fns[_op](x, *r, _w, _dt),
+                main, *rest)
+            rec["ops"] = round(n_ints / t_ops, 1)
+        except Exception as e:  # pragma: no cover
+            print(f"# {key} ops failed: {str(e)[:100]}", file=sys.stderr)
+        if on_tpu:
+            try:
+                t_pal = chained(
+                    lambda x, *r, _op=op, _w=w, _dt=dt: pk_fns[_op](
+                        x, *r, _w, _dt, interpret=False),
+                    main, *rest)
+                rec["pallas"] = round(n_ints / t_pal, 1)
+            except Exception as e:  # pragma: no cover
+                print(f"# {key} pallas failed: {str(e)[:100]}", file=sys.stderr)
+        if rec:
+            entries[key] = rec
+            print(json.dumps({key: rec}), flush=True)
+
+    doc = {
+        "platform": f"{platform} ({jax.devices()[0].device_kind if on_tpu else 'host'})",
+        "source": f"tools/tune_routing.py, {n_blocks} blocks, K={K}, "
+                  "optimization_barrier materialized harness",
+        "entries": {k: entries[k] for k in sorted(entries)},
+    }
+    with open(args.out, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    print(f"# wrote {len(entries)} entries to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

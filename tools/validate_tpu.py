@@ -68,7 +68,8 @@ for dt in layout.DTYPES:
     transposed = ref.transpose(values, dt)
     deltas = ref.delta(transposed, np.broadcast_to(base, (N, nl)), dt)
     gpacked = ref.pack(deltas, w, dt)
-    got = from_jax_form(pk.delta_pack(to_jax_form(transposed, dt), to_jax_form(base, dt), w, dt), dt)
+    got = from_jax_form(
+        pk.delta_pack(to_jax_form(transposed, dt), to_jax_form(base, dt), w, dt), dt)
     check(f"delta_pack {dt} W={w}", got, gpacked)
     got = from_jax_form(pk.undelta_pack(to_jax_form(gpacked, dt), to_jax_form(base, dt), w, dt), dt)
     check(f"undelta_pack {dt} W={w}", got, transposed)
