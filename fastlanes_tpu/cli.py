@@ -39,8 +39,11 @@ def _as_column(arr: np.ndarray) -> np.ndarray:
 
 def _cmd_compress(args) -> int:
     arr = np.load(args.input)
-    if not np.issubdtype(arr.dtype, np.integer):
-        raise SystemExit(f"FastLanes compresses integers, got dtype {arr.dtype}")
+    is_float = np.issubdtype(arr.dtype, np.floating)
+    if not np.issubdtype(arr.dtype, np.integer) and not is_float:
+        raise SystemExit(f"FastLanes compresses integers and floats, got {arr.dtype}")
+    if is_float and args.dtype:
+        raise SystemExit("float columns choose their own wire dtype; drop --dtype")
     if args.dtype:
         # explicit wire dtype: signed inputs reinterpret mod 2^T
         column = _as_column(arr).astype(layout.np_dtype(args.dtype))
@@ -108,10 +111,11 @@ def _cmd_compress_table(args) -> int:
     columns = {}
     for name in data.files:
         arr = data[name]
-        if not np.issubdtype(arr.dtype, np.integer):
+        if not (np.issubdtype(arr.dtype, np.integer)
+                or np.issubdtype(arr.dtype, np.floating)):
             raise SystemExit(f"column {name!r} is {arr.dtype}; FastLanes "
-                             "compresses integers")
-        columns[name] = arr  # signed columns are zigzag-transformed
+                             "compresses integers and floats")
+        columns[name] = arr  # signed -> zigzag/viewu transform, float -> ALP
     header = fio_table.write_table(args.output, columns, codec=args.codec,
                                    chunk_blocks=args.chunk_blocks)
     import os
@@ -148,6 +152,7 @@ def _cmd_inspect(args) -> int:
             "kind": "table",
             "columns": {name: {"dtype": c["dtype"], "n_blocks": c["n_blocks"],
                                **({"n_values": c["n_values"]} if "n_values" in c else {}),
+                               **({"vtype": c["vtype"]} if "vtype" in c else {}),
                                "codecs": sorted({ch["codec"] for ch in c["chunks"]})}
                         for name, c in header["columns"].items()},
         }, indent=2))
@@ -159,6 +164,7 @@ def _cmd_inspect(args) -> int:
         codecs[c["codec"]] = codecs.get(c["codec"], 0) + 1
     print(json.dumps({
         "dtype": header["dtype"], "n_blocks": header["n_blocks"],
+        **({"vtype": header["vtype"]} if "vtype" in header else {}),
         "chunk_blocks": header["chunk_blocks"], "n_chunks": len(header["chunks"]),
         "codecs": codecs,
         "width_min": min(widths) if widths else None,
@@ -170,7 +176,10 @@ def _cmd_inspect(args) -> int:
 
 def _cmd_get(args) -> int:
     val = fio.read_single(args.input, args.block, args.index)
-    print(int(val))
+    if np.issubdtype(np.asarray(val).dtype, np.floating):
+        print(repr(val.item()))
+    else:
+        print(int(val))
     return 0
 
 
@@ -227,7 +236,7 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("input")
     c.add_argument("output")
     c.add_argument("--codec", default="auto",
-                   choices=["auto", "bitpack", "ffor", "delta", "zdelta"])
+                   choices=["auto", "bitpack", "ffor", "delta", "zdelta", "alp"])
     c.add_argument("--dtype", default=None, choices=list(layout.DTYPES))
     c.add_argument("--chunk-blocks", type=int, default=1024)
     c.set_defaults(fn=_cmd_compress)

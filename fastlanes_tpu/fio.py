@@ -20,6 +20,7 @@ from typing import Optional
 import numpy as np
 
 from .core import layout
+from . import alp as alp_mod
 from . import native
 from . import transforms
 from .ref import numpy_ref as npref
@@ -42,6 +43,21 @@ def pad_to_blocks(arr: np.ndarray, dtype: str):
     tail-padded by repeating the last value. Returns (blocks, n_values or
     None) — shared by write_file and fio_table."""
     arr = np.ascontiguousarray(arr).astype(layout.np_dtype(dtype), copy=False)
+    n_values = None
+    if arr.ndim == 1:
+        n_values = int(arr.size)
+        pad = (-arr.size) % layout.BLOCK
+        if pad:
+            fill = arr[-1:] if arr.size else np.zeros(1, arr.dtype)
+            arr = np.concatenate([arr, np.repeat(fill, pad)])
+        arr = arr.reshape(-1, layout.BLOCK)
+    if arr.ndim != 2 or arr.shape[1] != layout.BLOCK:
+        raise ValueError(f"values must be (B, {layout.BLOCK}) or flat, got {arr.shape}")
+    return arr, n_values
+
+
+def _pad_to_blocks_float(arr: np.ndarray):
+    """Float twin of pad_to_blocks (no unsigned cast)."""
     n_values = None
     if arr.ndim == 1:
         n_values = int(arr.size)
@@ -203,6 +219,51 @@ def _encode_chunk(values: np.ndarray, dtype: str, codec: str):
     raise ValueError(f"unknown codec {codec!r}")
 
 
+def _encode_chunk_alp(values_f: np.ndarray, wire_dtype: str):
+    """ALP chunk for a float32/float64 block batch: FFoR'd scaled ints
+    bit-packed with the integer machinery, exceptions appended raw.
+    Payload: packed || exc_pos(u32 LE) || exc_val(value dtype LE)."""
+    enc = alp_mod.encode_np(values_f)
+    w = enc["width"]
+    use_native = native.available()
+    packed = (native.pack(enc["ints"], w, wire_dtype) if use_native
+              else npref.pack(enc["ints"], w, wire_dtype))
+    payload = (packed.tobytes() + enc["exc_pos"].astype("<u4").tobytes()
+               + enc["exc_val"].tobytes())
+    meta = {"codec": "alp", "width": w, "reference": enc["reference"],
+            "e": enc["e"], "f": enc["f"], "n_exc": int(len(enc["exc_pos"])),
+            "vtype": "f32" if values_f.dtype == np.float32 else "f64"}
+    return meta, payload
+
+
+def _split_alp_payload(meta: dict, raw: bytes, n_blocks: int, dtype: str,
+                       np_float):
+    """ALP payload -> (packed uint array, exc_pos, exc_val)."""
+    np_dt = layout.np_dtype(dtype)
+    plen = layout.packed_len(dtype, meta["width"])
+    packed_bytes = n_blocks * plen * np_dt.itemsize
+    packed = np.frombuffer(raw[:packed_bytes], np_dt).reshape(n_blocks, plen)
+    n_exc = meta.get("n_exc", 0)
+    pos_bytes = n_exc * 4
+    exc_pos = np.frombuffer(raw[packed_bytes:packed_bytes + pos_bytes], "<u4")
+    exc_val = np.frombuffer(raw[packed_bytes + pos_bytes:], np_float)[:n_exc]
+    return packed, exc_pos, exc_val
+
+
+def _decode_chunk_alp(meta: dict, raw: bytes, n_blocks: int, dtype: str,
+                      np_float) -> np.ndarray:
+    packed, exc_pos, exc_val = _split_alp_payload(meta, raw, n_blocks, dtype,
+                                                  np_float)
+    use_native = native.available()
+    shifted = (native.unpack(packed, meta["width"], dtype) if use_native
+               else npref.unpack(packed, meta["width"], dtype))
+    return alp_mod.decode_np(shifted, meta["e"], meta["f"], meta["reference"],
+                             np_float, exc_pos, exc_val)
+
+
+_VTYPES = {"f32": np.float32, "f64": np.float64}
+
+
 def _decode_chunk(meta: dict, raw: bytes, n_blocks: int, dtype: str) -> np.ndarray:
     t = layout.bit_width(dtype)
     nl = layout.lanes(dtype)
@@ -210,6 +271,10 @@ def _decode_chunk(meta: dict, raw: bytes, n_blocks: int, dtype: str) -> np.ndarr
     w = meta["width"]
     use_native = native.available()
     codec = meta["codec"]
+
+    if codec == "alp":
+        return _decode_chunk_alp(meta, raw, n_blocks, dtype,
+                                 _VTYPES[meta["vtype"]])
 
     if codec == "delta":
         base_bytes = n_blocks * nl * np_dt.itemsize
@@ -254,18 +319,39 @@ def write_file(path: str, values, dtype=None, codec: str = "auto",
 
     SIGNED input with dtype=None is zigzag-transformed (small magnitudes of
     either sign get small codes) and comes back signed on read; an explicit
-    unsigned `dtype` instead reinterprets the bits mod 2^T."""
+    unsigned `dtype` instead reinterprets the bits mod 2^T.
+
+    FLOAT input (float32/float64, dtype must be None) compresses via the
+    ALP codec: scaled-integer FFoR+bitpack with exact-roundtrip exceptions;
+    reads come back as the original float dtype, bit-exact."""
     arr = np.ascontiguousarray(values)
     transform = None
-    if dtype is None and arr.dtype.kind == "i":
-        arr, transform = choose_signed_transform(arr, chunk_blocks)
-    dtype = layout.canon_dtype(dtype if dtype is not None else arr.dtype)
-    arr, n_values = pad_to_blocks(arr, dtype)
+    vtype = None
+    if arr.dtype.kind == "f":
+        if dtype is not None:
+            raise ValueError("float columns choose their own wire dtype; "
+                             "pass dtype=None")
+        if arr.dtype not in (np.float32, np.float64):
+            raise ValueError(f"unsupported float dtype {arr.dtype}")
+        if codec not in ("auto", "alp"):
+            raise ValueError(f"float columns use the 'alp' codec, not {codec!r}")
+        vtype = "f32" if arr.dtype == np.float32 else "f64"
+        dtype = "u32" if vtype == "f32" else "u64"
+        arr, n_values = _pad_to_blocks_float(arr)
+        encode_one = lambda part: _encode_chunk_alp(part, dtype)  # noqa: E731
+    else:
+        if codec == "alp":
+            raise ValueError("the 'alp' codec is for float columns")
+        if dtype is None and arr.dtype.kind == "i":
+            arr, transform = choose_signed_transform(arr, chunk_blocks)
+        dtype = layout.canon_dtype(dtype if dtype is not None else arr.dtype)
+        arr, n_values = pad_to_blocks(arr, dtype)
+        encode_one = lambda part: _encode_chunk(part, dtype, codec)  # noqa: E731
 
     chunks, payloads, offset = [], [], 0
     for start in range(0, arr.shape[0], chunk_blocks):
         part = arr[start:start + chunk_blocks]
-        meta, payload = _encode_chunk(part, dtype, codec)
+        meta, payload = encode_one(part)
         meta.update(n_blocks=len(part), offset=offset, nbytes=len(payload))
         chunks.append(meta)
         payloads.append(payload)
@@ -279,6 +365,8 @@ def write_file(path: str, values, dtype=None, codec: str = "auto",
         header["n_values"] = n_values  # flat column length before tail padding
     if transform is not None:
         header["transform"] = transform
+    if vtype is not None:
+        header["vtype"] = vtype
     hdr = json.dumps(header).encode()
     with open(path, "wb") as f:
         f.write(MAGIC)
@@ -325,6 +413,8 @@ def read_blocks(path: str, start: int = 0, stop: Optional[int] = None) -> np.nda
     with open(path, "rb") as f:
         blocks = read_chunk_range(f, header["chunks"], _payload_base(path),
                                   header["chunk_blocks"], start, stop, dtype)
+    if "vtype" in header and blocks.size == 0:
+        return np.empty((0, layout.BLOCK), _VTYPES[header["vtype"]])
     return apply_inverse_transform(blocks, header.get("transform"))
 
 
@@ -337,6 +427,39 @@ def read_file(path: str) -> np.ndarray:
     if "n_values" in header:
         return blocks.reshape(-1)[:header["n_values"]]
     return blocks
+
+
+def _read_single_alp(path: str, meta: dict, ci: int, cb: int, block: int,
+                     index: int, dtype: str, base_off: int):
+    """Random access into an ALP chunk: check the exception list (tiny),
+    otherwise read the block's packed row, unpack_single, unshift, multiply
+    — at most two packed words plus the exception arrays touch disk."""
+    np_float = _VTYPES[meta["vtype"]]
+    np_dt = layout.np_dtype(dtype)
+    w = meta["width"]
+    plen = layout.packed_len(dtype, w)
+    block_in_chunk = block - ci * cb
+    n_exc = meta.get("n_exc", 0)
+    packed_bytes = meta["n_blocks"] * plen * np_dt.itemsize
+    with open(path, "rb") as f:
+        if n_exc:
+            f.seek(base_off + meta["offset"] + packed_bytes)
+            exc_pos = np.frombuffer(f.read(n_exc * 4), "<u4")
+            exc_val = np.frombuffer(f.read(n_exc * np_float().itemsize), np_float)
+            flat_pos = block_in_chunk * layout.BLOCK + index
+            hits = np.flatnonzero(exc_pos == flat_pos)
+            if hits.size:
+                return exc_val[hits[0]]
+        f.seek(base_off + meta["offset"] + block_in_chunk * plen * np_dt.itemsize)
+        raw = f.read(plen * np_dt.itemsize)
+    packed = np.frombuffer(raw, np_dt).reshape(1, plen)
+    idx_arr = np.array([index], dtype=np.int64)
+    if native.available():
+        shifted = native.unpack_single(packed, w, idx_arr, dtype)[0, 0]
+    else:
+        shifted = npref.unpack_single(packed, w, idx_arr, dtype)[0, 0]
+    return alp_mod.decode_np(np.asarray([shifted]), meta["e"], meta["f"],
+                             meta["reference"], np_float)[0]
 
 
 def read_single(path: str, block: int, index: int):
@@ -363,6 +486,9 @@ def read_single(path: str, block: int, index: int):
     if meta["codec"] in ("delta", "zdelta"):
         blocks = read_blocks(path, block, block + 1)  # applies any transform
         return blocks[0, index]
+
+    if meta["codec"] == "alp":
+        return _read_single_alp(path, meta, ci, cb, block, index, dtype, base_off)
 
     w = meta["width"]
     plen = layout.packed_len(dtype, w)

@@ -56,6 +56,32 @@ def _decode_chunk_device(meta: dict, raw: bytes, n_blocks: int, dtype: str,
     codec = meta["codec"]
     plen = layout.packed_len(dtype, w)
 
+    if codec == "alp":
+        from . import alp as alp_mod
+
+        np_float = fio._VTYPES[meta["vtype"]]
+        if np_float == np.float64:
+            import jax
+
+            if not jax.config.read("jax_enable_x64"):
+                raise ValueError(
+                    "device decode of f64 ALP columns needs x64 jax (CPU); "
+                    "on TPU use the host path (fio.read_file)")
+        packed, exc_pos, exc_val = fio._split_alp_payload(
+            meta, raw, n_blocks, dtype, np_float)
+        packed_dev = _np_to_device_form(np.ascontiguousarray(packed), dtype)
+        if mesh is not None:
+            shifted = psh.sharded_unpack(mesh, packed_dev, w, dtype,
+                                         use_kernels=use_kernels)
+        else:
+            shifted = pk.unpack(packed_dev, w, dtype)
+        if dtype == "u64":  # limb image -> int64 for the unshift/convert
+            shifted = (shifted[..., 0].astype(jnp.int64)
+                       | (shifted[..., 1].astype(jnp.int64) << 32))
+        return alp_mod.decode_device(shifted, meta["e"], meta["f"],
+                                     meta["reference"], np_float,
+                                     exc_pos, exc_val)
+
     if codec in ("delta", "zdelta"):
         base_bytes = n_blocks * nl * np_dt.itemsize
         base = _np_to_device_form(
@@ -138,6 +164,8 @@ def _apply_transform_device(blocks, transform, dtype: str):
 def _trim_flat(blocks, n_values, dtype: str):
     if n_values is None:
         return blocks
+    if jnp.issubdtype(blocks.dtype, jnp.floating):  # ALP column: real floats
+        return blocks.reshape(-1)[:n_values]
     if dtype == "u64":
         return blocks.reshape(-1, 2)[:n_values]
     return blocks.reshape(-1)[:n_values]

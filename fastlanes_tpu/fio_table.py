@@ -40,14 +40,27 @@ def write_table(path: str, columns: Dict[str, np.ndarray], dtypes=None,
     for name, arr in columns.items():
         arr = np.asarray(arr)
         transform = None
-        if name not in dtypes and arr.dtype.kind == "i":
-            arr, transform = fio.choose_signed_transform(arr, chunk_blocks)
-        dtype = layout.canon_dtype(dtypes.get(name, arr.dtype))
-        blocks, n_values = fio.pad_to_blocks(arr, dtype)
+        vtype = None
+        if arr.dtype.kind == "f":  # float column -> ALP (see fio.write_file)
+            if name in dtypes:
+                raise ValueError(f"float column {name!r} chooses its own wire dtype")
+            if codec not in ("auto", "alp"):
+                raise ValueError(
+                    f"float column {name!r} uses the 'alp' codec, not {codec!r}")
+            vtype = "f32" if arr.dtype == np.float32 else "f64"
+            dtype = "u32" if vtype == "f32" else "u64"
+            blocks, n_values = fio._pad_to_blocks_float(arr)
+            encode_one = lambda part, dt=dtype: fio._encode_chunk_alp(part, dt)  # noqa: E731
+        else:
+            if name not in dtypes and arr.dtype.kind == "i":
+                arr, transform = fio.choose_signed_transform(arr, chunk_blocks)
+            dtype = layout.canon_dtype(dtypes.get(name, arr.dtype))
+            blocks, n_values = fio.pad_to_blocks(arr, dtype)
+            encode_one = lambda part, dt=dtype: fio._encode_chunk(part, dt, codec)  # noqa: E731
         chunks = []
         for start in range(0, blocks.shape[0], chunk_blocks):
             part = blocks[start:start + chunk_blocks]
-            meta, payload = fio._encode_chunk(part, dtype, codec)
+            meta, payload = encode_one(part)
             meta.update(n_blocks=len(part), offset=offset, nbytes=len(payload))
             chunks.append(meta)
             payloads.append(payload)
@@ -58,6 +71,8 @@ def write_table(path: str, columns: Dict[str, np.ndarray], dtypes=None,
             col["n_values"] = n_values
         if transform is not None:
             col["transform"] = transform
+        if vtype is not None:
+            col["vtype"] = vtype
         cols_meta[name] = col
 
     header = {"version": _VERSION, "columns": cols_meta}

@@ -6,17 +6,21 @@ user expects: BitPackedCodec, FFoRCodec, DeltaCodec and auto width/reference
 selection, all jit-friendly and shard_map-compatible."""
 
 from .codecs import (
+    ALPCodec,
     BitPackedCodec,
     Codec,
     DeltaCodec,
     Encoded,
     FFoRCodec,
+    ZDeltaCodec,
+    auto_costs,
     auto_encode,
     bits_needed,
     get_codec,
 )
 
 __all__ = [
-    "Codec", "BitPackedCodec", "DeltaCodec", "FFoRCodec", "Encoded",
-    "auto_encode", "bits_needed", "get_codec",
+    "Codec", "ALPCodec", "BitPackedCodec", "DeltaCodec", "FFoRCodec",
+    "ZDeltaCodec", "Encoded", "auto_costs", "auto_encode", "bits_needed",
+    "get_codec",
 ]

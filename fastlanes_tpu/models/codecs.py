@@ -72,8 +72,9 @@ class Encoded:
         elem = layout.bit_width(self.dtype) // 8
         n = self.n_blocks * layout.packed_len(self.dtype, self.width) * elem
         for val in (self.params or {}).values():
-            if not isinstance(val, (int, np.integer)):
-                n += np.asarray(val).nbytes  # u64 params may be uint32 limb images
+            if isinstance(val, (int, np.integer, str, tuple)):
+                continue  # scalar metadata is header-sized, not payload
+            n += np.asarray(val).nbytes  # u64 params may be uint32 limb images
         return n
 
     @property
@@ -260,7 +261,67 @@ def _as_param(value: int, dtype):
     return jnp.asarray(np.asarray(value, layout.np_dtype(dtype)))
 
 
-_CODECS = {c.name: c for c in (BitPackedCodec, FFoRCodec, DeltaCodec, ZDeltaCodec)}
+class ALPCodec(Codec):
+    """ALP float compression driver (see fastlanes_tpu.alp): host encode
+    (float64 scaling + exact-roundtrip exception detection), device decode
+    (unpack -> unshift -> multiply/divide -> exception scatter). `dtype`
+    here is the VALUE dtype ('f32'/'f64'); the wire dtype is u32/u64.
+    Beyond-parity surface — the Rust reference crate is integer-only."""
+
+    name = "alp"
+
+    def __init__(self, dtype="f32", width=None):
+        if str(dtype) not in ("f32", "f64", "float32", "float64"):
+            raise ValueError(f"ALPCodec takes 'f32'/'f64', got {dtype!r}")
+        self.vtype = "f32" if str(dtype) in ("f32", "float32") else "f64"
+        self.dtype = "u32" if self.vtype == "f32" else "u64"
+        self.width = width
+
+    def encode(self, values) -> Encoded:
+        from .. import alp as alp_mod
+
+        arr = np.asarray(values)
+        want = np.float32 if self.vtype == "f32" else np.float64
+        if arr.dtype != want:
+            raise ValueError(f"expected {want.__name__} values, got {arr.dtype}")
+        if arr.ndim not in (1, 2) or arr.shape[-1] != layout.BLOCK:
+            raise ValueError(f"values must be (B, {layout.BLOCK}) or "
+                             f"({layout.BLOCK},); arbitrary lengths go through "
+                             f"fio.write_file (it pads)")
+        enc = alp_mod.encode_np(arr)
+        w = enc["width"]
+        ints = enc["ints"]
+        if self.dtype == "u64":  # limb image for the device packers
+            ints = np.ascontiguousarray(ints).view(np.uint32).reshape(*ints.shape, 2)
+        payload = dispatch.get("pack", self.dtype, w)(ints)
+        return Encoded(self.name, self.dtype, w, _n_blocks_of_shape(arr.shape),
+                       payload, params={
+                           "e": enc["e"], "f": enc["f"],
+                           "reference": enc["reference"],
+                           "exc_pos": enc["exc_pos"], "exc_val": enc["exc_val"],
+                           "vtype": self.vtype, "shape": arr.shape})
+
+    def decode(self, enc: Encoded):
+        from .. import alp as alp_mod
+
+        p = enc.params
+        np_float = np.float32 if p["vtype"] == "f32" else np.float64
+        shifted = dispatch.get("unpack", enc.dtype, enc.width)(enc.payload)
+        arr = jnp.asarray(shifted)
+        if enc.dtype == "u64" and arr.dtype == jnp.uint32:
+            arr = (arr[..., 0].astype(jnp.int64)
+                   | (arr[..., 1].astype(jnp.int64) << 32))
+        out = alp_mod.decode_device(arr, p["e"], p["f"], p["reference"],
+                                    np_float, p["exc_pos"], p["exc_val"])
+        return out.reshape(p["shape"])
+
+
+def _n_blocks_of_shape(shape) -> int:
+    return 1 if len(shape) == 1 else shape[0]
+
+
+_CODECS = {c.name: c for c in (BitPackedCodec, FFoRCodec, DeltaCodec, ZDeltaCodec,
+                               ALPCodec)}
 
 
 def get_codec(name: str, dtype, **kw) -> Codec:

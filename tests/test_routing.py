@@ -18,13 +18,17 @@ def _restore_table():
 def test_seeded_table_loads():
     routing.set_table(None)
     entries = routing._entries()
-    assert len(entries) >= 50
-    # the recorded v5e facts the table exists to encode:
-    assert routing.best_path("unpack", "u32", 3) == "ops"      # 126.6e9 vs 84.9e9
-    assert routing.best_path("unpack", "u16", 3) == "pallas"   # 119.3e9 vs 112.0e9
-    assert routing.best_path("unpack", "u8", 3) == "ops"       # anomalous 44.3e9 kernel
-    assert routing.best_path("pack", "u32", 3) == "ops"        # 81.9e9 vs 54.4e9
-    assert routing.best_path("unpack", "u64", 3) == "ops"      # 122.2e9 vs 41.1e9
+    assert len(entries) >= 90
+    # measured v5e facts (tools/tune_routing.py, barrier harness, 16384
+    # blocks) the table exists to encode:
+    assert routing.best_path("unpack", "u32", 3) == "ops"      # 128.5e9 vs 81.2e9
+    assert routing.best_path("pack", "u32", 3) == "ops"        # 74.0e9 vs 51.8e9
+    assert routing.best_path("unpack", "u64", 3) == "ops"      # 31.2e9 vs 23.2e9
+    assert routing.best_path("unpack", "u8", 2) == "pallas"    # 128.8e9 vs 116.6e9
+    assert routing.best_path("unpack", "u16", 16) == "pallas"  # W=T copy: 76.5 vs 41.2
+    # the fused zigzag+prefix-sum kernel beats the XLA composition everywhere
+    for dt in ("u8", "u16", "u32", "u64"):
+        assert routing.best_path("unzdelta_pack", dt, 3) == "pallas"
 
 
 def test_canonical_dtype_and_nearest_width():

@@ -104,6 +104,20 @@ def test_sharded_roundtrip_check(mesh, rng):
 # carries no varying-across-mesh info).
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_compiler_state():
+    """Compiling shard_map(pallas interpret) programs after a full suite's
+    worth of accumulated executables segfaulted XLA's CPU backend twice
+    (jax compiler.py backend_compile_and_load, full-suite runs only — the
+    file solo is stable). Dropping the in-process jit/executable caches
+    before this module avoids the state buildup."""
+    jax.clear_caches()
+    from fastlanes_tpu.parallel import shard
+
+    shard._build_sharded.cache_clear()
+    yield
+
+
 @pytest.mark.parametrize("dt", layout.DTYPES)
 def test_sharded_kernel_pack_unpack(mesh, dt, rng):
     w = max(1, layout.bit_width(dt) // 2 - 1)
