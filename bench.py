@@ -136,6 +136,61 @@ def main():
     measure_materialized("ops_encode", lambda v: bitpack.pack(v, W, DT),
                          values, sol_encode)
 
+    # TRUE encode: the chain's input-perturbation xor has many slice
+    # consumers, so XLA materializes it — a full extra read+write of the
+    # input per iteration charged to "encode" above. Fusing the xor into
+    # each row-slice read (single consumer per slice, identical codec DAG)
+    # removes the artifact: this is the codec's real materialized-encode
+    # throughput (measured +63% on v5e: 130.9e9 vs 80.3e9).
+    from fastlanes_tpu.core import layout as _layout
+    from fastlanes_tpu.ops import _engine as _eng
+
+    def pack_slice_xor(x, c):
+        nl = _layout.lanes(DT)
+        row_fn = lambda r: _eng.cols(x, _layout.row_offset(r), nl, DT) ^ c
+        words = bitpack.pack_words(row_fn, W, DT, None)
+        return _eng.concat_cols(words, DT)
+
+    @jax.jit
+    def rep_true_encode(x):
+        def body(c, _):
+            out = jax.lax.optimization_barrier(pack_slice_xor(x, c))
+            nc = jnp.where(out.reshape(-1)[0] < jnp.uint32(0xFFFFFFFF),
+                           jnp.uint32(0), jnp.uint32(1))
+            return nc, ()
+        c, _ = jax.lax.scan(body, jnp.uint32(0), None, length=K)
+        return c
+    t = _timed_scalar(rep_true_encode, values, K)
+    results["ops_encode_true_ints_per_s"] = n_ints / t
+    results["ops_encode_true_sol_frac"] = (n_ints / t) / sol_encode
+
+    # u64 W=3 materialized decode, separate limb planes (the performance
+    # output form; the interleaved image pays a strided stack)
+    v64 = rng.integers(0, 1 << W, (n_blocks // 2, layout.BLOCK),
+                       dtype=np.int64).astype(np.uint64)
+    p64 = jnp.asarray(np.ascontiguousarray(ref.pack(v64, W, "u64"))
+                      .view(np.uint32).reshape(n_blocks // 2, -1, 2))
+    n64 = v64.size
+
+    def unpack64_planes(x):
+        lo, hi = bitpack.unpack_planes(x, W, "u64")
+        return jnp.concatenate([lo, hi], axis=-1)
+
+    @jax.jit
+    def rep64(x):
+        def body(c, _):
+            out = jax.lax.optimization_barrier(
+                unpack64_planes(jnp.bitwise_xor(x, c)))
+            nc = jnp.where(out.reshape(-1)[0] < jnp.uint32(0xFFFFFFFF),
+                           jnp.uint32(0), jnp.uint32(1))
+            return nc.astype(jnp.uint32), ()
+        c, _ = jax.lax.scan(body, jnp.uint32(0), None, length=K)
+        return c
+    t = _timed_scalar(rep64, p64, K)
+    sol_u64 = HBM_GBPS * 1e9 / (8 * W / 64 + 8)
+    results["u64_decode_planes_ints_per_s"] = n64 / t
+    results["u64_decode_planes_sol_frac"] = (n64 / t) / sol_u64
+
     # fused decode+consumer and packed->packed round trip (XLA compositions)
     t = _timed_scalar(chained_consume(lambda p: bitpack.unpack(p, W, DT)), packed, K)
     results["ops_fused_decode_ints_per_s"] = n_ints / t

@@ -6,7 +6,7 @@ shift/mask DAGs XLA fuses into memory-bound passes. The Pallas kernels in
 same signatures."""
 
 from . import _engine, bitpack, delta, dispatch, ffor, single, transpose
-from .bitpack import pack, unpack
+from .bitpack import pack, unpack, unpack_planes
 from .delta import delta as delta_encode
 from .delta import delta_pack, undelta, undelta_pack
 from .ffor import for_pack, unfor_pack
@@ -17,7 +17,7 @@ from .dispatch import unchecked_pack, unchecked_unpack, unchecked_unpack_single
 
 __all__ = [
     "_engine", "bitpack", "delta", "dispatch", "ffor", "single", "transpose",
-    "pack", "unpack", "delta_encode", "delta_pack", "undelta", "undelta_pack",
+    "pack", "unpack", "unpack_planes", "delta_encode", "delta_pack", "undelta", "undelta_pack",
     "for_pack", "unfor_pack", "unpack_single", "transpose_blocks",
     "untranspose_blocks", "unchecked_pack", "unchecked_unpack",
     "unchecked_unpack_single",

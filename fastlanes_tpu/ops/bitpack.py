@@ -181,3 +181,25 @@ def unpack(packed, width: int, dtype) -> "jnp.ndarray":
     out = assemble_blocks(rows, dtype)
     out = eng.squeeze_shape(out, had_batch, dtype)
     return eng.from_vec(out, dtype, like=packed)
+
+
+def unpack_planes(packed, width: int, dtype):
+    """u64 unpack returning SEPARATE (lo, hi) uint32 planes, each (B, 1024),
+    instead of the interleaved (..., 1024, 2) limb image.
+
+    The performance form for u64 consumers that stay on device: skipping
+    the interleaving stack measured +57% materialized decode on v5e
+    (48.6e9 vs 30.9e9 ints/s, u64 W=3 — the stack's strided element
+    interleave is the bottleneck, not the unpacking). The byte-compatible
+    limb image is `jnp.stack([lo, hi], axis=-1)` when needed off-device."""
+    dtype = layout.canon_dtype(dtype)
+    if not eng.is_limb(dtype):
+        raise ValueError("unpack_planes is the u64 limb-plane API; "
+                         "use unpack for other dtypes")
+    vec = eng.to_vec(packed, dtype)
+    vec, had_batch = eng.promote_shape(vec, dtype)
+    rows = dict(unpack_row_stream(vec, width, dtype))
+    lo, hi = assemble_blocks(rows, dtype)
+    if not had_batch:
+        lo, hi = lo[0], hi[0]
+    return lo, hi

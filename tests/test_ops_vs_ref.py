@@ -165,3 +165,23 @@ def test_u64_native_x64(rng):
         assert str(jv.dtype) == "uint64"
         packed = np.asarray(bitpack.pack(jv, 40, "u64"))
         np.testing.assert_array_equal(packed, ref.pack(values, 40, "u64"))
+
+
+def test_unpack_planes_u64(rng):
+    """u64 plane-output decode (the performance form): planes restack to
+    the byte-exact limb image; non-limb dtypes are rejected."""
+    import pytest as _pytest
+
+    from fastlanes_tpu.ops import bitpack as _bp
+
+    v = random_values(rng, "u64", 17, n_blocks=3)
+    p = ref.pack(v, 17, "u64")
+    pimg = np.ascontiguousarray(p).view(np.uint32).reshape(3, -1, 2)
+    lo, hi = _bp.unpack_planes(pimg, 17, "u64")
+    img = np.stack([np.asarray(lo), np.asarray(hi)], axis=-1)
+    want = np.ascontiguousarray(v).view(np.uint32).reshape(3, 1024, 2)
+    np.testing.assert_array_equal(img, want)
+    lo1, _hi1 = _bp.unpack_planes(pimg[0], 17, "u64")
+    np.testing.assert_array_equal(np.asarray(lo1), want[0, :, 0])
+    with _pytest.raises(ValueError, match="limb"):
+        _bp.unpack_planes(np.zeros((2, 96), np.uint32), 3, "u32")
