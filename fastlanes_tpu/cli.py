@@ -236,7 +236,7 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("input")
     c.add_argument("output")
     c.add_argument("--codec", default="auto",
-                   choices=["auto", "bitpack", "ffor", "delta", "zdelta", "alp"])
+                   choices=["auto", "bitpack", "ffor", "delta", "zdelta", "rle", "alp"])
     c.add_argument("--dtype", default=None, choices=list(layout.DTYPES))
     c.add_argument("--chunk-blocks", type=int, default=1024)
     c.set_defaults(fn=_cmd_compress)
@@ -259,7 +259,7 @@ def build_parser() -> argparse.ArgumentParser:
     ct.add_argument("input")
     ct.add_argument("output")
     ct.add_argument("--codec", default="auto",
-                    choices=["auto", "bitpack", "ffor", "delta", "zdelta"])
+                    choices=["auto", "bitpack", "ffor", "delta", "zdelta", "rle"])
     ct.add_argument("--chunk-blocks", type=int, default=1024)
     ct.set_defaults(fn=_cmd_compress_table)
 

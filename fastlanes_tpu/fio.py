@@ -132,11 +132,16 @@ def _auto_candidates(values: np.ndarray, dtype: str, delta_parts) -> dict:
     vmax = int(values.max()) if values.size else 0
     vmin = int(values.min()) if values.size else 0
     deltas = delta_parts[2]
+    # rle: 1 (idx deltas) + 1 (u16 base = 64*16/1024) + counts overhead +
+    # run values at T bits each, averaged over positions
+    n_runs = int(np.count_nonzero(values[:, 1:] != values[:, :-1])) + values.shape[0]
+    rle_bits = 2.0 + 16.0 / 1024 + n_runs * t / values.size if values.size else t
     return {
         "bitpack": float(vmax.bit_length()),
         "ffor": float((((vmax - vmin) % (1 << t))).bit_length()),
         "delta": _bits_needed_arr(deltas) + 1.0,
         "zdelta": _bits_needed_arr(_zigzag_deltas(deltas)) + 1.0,
+        "rle": rle_bits,
     }
 
 
@@ -183,6 +188,9 @@ def _encode_chunk(values: np.ndarray, dtype: str, codec: str):
         cands = _auto_candidates(values, dtype, delta_parts)
         codec = min(cands, key=lambda k: (cands[k], k != "ffor"))
 
+    if codec == "rle":
+        return _encode_chunk_rle(values, dtype)
+
     if codec == "bitpack":
         w = min(t, _bits_needed_arr(values))
         payload = (native.pack(values, w, dtype) if use_native
@@ -217,6 +225,76 @@ def _encode_chunk(values: np.ndarray, dtype: str, codec: str):
         return {"codec": codec, "width": w}, base.tobytes() + packed.tobytes()
 
     raise ValueError(f"unknown codec {codec!r}")
+
+
+def _rle_parts(values: np.ndarray):
+    """Per-block run decomposition: (counts (B,) int64, flat run values,
+    idx (B, 1024) uint16). idx is monotone per block with steps in {0, 1},
+    so its transposed per-lane deltas ALWAYS pack at W=1 — RLE rides the
+    standard Delta machinery (FastLanes VLDB'23 §RLE: run-index vector
+    delta-compressed on the transposed layout; not in the Rust crate)."""
+    first = np.ones((values.shape[0], 1), bool)
+    step = np.concatenate([first, values[:, 1:] != values[:, :-1]], axis=1)
+    idx = (np.cumsum(step, axis=1) - 1).astype(np.uint16)
+    counts = idx[:, -1].astype(np.int64) + 1
+    run_values = values[step]  # flat, concatenated in block order
+    return counts, run_values, idx
+
+
+def _encode_chunk_rle(values: np.ndarray, dtype: str):
+    """RLE chunk: counts(u16) || per-block u16 idx base (B*64) || packed
+    idx deltas (u16, W=1) || raw run values. The index stream is a u16
+    FastLanes delta stream regardless of column dtype (1024 < 2^16)."""
+    use_native = native.available()
+    counts, run_values, idx = _rle_parts(values)
+    if int(counts.max()) > 0xFFFF:
+        raise ValueError("impossible: more runs than block positions")
+    transposed = (native.transpose(idx, "u16") if use_native
+                  else npref.transpose(idx, "u16"))
+    base = np.ascontiguousarray(transposed[:, :64])
+    deltas = (native.delta(transposed, base, "u16") if use_native
+              else npref.delta(transposed, base, "u16"))
+    assert int(deltas.max()) <= 1
+    packed_idx = (native.pack(deltas, 1, "u16") if use_native
+                  else npref.pack(deltas, 1, "u16"))
+    payload = (counts.astype("<u2").tobytes() + base.tobytes()
+               + packed_idx.tobytes() + run_values.tobytes())
+    meta = {"codec": "rle", "width": 1, "n_runs": int(counts.sum())}
+    return meta, payload
+
+
+def _split_rle_payload(meta: dict, raw: bytes, n_blocks: int, dtype: str):
+    """-> (counts int64 (B,), base u16 (B, 64), packed_idx u16 (B, 64),
+    flat run values)."""
+    np_dt = layout.np_dtype(dtype)
+    o = 0
+    counts = np.frombuffer(raw[o:o + 2 * n_blocks], "<u2").astype(np.int64)
+    o += 2 * n_blocks
+    base = np.frombuffer(raw[o:o + 2 * n_blocks * 64], np.uint16).reshape(n_blocks, 64)
+    o += 2 * n_blocks * 64
+    plen = layout.packed_len("u16", 1)  # 64 words
+    packed_idx = np.frombuffer(raw[o:o + 2 * n_blocks * plen], np.uint16)
+    packed_idx = packed_idx.reshape(n_blocks, plen)
+    o += 2 * n_blocks * plen
+    run_values = np.frombuffer(raw[o:], np_dt)[: meta["n_runs"]]
+    return counts, base, packed_idx, run_values
+
+
+def _rle_gather(counts, run_values, idx):
+    """out[b, i] = run_values_of_block_b[idx[b, i]] via flat offsets."""
+    offsets = np.cumsum(counts) - counts
+    return run_values[offsets[:, None] + idx.astype(np.int64)]
+
+
+def _decode_chunk_rle(meta: dict, raw: bytes, n_blocks: int, dtype: str):
+    counts, base, packed_idx, run_values = _split_rle_payload(
+        meta, raw, n_blocks, dtype)
+    use_native = native.available()
+    transposed = (native.undelta_pack(packed_idx, base, 1, "u16") if use_native
+                  else npref.undelta_pack(packed_idx, base, 1, "u16"))
+    idx = (native.untranspose(transposed, "u16") if use_native
+           else npref.untranspose(transposed, "u16"))
+    return _rle_gather(counts, run_values, idx)
 
 
 def _encode_chunk_alp(values_f: np.ndarray, wire_dtype: str):
@@ -275,6 +353,8 @@ def _decode_chunk(meta: dict, raw: bytes, n_blocks: int, dtype: str) -> np.ndarr
     if codec == "alp":
         return _decode_chunk_alp(meta, raw, n_blocks, dtype,
                                  _VTYPES[meta["vtype"]])
+    if codec == "rle":
+        return _decode_chunk_rle(meta, raw, n_blocks, dtype)
 
     if codec == "delta":
         base_bytes = n_blocks * nl * np_dt.itemsize
@@ -483,7 +563,7 @@ def read_single(path: str, block: int, index: int):
     np_dt = layout.np_dtype(dtype)
     base_off = _payload_base(path)
 
-    if meta["codec"] in ("delta", "zdelta"):
+    if meta["codec"] in ("delta", "zdelta", "rle"):
         blocks = read_blocks(path, block, block + 1)  # applies any transform
         return blocks[0, index]
 

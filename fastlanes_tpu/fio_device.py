@@ -56,6 +56,31 @@ def _decode_chunk_device(meta: dict, raw: bytes, n_blocks: int, dtype: str,
     codec = meta["codec"]
     plen = layout.packed_len(dtype, w)
 
+    if codec == "rle":
+        counts, basev, packed_idx, run_values = fio._split_rle_payload(
+            meta, raw, n_blocks, dtype)
+        pi = jnp.asarray(np.ascontiguousarray(packed_idx))
+        bv = jnp.asarray(np.ascontiguousarray(basev))
+        if mesh is not None:
+            transposed = psh.sharded_undelta_pack(mesh, pi, bv, 1, "u16",
+                                                  use_kernels=use_kernels)
+        else:
+            transposed = pk.undelta_pack(pi, bv, 1, "u16")
+        idx = transpose_mod.untranspose(transposed, "u16").astype(jnp.int32)
+        # gather: pad per-block run values to the chunk max on host, then a
+        # vectorized take_along_axis on device (counts <= 1024)
+        maxc = int(counts.max()) if len(counts) else 1
+        padded = np.zeros((n_blocks, maxc), layout.np_dtype(dtype))
+        offsets = np.cumsum(counts) - counts
+        for b in range(n_blocks):
+            padded[b, : counts[b]] = run_values[offsets[b]: offsets[b] + counts[b]]
+        rv = _np_to_device_form(padded, dtype)
+        if dtype == "u64":
+            lo = jnp.take_along_axis(rv[..., 0], idx, axis=-1)
+            hi = jnp.take_along_axis(rv[..., 1], idx, axis=-1)
+            return jnp.stack([lo, hi], axis=-1)
+        return jnp.take_along_axis(rv, idx, axis=-1)
+
     if codec == "alp":
         from . import alp as alp_mod
 

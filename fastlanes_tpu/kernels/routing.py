@@ -50,6 +50,16 @@ def _load_file():
         return {}
 
 
+# Stability margin: the kernel must beat ops by >8% to win a config. The
+# ops path is compile-stable; the Pallas path occasionally compiles SLOW
+# for the same program (observed on v5e u8 mid-widths: the identical W=4
+# decode kernel measured 118e9 in one jit context and 51.7e9 in another —
+# round 1's "u8 W=3 44e9 anomaly" was the same effect). Small kernel wins
+# are not worth that variance; large ones (W=T copies +86%, fused zdelta
+# +74%, u64 wide-width limbs +3x) keep the kernel.
+_PALLAS_MARGIN = 1.08
+
+
 @functools.lru_cache(maxsize=None)
 def _lookup(op: str, dtype: str, width: int):
     """Winner for (op, dtype, width): 'pallas' | 'ops'. Nearest measured
@@ -67,7 +77,9 @@ def _lookup(op: str, dtype: str, width: int):
             return "pallas"
         nearest = min(candidates, key=lambda w: (abs(w - width), w))
         exact = entries[f"{op}:{dtype}:{nearest}"]
-    return "pallas" if exact.get("pallas", 0.0) >= exact.get("ops", 0.0) else "ops"
+    pallas = exact.get("pallas", 0.0)
+    ops = exact.get("ops", 0.0)
+    return "pallas" if pallas >= ops * _PALLAS_MARGIN else "ops"
 
 
 def best_path(op: str, dtype: str, width: int) -> str:
