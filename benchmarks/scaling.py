@@ -75,17 +75,19 @@ def main():
 
     def chained_decode(mesh):
         """jit(scan(shard_map(decode))): the bench.py chained-timing pattern
-        over a sharded payload — every iteration decodes the full array with
-        a data dependency so nothing is elided, one scalar leaves the device."""
+        over a sharded payload. Every iteration's FULL output passes
+        jax.lax.optimization_barrier — the routed decode may take the XLA
+        ops path, which a bare scalar probe would let XLA dead-code
+        eliminate (a probe-only run measured an impossible 1.25e12 ints/s;
+        see benchmarks/NOTES.md)."""
         from fastlanes_tpu.kernels import pallas_codecs as pk
-        from fastlanes_tpu.ops import bitpack
-        decode = (lambda p: pk.unpack(p, W, DT)) if on_tpu else (
-            lambda p: bitpack.unpack(p, W, DT))
+        decode = lambda p: pk.unpack(p, W, DT)  # routed fastest path
         spec = P("blocks", None)
 
         def local(p):
             def body(c, _):
-                out = decode(p ^ c)
+                out = decode(jnp.bitwise_xor(p, c))
+                out = jax.lax.optimization_barrier(out)
                 nc = jnp.where(out[0, 0] < jnp.uint32(0xFFFFFFFF),
                                jnp.uint32(0), jnp.uint32(1))
                 return nc, ()
