@@ -49,7 +49,7 @@ def _unzigzag_device(codes, dtype: str):
 
 
 def _decode_chunk_device(meta: dict, raw: bytes, n_blocks: int, dtype: str,
-                         mesh=None, use_kernels: bool = True):
+                         mesh=None, use_kernels="auto"):
     nl = layout.lanes(dtype)
     np_dt = layout.np_dtype(dtype)
     w = meta["width"]
@@ -197,7 +197,7 @@ def _trim_flat(blocks, n_values, dtype: str):
 
 
 def read_blocks_device(path: str, start: int = 0, stop: Optional[int] = None,
-                       mesh=None, use_kernels: bool = True):
+                       mesh=None, use_kernels="auto"):
     """Decode blocks [start, stop) of an FLT file on the accelerator.
 
     Returns a jax array of shape (stop-start, 1024) ((..., 2) uint32 for
@@ -216,7 +216,7 @@ def read_blocks_device(path: str, start: int = 0, stop: Optional[int] = None,
     return _apply_transform_device(blocks, header.get("transform"), dtype)
 
 
-def read_file_device(path: str, mesh=None, use_kernels: bool = True):
+def read_file_device(path: str, mesh=None, use_kernels="auto"):
     """Whole-file device decode; flat-written columns come back flat and
     trimmed to their exact original length (see fio.write_file)."""
     header = fio.read_header(path)
@@ -224,9 +224,56 @@ def read_file_device(path: str, mesh=None, use_kernels: bool = True):
     return _trim_flat(blocks, header.get("n_values"), header["dtype"])
 
 
+def _read_raw_file(path: str):
+    """Host side of the pipeline: header + every chunk's raw bytes."""
+    header = fio.read_header(path)
+    base = fio._payload_base(path)
+    raws = []
+    with open(path, "rb") as f:
+        for meta in header["chunks"]:
+            f.seek(base + meta["offset"])
+            raws.append(f.read(meta["nbytes"]))
+    return header, raws
+
+
+def iter_files_device(paths, mesh=None, use_kernels="auto", prefetch: int = 2):
+    """Pipelined multi-file device decode: yields (path, decoded array) in
+    order, with host IO for upcoming files prefetched on a reader thread
+    while the chip decodes the current one (jax dispatch is async, so
+    decode of file k overlaps the read of file k+1 naturally; the thread
+    additionally overlaps the blocking disk reads). The streaming form of
+    read_file_device for feeding a mesh from many FLT files."""
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = list(paths)
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        pending = collections.deque()
+        it = iter(paths)
+        for _ in range(max(1, prefetch)):
+            p = next(it, None)
+            if p is not None:
+                pending.append((p, ex.submit(_read_raw_file, p)))
+        while pending:
+            path, fut = pending.popleft()
+            header, raws = fut.result()
+            nxt = next(it, None)
+            if nxt is not None:
+                pending.append((nxt, ex.submit(_read_raw_file, nxt)))
+            dtype = header["dtype"]
+            parts = [
+                _decode_chunk_device(meta, raw, meta["n_blocks"], dtype,
+                                     mesh=mesh, use_kernels=use_kernels)
+                for meta, raw in zip(header["chunks"], raws)
+            ]
+            blocks = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+            blocks = _apply_transform_device(blocks, header.get("transform"), dtype)
+            yield path, _trim_flat(blocks, header.get("n_values"), dtype)
+
+
 def read_column_device(path: str, name: str, start: int = 0,
                        stop: Optional[int] = None, mesh=None,
-                       use_kernels: bool = True):
+                       use_kernels="auto"):
     """Decode one column of an FLTTAB table file on the accelerator —
     touches only the covering chunks, applies the column's transform, and
     (for full reads of flat-written columns) trims to exact length."""

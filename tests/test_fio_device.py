@@ -52,3 +52,30 @@ def test_device_decode_empty_range(tmp_path, rng):
     path = _write(tmp_path, values, "u32")
     got = np.asarray(fio_device.read_blocks_device(path, 2, 2))
     assert got.shape == (0, 1024)
+
+
+def test_iter_files_device_pipelined(tmp_path, rng):
+    """Pipelined multi-file reader: order-preserving, bit-exact, mixed
+    codecs/dtypes/transforms across files."""
+    from fastlanes_tpu import fio, fio_device
+
+    paths, want = [], []
+    sorted_u32 = np.sort(rng.integers(0, 1 << 20, 3000, np.int64).astype(np.uint32))
+    signed = rng.integers(-500, 500, 2500, np.int64).astype(np.int32)
+    runs = np.repeat(rng.integers(0, 100, 40).astype(np.uint16), 80)
+    prices = (rng.integers(0, 1 << 16, 2000) / 100.0).astype(np.float32)
+    for i, vals in enumerate((sorted_u32, signed, runs, prices)):
+        p = str(tmp_path / f"c{i}.flt")
+        fio.write_file(p, vals)
+        paths.append(p)
+        want.append(vals)
+
+    got = list(fio_device.iter_files_device(paths, prefetch=2))
+    assert [p for p, _ in got] == paths
+    for (_, arr), vals in zip(got, want):
+        out = np.asarray(arr)
+        if vals.dtype == np.float32:
+            np.testing.assert_array_equal(out.view(np.uint32),
+                                          vals.view(np.uint32))
+        else:
+            np.testing.assert_array_equal(out, vals)
