@@ -248,3 +248,110 @@ def decode_device(shifted, e: int, f: int, reference: int, np_float,
             jnp.asarray(exc_val))
         out = flat.reshape(out.shape)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ALP_RD: the "real doubles" fallback (ALP paper §4.3) for floats that are
+# NOT decimal-like (the plain ALP scheme would emit ~100% exceptions).
+# Each value's bit pattern splits at a cut point into a LEFT part (sign +
+# exponent + top mantissa bits — few distinct values on real data, so
+# dictionary-coded at ceil(log2(dict)) bits) and a RIGHT part (low mantissa
+# bits, near-entropy, stored bit-packed verbatim). Decode is pure integer
+# ops: value_bits = (dict[left_idx] << right_bits) | right. Always
+# lossless; compression comes from the left dictionary.
+
+_RD_MAX_DICT = 8  # left dictionary entries (3-bit indices, per the paper)
+
+
+def rd_choose_cut(bits: np.ndarray, total_bits: int) -> int:
+    """Pick right-part width minimizing estimated bits/value: right_bits +
+    index bits + exception overhead. Candidate cuts keep the left part
+    <= 16 bits (dictionary domain)."""
+    flat = bits.reshape(-1)
+    sample = flat[:: max(1, flat.size // 2048)][:2048]
+    best = (float("inf"), total_bits - 1)
+    for right_bits in range(max(total_bits - 16, 1), total_bits):
+        lefts, counts = np.unique(sample >> right_bits, return_counts=True)
+        order = np.argsort(counts)[::-1]
+        in_dict = counts[order[:_RD_MAX_DICT]].sum()
+        exc_rate = 1.0 - in_dict / sample.size
+        idx_bits = max(1, int(np.ceil(np.log2(min(len(lefts), _RD_MAX_DICT) + 1e-9)))
+                       ) if len(lefts) > 1 else 1
+        cost = right_bits + idx_bits + exc_rate * (16 + 32)
+        if cost < best[0] - 1e-9:
+            best = (cost, right_bits)
+    return best[1]
+
+
+def rd_encode_np(values: np.ndarray) -> dict:
+    """Encode float32/float64 via the left/right split. Returns
+    {right_bits, dict (uint16/uint32 lefts), left_idx (uint16), rights
+    (uint of value size), exc_pos (uint32), exc_left (uint32)} — exceptions
+    are positions whose LEFT part is outside the dictionary; their left
+    value is stored verbatim and their left_idx slot is 0."""
+    if values.dtype not in (np.float32, np.float64):
+        raise ValueError(f"ALP_RD encodes float32/float64, got {values.dtype}")
+    t = values.dtype.itemsize * 8
+    u_dt = np.uint32 if t == 32 else np.uint64
+    bits = values.view(u_dt)
+    right_bits = rd_choose_cut(bits, t)
+    lefts = (bits >> u_dt(right_bits)).reshape(-1)
+    rights = bits & u_dt((1 << right_bits) - 1)
+    uniq, counts = np.unique(lefts, return_counts=True)
+    order = np.argsort(counts)[::-1][:_RD_MAX_DICT]
+    dictionary = np.sort(uniq[order])  # deterministic wire order
+    pos = np.searchsorted(dictionary, lefts)
+    pos = np.clip(pos, 0, len(dictionary) - 1)
+    hit = dictionary[pos] == lefts
+    exc_pos = np.flatnonzero(~hit).astype(np.uint32)
+    exc_left = lefts[~hit].astype(np.uint32)  # left <= 16 bits
+    left_idx = np.where(hit, pos, 0).astype(np.uint16)
+    return {
+        "right_bits": int(right_bits),
+        "dict": dictionary.astype(np.uint32),
+        "left_idx": left_idx.reshape(values.shape),
+        "rights": rights,
+        "exc_pos": exc_pos,
+        "exc_left": exc_left,
+    }
+
+
+def rd_decode_np(left_idx, rights, dictionary, right_bits: int, np_float,
+                 exc_pos=None, exc_left=None) -> np.ndarray:
+    t = np.dtype(np_float).itemsize * 8
+    u_dt = np.uint32 if t == 32 else np.uint64
+    lefts = dictionary.astype(u_dt)[left_idx.astype(np.int64)]
+    if exc_pos is not None and len(exc_pos):
+        flat = lefts.reshape(-1)
+        flat[np.asarray(exc_pos, np.int64)] = exc_left.astype(u_dt)
+        lefts = flat.reshape(left_idx.shape)
+    bits = (lefts << u_dt(right_bits)) | rights.astype(u_dt)
+    return bits.view(np_float)
+
+
+def rd_decode_device(left_idx, rights, dictionary, right_bits: int, np_float,
+                     exc_pos=None, exc_val=None):
+    """Device twin: dict gather + shift/or + bitcast. f32 native; f64
+    assembled in the (lo, hi) limb domain and returned as the (..., 2)
+    uint32 limb image of the float64 bits (x64-free)."""
+    import jax
+    import jax.numpy as jnp
+
+    dict_dev = jnp.asarray(np.asarray(dictionary, np.uint32))
+    lefts = jnp.take(dict_dev, left_idx.astype(jnp.int32))
+    if exc_pos is not None and len(exc_pos):
+        flat = lefts.reshape(-1)
+        flat = flat.at[jnp.asarray(np.asarray(exc_pos, np.int64))].set(
+            jnp.asarray(np.asarray(exc_val, np.uint32)))
+        lefts = flat.reshape(left_idx.shape)
+    if np_float == np.float32:
+        bits = (lefts << jnp.uint32(right_bits)) | rights.astype(jnp.uint32)
+        return jax.lax.bitcast_convert_type(bits, jnp.float32)
+    # f64: rights arrive as a (..., 2) uint32 limb image; place the left
+    # part into the high bits across the limb boundary (right_bits >= 32
+    # always holds for the f64 cut range 48..63)
+    if right_bits < 32:
+        raise ValueError("f64 ALP_RD cut keeps right_bits >= 32")
+    lo = rights[..., 0]
+    hi = rights[..., 1] | (lefts << jnp.uint32(right_bits - 32))
+    return jnp.stack([lo, hi], axis=-1)

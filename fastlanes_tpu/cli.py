@@ -68,11 +68,14 @@ def _cmd_compress(args) -> int:
 def _from_device(arr, header) -> np.ndarray:
     """Device decode result -> the host array the CPU path would produce.
     u64 columns come back as (..., 2) uint32 limb images; rejoin the limbs
-    and restore signedness for transformed (originally signed) columns."""
+    and restore signedness for transformed (originally signed) columns.
+    f64 ALP_RD columns come back as the limb image of the float64 bits."""
     out = np.asarray(arr)
-    if header["dtype"] == "u64":
+    if header["dtype"] == "u64" and out.dtype != np.float64:
         wide = np.ascontiguousarray(out).view(np.uint64)[..., 0]
-        if header.get("transform") in ("zigzag", "viewu"):
+        if header.get("vtype") == "f64":
+            wide = wide.view(np.float64)  # ALP_RD: raw float64 bit pattern
+        elif header.get("transform") in ("zigzag", "viewu"):
             wide = wide.view(np.int64)  # limb image carries the int64 bits
         return wide
     return out
@@ -236,7 +239,7 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("input")
     c.add_argument("output")
     c.add_argument("--codec", default="auto",
-                   choices=["auto", "bitpack", "ffor", "delta", "zdelta", "rle", "alp"])
+                   choices=["auto", "bitpack", "ffor", "delta", "zdelta", "rle", "alp", "alprd"])
     c.add_argument("--dtype", default=None, choices=list(layout.DTYPES))
     c.add_argument("--chunk-blocks", type=int, default=1024)
     c.set_defaults(fn=_cmd_compress)

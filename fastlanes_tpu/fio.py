@@ -339,6 +339,79 @@ def _decode_chunk_alp(meta: dict, raw: bytes, n_blocks: int, dtype: str,
                              np_float, exc_pos, exc_val)
 
 
+def _encode_chunk_alprd(values_f: np.ndarray, wire_dtype: str):
+    """ALP_RD chunk (left/right split for non-decimal floats): payload =
+    packed rights (wire dtype, W=right_bits) || packed left indices (u16
+    stream, W=idx_width) || exc_pos (u32) || exc_left (u16)."""
+    use_native = native.available()
+    enc = alp_mod.rd_encode_np(values_f)
+    wr = enc["right_bits"]
+    dictionary = enc["dict"]
+    wi = max(1, int(len(dictionary) - 1).bit_length())
+    rights = enc["rights"].astype(layout.np_dtype(wire_dtype))
+    packed_r = (native.pack(rights, wr, wire_dtype) if use_native
+                else npref.pack(rights, wr, wire_dtype))
+    packed_i = (native.pack(enc["left_idx"], wi, "u16") if use_native
+                else npref.pack(enc["left_idx"], wi, "u16"))
+    payload = (packed_r.tobytes() + packed_i.tobytes()
+               + enc["exc_pos"].astype("<u4").tobytes()
+               + enc["exc_left"].astype("<u2").tobytes())
+    meta = {"codec": "alprd", "width": wr, "idx_width": wi,
+            "dict": [int(x) for x in dictionary],
+            "n_exc": int(len(enc["exc_pos"])),
+            "vtype": "f32" if values_f.dtype == np.float32 else "f64"}
+    return meta, payload
+
+
+def _split_alprd_payload(meta: dict, raw: bytes, n_blocks: int, dtype: str):
+    """-> (packed rights, packed left_idx (u16), exc_pos, exc_left)."""
+    np_dt = layout.np_dtype(dtype)
+    plen_r = layout.packed_len(dtype, meta["width"])
+    o = n_blocks * plen_r * np_dt.itemsize
+    packed_r = np.frombuffer(raw[:o], np_dt).reshape(n_blocks, plen_r)
+    plen_i = layout.packed_len("u16", meta["idx_width"])
+    packed_i = np.frombuffer(raw[o:o + 2 * n_blocks * plen_i], np.uint16)
+    packed_i = packed_i.reshape(n_blocks, plen_i)
+    o += 2 * n_blocks * plen_i
+    n_exc = meta.get("n_exc", 0)
+    exc_pos = np.frombuffer(raw[o:o + 4 * n_exc], "<u4")
+    exc_left = np.frombuffer(raw[o + 4 * n_exc:o + 4 * n_exc + 2 * n_exc], "<u2")
+    return packed_r, packed_i, exc_pos, exc_left
+
+
+def _decode_chunk_alprd(meta: dict, raw: bytes, n_blocks: int, dtype: str,
+                        np_float) -> np.ndarray:
+    packed_r, packed_i, exc_pos, exc_left = _split_alprd_payload(
+        meta, raw, n_blocks, dtype)
+    use_native = native.available()
+    rights = (native.unpack(packed_r, meta["width"], dtype) if use_native
+              else npref.unpack(packed_r, meta["width"], dtype))
+    left_idx = (native.unpack(packed_i, meta["idx_width"], "u16") if use_native
+                else npref.unpack(packed_i, meta["idx_width"], "u16"))
+    return alp_mod.rd_decode_np(left_idx, rights,
+                                np.asarray(meta["dict"], np.uint32),
+                                meta["width"], np_float, exc_pos, exc_left)
+
+
+# plain ALP exception rate beyond which the RD fallback wins (the paper's
+# adaptive scheme: decimal-like chunks -> ALP, real-double chunks -> RD)
+_ALP_EXC_SWITCH = 0.2
+
+
+def _encode_chunk_float(values_f: np.ndarray, wire_dtype: str, codec: str):
+    if codec == "alprd":
+        return _encode_chunk_alprd(values_f, wire_dtype)
+    if codec == "alp":
+        return _encode_chunk_alp(values_f, wire_dtype)
+    # auto: try decimal ALP; fall back to RD when exceptions dominate
+    meta, payload = _encode_chunk_alp(values_f, wire_dtype)
+    if meta["n_exc"] > values_f.size * _ALP_EXC_SWITCH:
+        meta_rd, payload_rd = _encode_chunk_alprd(values_f, wire_dtype)
+        if len(payload_rd) < len(payload):
+            return meta_rd, payload_rd
+    return meta, payload
+
+
 _VTYPES = {"f32": np.float32, "f64": np.float64}
 
 
@@ -353,6 +426,9 @@ def _decode_chunk(meta: dict, raw: bytes, n_blocks: int, dtype: str) -> np.ndarr
     if codec == "alp":
         return _decode_chunk_alp(meta, raw, n_blocks, dtype,
                                  _VTYPES[meta["vtype"]])
+    if codec == "alprd":
+        return _decode_chunk_alprd(meta, raw, n_blocks, dtype,
+                                   _VTYPES[meta["vtype"]])
     if codec == "rle":
         return _decode_chunk_rle(meta, raw, n_blocks, dtype)
 
@@ -413,15 +489,16 @@ def write_file(path: str, values, dtype=None, codec: str = "auto",
                              "pass dtype=None")
         if arr.dtype not in (np.float32, np.float64):
             raise ValueError(f"unsupported float dtype {arr.dtype}")
-        if codec not in ("auto", "alp"):
-            raise ValueError(f"float columns use the 'alp' codec, not {codec!r}")
+        if codec not in ("auto", "alp", "alprd"):
+            raise ValueError(
+                f"float columns use the 'alp'/'alprd' codecs, not {codec!r}")
         vtype = "f32" if arr.dtype == np.float32 else "f64"
         dtype = "u32" if vtype == "f32" else "u64"
         arr, n_values = _pad_to_blocks_float(arr)
-        encode_one = lambda part: _encode_chunk_alp(part, dtype)  # noqa: E731
+        encode_one = lambda part: _encode_chunk_float(part, dtype, codec)  # noqa: E731
     else:
-        if codec == "alp":
-            raise ValueError("the 'alp' codec is for float columns")
+        if codec in ("alp", "alprd"):
+            raise ValueError(f"the {codec!r} codec is for float columns")
         if dtype is None and arr.dtype.kind == "i":
             arr, transform = choose_signed_transform(arr, chunk_blocks)
         dtype = layout.canon_dtype(dtype if dtype is not None else arr.dtype)
@@ -563,7 +640,7 @@ def read_single(path: str, block: int, index: int):
     np_dt = layout.np_dtype(dtype)
     base_off = _payload_base(path)
 
-    if meta["codec"] in ("delta", "zdelta", "rle"):
+    if meta["codec"] in ("delta", "zdelta", "rle", "alprd"):
         blocks = read_blocks(path, block, block + 1)  # applies any transform
         return blocks[0, index]
 

@@ -81,6 +81,26 @@ def _decode_chunk_device(meta: dict, raw: bytes, n_blocks: int, dtype: str,
             return jnp.stack([lo, hi], axis=-1)
         return jnp.take_along_axis(rv, idx, axis=-1)
 
+    if codec == "alprd":
+        from . import alp as alp_mod
+
+        np_float = fio._VTYPES[meta["vtype"]]
+        packed_r, packed_i, exc_pos, exc_left = fio._split_alprd_payload(
+            meta, raw, n_blocks, dtype)
+        pr = _np_to_device_form(np.ascontiguousarray(packed_r), dtype)
+        pi = jnp.asarray(np.ascontiguousarray(packed_i))
+        if mesh is not None:
+            rights = psh.sharded_unpack(mesh, pr, meta["width"], dtype,
+                                        use_kernels=use_kernels)
+            left_idx = psh.sharded_unpack(mesh, pi, meta["idx_width"], "u16",
+                                          use_kernels=use_kernels)
+        else:
+            rights = pk.unpack(pr, meta["width"], dtype)
+            left_idx = pk.unpack(pi, meta["idx_width"], "u16")
+        return alp_mod.rd_decode_device(
+            left_idx, rights, np.asarray(meta["dict"], np.uint32),
+            meta["width"], np_float, exc_pos, exc_left)
+
     if codec == "alp":
         from . import alp as alp_mod
 

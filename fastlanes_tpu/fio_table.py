@@ -44,13 +44,15 @@ def write_table(path: str, columns: Dict[str, np.ndarray], dtypes=None,
         if arr.dtype.kind == "f":  # float column -> ALP (see fio.write_file)
             if name in dtypes:
                 raise ValueError(f"float column {name!r} chooses its own wire dtype")
-            if codec not in ("auto", "alp"):
+            if codec not in ("auto", "alp", "alprd"):
                 raise ValueError(
-                    f"float column {name!r} uses the 'alp' codec, not {codec!r}")
+                    f"float column {name!r} uses the 'alp'/'alprd' codecs, "
+                    f"not {codec!r}")
             vtype = "f32" if arr.dtype == np.float32 else "f64"
             dtype = "u32" if vtype == "f32" else "u64"
             blocks, n_values = fio._pad_to_blocks_float(arr)
-            encode_one = lambda part, dt=dtype: fio._encode_chunk_alp(part, dt)  # noqa: E731
+            encode_one = lambda part, dt=dtype: fio._encode_chunk_float(  # noqa: E731
+                part, dt, codec)
         else:
             if name not in dtypes and arr.dtype.kind == "i":
                 arr, transform = fio.choose_signed_transform(arr, chunk_blocks)

@@ -213,3 +213,96 @@ def test_cli_alp_roundtrip(tmp_path, rng, capsys):
     cli.main(["get", str(flt), "1", "333"])
     printed = float(capsys.readouterr().out.strip())
     assert printed == float(values[1024 + 333])
+
+
+# ---------------------------------------------------------------------------
+# ALP_RD: the left/right-split fallback for non-decimal floats
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_alprd_roundtrip(rng, dtype):
+    # real-double-like data: random mantissas, correlated exponents
+    values = (rng.standard_normal(4096) * 1000).astype(dtype)
+    enc = alp.rd_encode_np(values)
+    out = alp.rd_decode_np(enc["left_idx"], enc["rights"], enc["dict"],
+                           enc["right_bits"], dtype,
+                           enc["exc_pos"], enc["exc_left"])
+    t = np.dtype(dtype).itemsize * 8
+    u = np.uint32 if t == 32 else np.uint64
+    np.testing.assert_array_equal(out.view(u), values.view(u))
+    # the left dictionary captures the exponent clustering
+    assert len(enc["dict"]) <= 8
+    assert len(enc["exc_pos"]) < values.size * 0.2
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_alprd_device_matches_host(rng, dtype):
+    import jax.numpy as jnp
+
+    values = (rng.standard_normal(2048) * 1e6).astype(dtype)
+    enc = alp.rd_encode_np(values)
+    host = alp.rd_decode_np(enc["left_idx"], enc["rights"], enc["dict"],
+                            enc["right_bits"], dtype,
+                            enc["exc_pos"], enc["exc_left"])
+    if dtype == np.float64:
+        rights_dev = jnp.asarray(np.ascontiguousarray(enc["rights"])
+                                 .view(np.uint32).reshape(-1, 2))
+        dev = np.asarray(alp.rd_decode_device(
+            jnp.asarray(enc["left_idx"]), rights_dev, enc["dict"],
+            enc["right_bits"], dtype, enc["exc_pos"], enc["exc_left"]))
+        np.testing.assert_array_equal(
+            np.ascontiguousarray(dev).view(np.uint64)[..., 0],
+            host.view(np.uint64))
+    else:
+        dev = np.asarray(alp.rd_decode_device(
+            jnp.asarray(enc["left_idx"]), jnp.asarray(enc["rights"]),
+            enc["dict"], enc["right_bits"], dtype,
+            enc["exc_pos"], enc["exc_left"]))
+        np.testing.assert_array_equal(dev.view(np.uint32), host.view(np.uint32))
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_fio_alprd_file_roundtrip(tmp_path, rng, dtype):
+    import os
+
+    path = str(tmp_path / "rd.flt")
+    values = (rng.standard_normal(5000) * 42).astype(dtype)
+    # auto: random mantissas blow plain ALP's exception budget -> RD
+    header = fio.write_file(path, values)
+    assert {c["codec"] for c in header["chunks"]} == {"alprd"}
+    out = fio.read_file(path)
+    t = np.dtype(dtype).itemsize * 8
+    u = np.uint32 if t == 32 else np.uint64
+    np.testing.assert_array_equal(out.view(u), values.view(u))
+    # compresses despite full-entropy mantissas (left dictionary)
+    assert os.path.getsize(path) < values.nbytes * 0.95
+    # forced codec + random access
+    fio.write_file(path, values, codec="alprd")
+    assert fio.read_single(path, 1, 100) == values[1024 + 100]
+
+
+def test_fio_alprd_device_read(tmp_path, rng):
+    from fastlanes_tpu import fio_device, parallel
+
+    path = str(tmp_path / "rd.flt")
+    values = (rng.standard_normal(4096) * 7).astype(np.float32)
+    fio.write_file(path, values, codec="alprd")
+    got = np.asarray(fio_device.read_file_device(path))
+    np.testing.assert_array_equal(got.view(np.uint32), values.view(np.uint32))
+    mesh = parallel.make_mesh()
+    got = np.asarray(fio_device.read_file_device(path, mesh=mesh))
+    np.testing.assert_array_equal(got.view(np.uint32), values.view(np.uint32))
+
+
+def test_fio_alprd_f64_device_limb_image(tmp_path, rng):
+    """f64 ALP_RD device decode is x64-FREE: returns the (..., 2) uint32
+    limb image of the float64 bits."""
+    from fastlanes_tpu import fio_device
+
+    path = str(tmp_path / "rd64.flt")
+    values = (rng.standard_normal(3000) * 1e9).astype(np.float64)
+    fio.write_file(path, values, codec="alprd")
+    got = np.asarray(fio_device.read_file_device(path))
+    assert got.dtype == np.uint32 and got.shape[-1] == 2
+    np.testing.assert_array_equal(
+        np.ascontiguousarray(got).view(np.float64)[..., 0], values)
