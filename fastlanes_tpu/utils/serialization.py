@@ -30,6 +30,10 @@ def save_encoded(path: str, enc: Encoded) -> None:
     for key, val in params.items():
         if isinstance(val, (int, np.integer)):
             meta[f"param_int_{key}"] = int(val)
+        elif isinstance(val, str):
+            meta[f"param_str_{key}"] = val  # e.g. ALP vtype
+        elif isinstance(val, tuple):
+            meta[f"param_tup_{key}"] = list(val)  # e.g. ALP value shape
         else:
             arrays[f"param_arr_{key}"] = np.asarray(val)
     np.savez(path, __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
@@ -48,6 +52,10 @@ def load_encoded(path: str) -> Encoded:
         for key, val in meta.items():
             if key.startswith("param_int_"):
                 params[key[len("param_int_"):]] = val
+            elif key.startswith("param_str_"):
+                params[key[len("param_str_"):]] = val
+            elif key.startswith("param_tup_"):
+                params[key[len("param_tup_"):]] = tuple(val)
         layout.check_width(meta["dtype"], meta["width"])
         return Encoded(
             codec=meta["codec"], dtype=meta["dtype"], width=meta["width"],

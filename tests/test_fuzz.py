@@ -140,3 +140,51 @@ def test_fuzz_zdelta_and_signed_files(seed, tmp_path):
     if n > 1:
         idx = int(rng.integers(0, n))
         assert fio.read_single(path, idx // 1024, idx % 1024) == col[idx]
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_fuzz_float_and_runs_files(seed, tmp_path):
+    """Random float columns (decimal-like, random-mantissa, special values)
+    and run-heavy integer columns through the full FLT auto pipeline —
+    hardening for the ALP/ALP_RD/RLE codecs."""
+    from fastlanes_tpu import fio
+
+    rng = np.random.default_rng(0xF10A7 + seed)
+    n = int(rng.integers(1, 6000))
+    kind = rng.choice(["decimal", "normal", "special", "runs"])
+    if kind == "decimal":
+        digits = int(rng.integers(0, 4))
+        col = (rng.integers(-10 ** 6, 10 ** 6, n) / 10 ** digits)
+        col = col.astype(rng.choice([np.float32, np.float64]))
+    elif kind == "normal":
+        col = (rng.standard_normal(n) * 10.0 ** rng.integers(-3, 12)).astype(
+            rng.choice([np.float32, np.float64]))
+    elif kind == "special":
+        col = (rng.standard_normal(n) * 100).astype(np.float64)
+        for v in (np.nan, np.inf, -np.inf, -0.0, 5e-324, 1.7e308):
+            col[rng.integers(0, n)] = v
+    else:  # runs
+        t = int(rng.choice([8, 16, 32, 64]))
+        reps = rng.integers(1, 120, max(1, n // 30))
+        vals = rng.integers(0, 1 << min(t, 30), len(reps), np.int64)
+        col = np.repeat(vals, reps)[:n].astype(np.dtype(f"uint{t}"))
+        if len(col) < n:
+            col = np.concatenate([col, np.full(n - len(col), col[-1] if len(col)
+                                               else 0, col.dtype)])
+    path = str(tmp_path / "f.flt")
+    fio.write_file(path, col, chunk_blocks=int(rng.choice([1, 2, 1024])))
+    got = fio.read_file(path)
+    assert got.dtype == col.dtype
+    if np.issubdtype(col.dtype, np.floating):
+        u = np.uint32 if col.dtype == np.float32 else np.uint64
+        np.testing.assert_array_equal(got.view(u), col.view(u))  # bitwise
+    else:
+        np.testing.assert_array_equal(got, col)
+    if n > 1:
+        idx = int(rng.integers(0, n))
+        want = col[idx]
+        val = fio.read_single(path, idx // 1024, idx % 1024)
+        if np.issubdtype(col.dtype, np.floating):
+            assert np.asarray(val).tobytes() == np.asarray(want).tobytes()
+        else:
+            assert val == want

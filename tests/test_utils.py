@@ -49,3 +49,20 @@ def test_save_load_ffor_params(tmp_path, rng):
     assert enc2.params["reference"] == enc.params["reference"]
     out = FFoRCodec("u32").decode(enc2)
     np.testing.assert_array_equal(np.asarray(out), values)
+
+
+def test_save_load_alp_encoded(tmp_path, rng):
+    """ALP Encoded batches (str/tuple/array params) survive disk."""
+    from fastlanes_tpu.models import ALPCodec
+    from fastlanes_tpu.utils.serialization import load_encoded, save_encoded
+
+    values = (rng.integers(0, 1 << 16, (3, 1024)) / 100.0).astype(np.float32)
+    values[1, 7] = np.float32(1.0) / 3
+    enc = ALPCodec("f32").encode(values)
+    path = str(tmp_path / "alp.npz")
+    save_encoded(path, enc)
+    loaded = load_encoded(path)
+    assert loaded.params["vtype"] == "f32"
+    assert loaded.params["shape"] == (3, 1024)
+    out = np.asarray(ALPCodec("f32").decode(loaded))
+    np.testing.assert_array_equal(out.view(np.uint32), values.view(np.uint32))
