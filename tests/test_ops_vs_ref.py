@@ -185,3 +185,22 @@ def test_unpack_planes_u64(rng):
     np.testing.assert_array_equal(np.asarray(lo1), want[0, :, 0])
     with _pytest.raises(ValueError, match="limb"):
         _bp.unpack_planes(np.zeros((2, 96), np.uint32), 3, "u32")
+
+
+@pytest.mark.parametrize("dt", ["u8", "u16"])
+def test_swar_conformance_sweep(dt, rng):
+    """The SWAR-domain u8/u16 codecs (documented negative-result
+    experiment, ops/swar.py) stay bit-exact across the full width sweep."""
+    from fastlanes_tpu.ops import swar
+
+    t = layout.bit_width(dt)
+    for w in range(1, t + 1):
+        vals = random_values(rng, dt, w, n_blocks=2)
+        gold = ref.pack(vals, w, dt)
+        np.testing.assert_array_equal(np.asarray(swar.pack(vals, w, dt)), gold)
+        np.testing.assert_array_equal(np.asarray(swar.unpack(gold, w, dt)), vals)
+    # W=0 and unbatched forms
+    assert swar.pack(vals[0], 0, dt).shape == (0,)
+    np.testing.assert_array_equal(
+        np.asarray(swar.unpack(np.zeros(0, layout.np_dtype(dt)), 0, dt)),
+        np.zeros(1024, layout.np_dtype(dt)))
