@@ -12,6 +12,7 @@ from .codecs import (
     DeltaCodec,
     Encoded,
     FFoRCodec,
+    RLECodec,
     ZDeltaCodec,
     auto_costs,
     auto_encode,
@@ -20,7 +21,7 @@ from .codecs import (
 )
 
 __all__ = [
-    "Codec", "ALPCodec", "BitPackedCodec", "DeltaCodec", "FFoRCodec",
+    "Codec", "ALPCodec", "BitPackedCodec", "DeltaCodec", "FFoRCodec", "RLECodec",
     "ZDeltaCodec", "Encoded", "auto_costs", "auto_encode", "bits_needed",
     "get_codec",
 ]

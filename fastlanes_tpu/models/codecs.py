@@ -261,6 +261,61 @@ def _as_param(value: int, dtype):
     return jnp.asarray(np.asarray(value, layout.np_dtype(dtype)))
 
 
+class RLECodec(Codec):
+    """Run-length encoding via the run-index vector (FastLanes VLDB'23
+    family; fio's `rle` chunks as a driver). Encode is host-side numpy
+    (run detection is sequential-ish); decode runs on device: fused
+    undelta_pack of the index stream (u16, W=1) -> untranspose -> gather
+    over per-block padded run values."""
+
+    name = "rle"
+
+    def __init__(self, dtype, width=None):
+        super().__init__(dtype, None)
+
+    def encode(self, values) -> Encoded:
+        from .. import fio
+
+        dt = self.dtype
+        arr = np.asarray(values)
+        if eng.is_limb(dt) and arr.dtype == np.uint32:
+            arr = np.ascontiguousarray(arr).view(np.uint64)[..., 0]
+        if arr.ndim == 1:
+            arr = arr[None]
+        if arr.ndim != 2 or arr.shape[1] != layout.BLOCK:
+            raise ValueError(f"values must be (B, {layout.BLOCK}), got {arr.shape}")
+        arr = arr.astype(layout.np_dtype(dt), copy=False)
+        from ..ref import numpy_ref as npref
+
+        counts, run_values, idx = fio._rle_parts(arr)
+        transposed = np.ascontiguousarray(npref.transpose(idx, "u16"))
+        base = np.ascontiguousarray(transposed[:, :64])
+        deltas = npref.delta(transposed, base, "u16")
+        payload = npref.pack(deltas, 1, "u16")
+        return Encoded(self.name, dt, 1, arr.shape[0], jnp.asarray(payload),
+                       params={"base": jnp.asarray(base), "counts": counts,
+                               "run_values": run_values})
+
+    def decode(self, enc: Encoded):
+        counts = np.asarray(enc.params["counts"])
+        run_values = np.asarray(enc.params["run_values"])
+        transposed = dispatch.get("undelta_pack", "u16", 1)(
+            enc.payload, enc.params["base"])
+        idx = dispatch.get("untranspose", "u16", 0)(transposed).astype(jnp.int32)
+        maxc = int(counts.max()) if len(counts) else 1
+        padded = np.zeros((enc.n_blocks, maxc), layout.np_dtype(enc.dtype))
+        offsets = np.cumsum(counts) - counts
+        for b in range(enc.n_blocks):
+            padded[b, : counts[b]] = run_values[offsets[b]: offsets[b] + counts[b]]
+        if eng.is_limb(enc.dtype):
+            rv = jnp.asarray(np.ascontiguousarray(padded).view(np.uint32)
+                             .reshape(enc.n_blocks, maxc, 2))
+            lo = jnp.take_along_axis(rv[..., 0], idx, axis=-1)
+            hi = jnp.take_along_axis(rv[..., 1], idx, axis=-1)
+            return jnp.stack([lo, hi], axis=-1)
+        return jnp.take_along_axis(jnp.asarray(padded), idx, axis=-1)
+
+
 class ALPCodec(Codec):
     """ALP float compression driver (see fastlanes_tpu.alp): host encode
     (float64 scaling + exact-roundtrip exception detection), device decode
@@ -321,7 +376,7 @@ def _n_blocks_of_shape(shape) -> int:
 
 
 _CODECS = {c.name: c for c in (BitPackedCodec, FFoRCodec, DeltaCodec, ZDeltaCodec,
-                               ALPCodec)}
+                               RLECodec, ALPCodec)}
 
 
 def get_codec(name: str, dtype, **kw) -> Codec:
@@ -361,12 +416,24 @@ def _auto_plan(values, dt):
     widths["delta"] = min(t, bits_needed(_device_max(deltas, dt)))
     zz = _zigzag_device(deltas, dt)
     widths["zdelta"] = min(t, bits_needed(_device_max(zz, dt)))
+    widths["rle"] = 1
     base_bytes = n_blocks * nl * elem  # np.asarray(base).nbytes, incl. limbs
+    # rle exact bytes: W=1 idx stream is 128 B/block for EVERY dtype, plus
+    # the u16 base (128 B/block), int64 counts (8 B/block), and the run
+    # values at elem bytes each (run count = one cheap device reduction)
+    vec = eng.to_vec(values, dt)
+    if eng.is_limb(dt):
+        lo, hi = vec
+        step = (lo[..., 1:] != lo[..., :-1]) | (hi[..., 1:] != hi[..., :-1])
+    else:
+        step = vec[..., 1:] != vec[..., :-1]
+    n_runs = int(jnp.sum(step)) + n_blocks
     costs = {
         "bitpack": payload_bytes(widths["bitpack"]),
         "ffor": payload_bytes(widths["ffor"]),
         "delta": payload_bytes(widths["delta"]) + base_bytes,
         "zdelta": payload_bytes(widths["zdelta"]) + base_bytes,
+        "rle": n_blocks * (128 + 128 + 8) + n_runs * elem,
     }
     return costs, widths, (vmin, base, deltas, zz)
 
@@ -379,8 +446,9 @@ def auto_costs(values, dtype) -> dict:
 
 
 # tie-break order: prefer the cheapest DECODE on equal bytes (bitpack needs
-# no params, ffor one scalar add, delta a prefix sum, zdelta adds unzigzag)
-_TIE_ORDER = {"bitpack": 0, "ffor": 1, "delta": 2, "zdelta": 3}
+# no params, ffor one scalar add, delta a prefix sum, zdelta adds unzigzag,
+# rle adds a gather)
+_TIE_ORDER = {"bitpack": 0, "ffor": 1, "delta": 2, "zdelta": 3, "rle": 4}
 
 
 def auto_encode(values, dtype) -> Encoded:
@@ -402,6 +470,8 @@ def auto_encode(values, dtype) -> Encoded:
         payload = dispatch.get("for_pack", dt, w)(values, _as_param(vmin, dt))
         return Encoded("ffor", dt, w, n_blocks, payload,
                        params={"reference": vmin})
+    if name == "rle":
+        return RLECodec(dt).encode(values)  # host-side run detection
     src = deltas if name == "delta" else zz
     payload = dispatch.get("pack", dt, w)(src)
     return Encoded(name, dt, w, n_blocks, payload, params={"base": base})

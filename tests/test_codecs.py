@@ -184,3 +184,38 @@ def test_zdelta_codec_u64_limbs(rng):
     out = np.asarray(codec.decode(enc))
     out = np.ascontiguousarray(out).view(np.uint8).reshape(2, -1).view(np.uint64)
     np.testing.assert_array_equal(out, values)
+
+
+def test_rle_codec_driver(rng):
+    from fastlanes_tpu.models import RLECodec, auto_encode, get_codec
+
+    # variable-length runs: lane walks cross run boundaries, so delta needs
+    # real width while rle stays at ~2 bits/value (aligned fixed-64 runs
+    # would make every transposed lane constant and delta would win at W=0)
+    reps = rng.integers(20, 100, 200)
+    values = np.repeat(rng.integers(0, 1 << 20, 200).astype(np.uint32), reps)
+    values = values[: 4 * 1024].reshape(4, 1024)
+    codec = RLECodec("u32")
+    enc = codec.encode(values)
+    assert enc.codec == "rle" and enc.width == 1
+    assert enc.packed_bytes < values.nbytes / 4
+    np.testing.assert_array_equal(np.asarray(codec.decode(enc)), values)
+    # auto_encode picks rle for run-heavy data with exact byte cost
+    enc2 = auto_encode(values, "u32")
+    assert enc2.codec == "rle"
+    from fastlanes_tpu.models.codecs import auto_costs
+    assert auto_costs(values, "u32")["rle"] == enc2.packed_bytes
+    np.testing.assert_array_equal(
+        np.asarray(get_codec("rle", "u32").decode(enc2)), values)
+
+
+def test_rle_codec_driver_u64(rng):
+    from fastlanes_tpu.models import RLECodec
+
+    values = np.repeat(rng.integers(0, 1 << 40, 32).astype(np.uint64), 64)
+    values = values.reshape(2, 1024)
+    limbs = np.ascontiguousarray(values).view(np.uint32).reshape(2, 1024, 2)
+    codec = RLECodec("u64")
+    enc = codec.encode(limbs)
+    out = np.asarray(codec.decode(enc))
+    np.testing.assert_array_equal(out, limbs)
