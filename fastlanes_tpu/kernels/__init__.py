@@ -4,6 +4,7 @@ layer; transparently falls back to XLA ops off-TPU."""
 from . import pallas_codecs
 from .pallas_codecs import (
     delta_pack,
+    warmup,
     for_pack,
     pack,
     undelta_pack,
@@ -14,5 +15,5 @@ from .pallas_codecs import (
 
 __all__ = [
     "pallas_codecs", "pack", "unpack", "undelta_pack", "unzdelta_pack", "delta_pack",
-    "for_pack", "unfor_pack",
+    "for_pack", "unfor_pack", "warmup",
 ]

@@ -722,3 +722,48 @@ def _zero_blocks(main, dtype):
     if eng.is_limb(dtype):
         return jnp.zeros((b, layout.BLOCK, 2), jnp.uint32)
     return jnp.zeros((b, layout.BLOCK), eng.jnp_dtype(dtype))
+
+
+def warmup(ops=("pack", "unpack"), dtypes=layout.DTYPES, widths=None,
+           n_blocks=1024):
+    """Compile the ROUTED public entry for each (op, dtype, width) ahead of
+    first use — the serving cold-start mitigation (a cold wide-width u64
+    Pallas kernel can take ~2 minutes to compile via the remote Mosaic
+    toolchain; jit caches are shape-keyed, so pass your production
+    n_blocks). Fused ops take zero/dummy parameters. Returns the number of
+    entries compiled."""
+    import numpy as np
+
+    count = 0
+    for dt in dtypes:
+        dt = layout.canon_dtype(dt)
+        t = layout.bit_width(dt)
+        nl = layout.lanes(dt)
+        limb = eng.is_limb(dt)
+        ws = widths if widths is not None else range(1, t + 1)
+        for w in ws:
+            layout.check_width(dt, w)
+            plen = layout.packed_len(dt, w)
+            vshape = (n_blocks, layout.BLOCK, 2) if limb else (n_blocks, layout.BLOCK)
+            pshape = (n_blocks, plen, 2) if limb else (n_blocks, plen)
+            vals = jnp.zeros(vshape, jnp.uint32 if limb else eng.jnp_dtype(dt))
+            pkd = jnp.zeros(pshape, jnp.uint32 if limb else eng.jnp_dtype(dt))
+            base = (np.zeros((nl, 2), np.uint32) if limb
+                    else np.zeros(nl, layout.np_dtype(dt)))
+            for op in ops:
+                if op == "pack":
+                    jax.block_until_ready(pack(vals, w, dt))
+                elif op == "unpack":
+                    jax.block_until_ready(unpack(pkd, w, dt))
+                elif op == "undelta_pack":
+                    jax.block_until_ready(undelta_pack(pkd, base, w, dt))
+                elif op == "unzdelta_pack":
+                    jax.block_until_ready(unzdelta_pack(pkd, base, w, dt))
+                elif op == "for_pack":
+                    jax.block_until_ready(for_pack(vals, 0, w, dt))
+                elif op == "unfor_pack":
+                    jax.block_until_ready(unfor_pack(pkd, 0, w, dt))
+                else:
+                    raise ValueError(f"unknown op {op!r}")
+                count += 1
+    return count

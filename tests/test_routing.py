@@ -95,3 +95,13 @@ def test_public_entry_routes_to_ops_off_tpu(rng):
     np.testing.assert_array_equal(np.asarray(packed), gold)
     out = pk.unpack(packed, 3, "u32")
     np.testing.assert_array_equal(np.asarray(out), values)
+
+
+def test_warmup_compiles_routed_entries(rng):
+    """kernels.warmup drives every requested routed entry once (CPU: the
+    ops fallback) without error and reports the entry count."""
+    from fastlanes_tpu import kernels
+
+    n = kernels.warmup(ops=("pack", "unpack", "undelta_pack", "unfor_pack"),
+                       dtypes=("u16", "u64"), widths=(1, 3), n_blocks=4)
+    assert n == 2 * 2 * 4
