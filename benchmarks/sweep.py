@@ -173,16 +173,32 @@ def main():
           "unfused_ints_per_s": n_ints / t_unfused,
           "fusion_speedup": t_unfused / t_fused})
 
-    # C++ host codec (single-thread)
+    # C++ host codec (single-thread). Warm first + median of 5: a cold
+    # one-shot call spends most of its time page-faulting the freshly
+    # allocated numpy output (67 MB at this batch), not decoding — the
+    # round-1 "0.78e9 u32 decode" was that artifact.
     try:
         from fastlanes_tpu import native
 
         if native.available():
-            v32 = rng.integers(0, 8, (n_blocks, 1024), dtype=np.int64).astype(np.uint32)
-            t0 = time.perf_counter(); p = native.pack(v32, 3, "u32"); te = time.perf_counter() - t0
-            t0 = time.perf_counter(); native.unpack(p, 3, "u32"); td = time.perf_counter() - t0
-            emit({"bench": "native_host", "dtype": "u32", "width": 3,
-                  "encode_ints_per_s": n_ints / te, "decode_ints_per_s": n_ints / td})
+            def med(fn, iters=5):
+                fn()  # warm: faults pages, loads code
+                times = []
+                for _ in range(iters):
+                    t0 = time.perf_counter()
+                    fn()
+                    times.append(time.perf_counter() - t0)
+                return float(np.median(times))
+
+            for ndt in ("u16", "u32"):
+                vals = rng.integers(0, 8, (n_blocks, 1024), dtype=np.int64).astype(
+                    np.uint16 if ndt == "u16" else np.uint32)
+                p = native.pack(vals, 3, ndt)
+                te = med(lambda: native.pack(vals, 3, ndt))
+                td = med(lambda: native.unpack(p, 3, ndt))
+                emit({"bench": "native_host", "dtype": ndt, "width": 3,
+                      "encode_ints_per_s": n_ints / te,
+                      "decode_ints_per_s": n_ints / td})
     except Exception as e:
         emit({"bench": "native_host", "error": str(e)[:120]})
 

@@ -105,20 +105,35 @@ def _check(rc):
         raise ValueError(f"native codec error {rc} (bad width or dtype)")
 
 
-def pack(values, width, dtype):
+
+def _out_buf(out, shape, dtype):
+    """Use the caller's preallocated output when given (IO pipelines reuse
+    buffers — a fresh np.empty per call page-faults its whole extent, which
+    can cost more than the decode itself); else allocate."""
+    np_dt = layout.np_dtype(dtype)
+    if out is None:
+        return np.empty(shape, np_dt)
+    if (not isinstance(out, np.ndarray) or out.dtype != np_dt
+            or out.shape != shape or not out.flags.c_contiguous):
+        raise ValueError(
+            f"out must be a C-contiguous {np_dt} array of shape {shape}")
+    return out
+
+
+def pack(values, width, dtype, out=None):
     dtype = layout.canon_dtype(dtype)
     lib = _load()
     v = _prep(values, dtype, layout.BLOCK)
-    out = np.empty((v.shape[0], layout.packed_len(dtype, width)), layout.np_dtype(dtype))
+    out = _out_buf(out, (v.shape[0], layout.packed_len(dtype, width)), dtype)
     _check(lib.fl_pack(_DTYPE_CODE[dtype], width, _ptr(v), _ptr(out), v.shape[0]))
     return out
 
 
-def unpack(packed, width, dtype):
+def unpack(packed, width, dtype, out=None):
     dtype = layout.canon_dtype(dtype)
     lib = _load()
     p = _prep(packed, dtype, layout.packed_len(dtype, width))
-    out = np.empty((p.shape[0], layout.BLOCK), layout.np_dtype(dtype))
+    out = _out_buf(out, (p.shape[0], layout.BLOCK), dtype)
     _check(lib.fl_unpack(_DTYPE_CODE[dtype], width, _ptr(p), _ptr(out), p.shape[0]))
     return out
 
@@ -184,12 +199,12 @@ def delta_pack(values, base, width, dtype):
     return out
 
 
-def undelta_pack(packed, base, width, dtype):
+def undelta_pack(packed, base, width, dtype, out=None):
     dtype = layout.canon_dtype(dtype)
     lib = _load()
     p = _prep(packed, dtype, layout.packed_len(dtype, width))
     bs = _prep_base(base, dtype, p.shape[0])
-    out = np.empty((p.shape[0], layout.BLOCK), layout.np_dtype(dtype))
+    out = _out_buf(out, (p.shape[0], layout.BLOCK), dtype)
     _check(lib.fl_undelta_pack(_DTYPE_CODE[dtype], width, _ptr(p), _ptr(bs), _ptr(out), p.shape[0]))
     return out
 

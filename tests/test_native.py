@@ -80,3 +80,22 @@ def test_native_golden_readme():
 def test_native_bad_width():
     with pytest.raises(ValueError):
         native.pack(np.zeros((1, 1024), np.uint8), 9, "u8")
+
+
+def test_native_out_buffers(rng):
+    """Preallocated out= buffers (IO pipelines reuse them; a fresh np.empty
+    per call page-faults its extent) round-trip bit-exact and validate."""
+    from fastlanes_tpu import native
+
+    if not native.available():
+        pytest.skip("native codec unavailable")
+    vals = rng.integers(0, 8, (16, 1024), np.int64).astype(np.uint32)
+    pbuf = np.empty((16, layout.packed_len("u32", 3)), np.uint32)
+    obuf = np.empty((16, 1024), np.uint32)
+    p = native.pack(vals, 3, "u32", out=pbuf)
+    assert p is pbuf
+    o = native.unpack(pbuf, 3, "u32", out=obuf)
+    assert o is obuf
+    np.testing.assert_array_equal(obuf, vals)
+    with pytest.raises(ValueError, match="C-contiguous"):
+        native.unpack(pbuf, 3, "u32", out=np.empty((16, 1024), np.uint16))
