@@ -191,11 +191,14 @@ def main():
                 return float(np.median(times))
 
             for ndt in ("u16", "u32"):
-                vals = rng.integers(0, 8, (n_blocks, 1024), dtype=np.int64).astype(
-                    np.uint16 if ndt == "u16" else np.uint32)
+                np_dt = np.uint16 if ndt == "u16" else np.uint32
+                vals = rng.integers(0, 8, (n_blocks, 1024),
+                                    dtype=np.int64).astype(np_dt)
                 p = native.pack(vals, 3, ndt)
-                te = med(lambda: native.pack(vals, 3, ndt))
-                td = med(lambda: native.unpack(p, 3, ndt))
+                pbuf = np.empty_like(p)
+                obuf = np.empty_like(vals)
+                te = med(lambda: native.pack(vals, 3, ndt, out=pbuf))
+                td = med(lambda: native.unpack(p, 3, ndt, out=obuf))
                 emit({"bench": "native_host", "dtype": ndt, "width": 3,
                       "encode_ints_per_s": n_ints / te,
                       "decode_ints_per_s": n_ints / td})
