@@ -33,7 +33,8 @@ TABLE_PATH = "fastlanes_tpu/kernels/routing_tpu.json"
 # widths measured per op family; unmeasured widths route via nearest-width
 PACK_WIDTHS = {8: [1, 2, 3, 4, 7, 8], 16: [1, 2, 3, 4, 8, 15, 16],
                32: [1, 2, 3, 4, 8, 16, 31, 32], 64: [1, 2, 3, 4, 8, 16, 32, 63, 64]}
-FUSED_WIDTHS = {8: [3, 4], 16: [3, 8], 32: [3, 16], 64: [3, 32]}
+FUSED_WIDTHS = {8: [1, 3, 4, 8], 16: [1, 3, 8, 16], 32: [1, 3, 8, 16, 32],
+                64: [1, 3, 16, 32, 64]}
 
 
 def build_configs(quick: bool):
@@ -63,6 +64,8 @@ def main():
     ap.add_argument("--out", default=TABLE_PATH)
     ap.add_argument("--no-merge", action="store_true",
                     help="start from an empty table instead of merging")
+    ap.add_argument("--only-missing", action="store_true",
+                    help="measure only configs absent from the existing table")
     ap.add_argument("--k", type=int, default=None, help="chain length")
     args = ap.parse_args()
 
@@ -159,6 +162,10 @@ def main():
                 entries = json.load(f)["entries"]
         except (OSError, KeyError, json.JSONDecodeError):
             pass
+    if args.only_missing:
+        configs = [(op, dt, w) for op, dt, w in configs
+                   if f"{op}:{dt}:{w}" not in entries]
+        print(f"# {len(configs)} configs to measure", file=sys.stderr)
 
     for op, dt, w in configs:
         key = f"{op}:{dt}:{w}"
