@@ -1,0 +1,206 @@
+"""Fused analytics over compressed FLT columns: decode-into-consumer as a
+library API.
+
+The FastLanes layout exists so decoders fuse into their consumers
+(reference macros.rs:5-9); on TPU the fused composition measures ~677e9
+ints/s vs ~142e9 materialized (benchmarks/NOTES.md). This module turns
+that into a user-facing query surface: reductions and filtered counts over
+an FLT file or table column WITHOUT materializing the decoded data in HBM
+— per chunk, one jit traces decode -> reduce and XLA fuses the pipeline.
+
+    from fastlanes_tpu import analytics
+    stats = analytics.scan_column("col.flt")             # sum/min/max/count
+    n = analytics.count_where("col.flt", "gt", 1000)     # filtered count
+    stats = analytics.scan_column("table.flt", column="price")
+
+Works for every chunk codec (bitpack/ffor fuse fully; delta/zdelta/rle/alp
+decode in-graph first) and every dtype incl. signed transforms and floats.
+Caveat: u64 integer columns reduce in the int64 domain — values >= 2^63
+appear negative to min/max and sums wrap mod 2^64 (recovered exactly in
+the Python accumulator only while per-chunk partials stay in int64
+range).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import fio, fio_device
+from .core import layout
+
+_PREDS = {
+    "lt": lambda x, v: x < v,
+    "le": lambda x, v: x <= v,
+    "gt": lambda x, v: x > v,
+    "ge": lambda x, v: x >= v,
+    "eq": lambda x, v: x == v,
+    "ne": lambda x, v: x != v,
+}
+
+
+def _decoded_chunks(path: str, column: Optional[str], mesh):
+    """Yield (decoded device blocks, header-ish dict) per chunk, already
+    transform-applied — real values in the column's logical domain."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic.startswith(b"FLTTAB1"):
+        from . import fio_table
+
+        if column is None:
+            raise ValueError("table file: pass column=<name>")
+        header = fio_table.read_table_header(path)
+        col = fio_table._col_meta(header, column)
+        base_off = fio.payload_base_of(path, fio_table.MAGIC)
+        chunks, cdtype = col["chunks"], col["dtype"]
+        transform, vtype = col.get("transform"), col.get("vtype")
+        n_values = col.get("n_values")
+    else:
+        header = fio.read_header(path)
+        chunks, cdtype = header["chunks"], header["dtype"]
+        transform, vtype = header.get("transform"), header.get("vtype")
+        n_values = header.get("n_values")
+        base_off = fio._payload_base(path)
+
+    seen_values = 0
+    with open(path, "rb") as f:
+        for meta in chunks:
+            f.seek(base_off + meta["offset"])
+            raw = f.read(meta["nbytes"])
+            blocks = fio_device._decode_chunk_device(
+                meta, raw, meta["n_blocks"], cdtype, mesh=mesh)
+            blocks = fio_device._apply_transform_device(blocks, transform, cdtype)
+            n_here = meta["n_blocks"] * layout.BLOCK
+            valid = n_here
+            if n_values is not None:
+                valid = max(0, min(n_here, n_values - seen_values))
+            seen_values += n_here
+            yield blocks, cdtype, vtype, valid
+
+
+def _flatten_logical(blocks, cdtype, vtype):
+    """Device blocks -> flat logical vector for reductions. u64 integer
+    columns assemble limb pairs into int64, f64 limb images bitcast to
+    float64 — both need x64 jax (jnp int64/f64 silently degrade without
+    it, which would corrupt results; raise instead)."""
+    arr = blocks
+    if cdtype == "u64" and arr.ndim >= 2 and arr.shape[-1] == 2 and (
+            arr.dtype == jnp.uint32):
+        if not jax.config.read("jax_enable_x64"):
+            raise ValueError(
+                "analytics over u64/f64 columns needs x64 jax "
+                "(jax.config.update('jax_enable_x64', True))")
+        lo = arr[..., 0].astype(jnp.int64)
+        hi = arr[..., 1].astype(jnp.int64)
+        wide = lo | (hi << 32)
+        if vtype == "f64":
+            arr = jax.lax.bitcast_convert_type(wide, jnp.float64)
+        else:
+            arr = wide  # int64 bit pattern (uint64 column or signed view)
+    return arr.reshape(-1)
+
+
+_PIECE = 32768  # piece-sum length: 32768 * (2^16 - 1) < 2^31, no overflow
+
+
+@jax.jit
+def _stats_kernel(x, v):
+    """Masked sum/min/max, one fused program per input shape/dtype
+    (module-level jit: repeated chunks hit the cache). Tail padding
+    (positions >= v) is excluded via iota masking.
+
+    Integer sums are EXACT WITHOUT x64: the masked values bitcast to the
+    unsigned domain and split into 16-bit halves summed per 32768-element
+    piece (each partial < 2^31); the host reassembles the big-int total
+    and corrects signed columns by 2^T * n_negative (two's complement).
+    Returns (lo_sums, hi_sums, n_neg, mn, mx); float dtypes return the
+    fused float total in lo_sums[0:1]."""
+    n = x.shape[0]
+    ok = jnp.arange(n) < v
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        big = jnp.asarray(jnp.inf, x.dtype)
+        total = jnp.sum(jnp.where(ok, x, jnp.asarray(0, x.dtype)))
+        mn = jnp.min(jnp.where(ok, x, big))
+        mx = jnp.max(jnp.where(ok, x, -big))
+        z = jnp.zeros((1,), jnp.uint32)
+        return total[None][None], z, jnp.int32(0), mn, mx
+    info = jnp.iinfo(x.dtype)
+    mn = jnp.min(jnp.where(ok, x, jnp.asarray(info.max, x.dtype)))
+    mx = jnp.max(jnp.where(ok, x, jnp.asarray(info.min, x.dtype)))
+    signed = jnp.issubdtype(x.dtype, jnp.signedinteger)
+    n_neg = (jnp.sum((ok & (x < 0)).astype(jnp.int32)) if signed
+             else jnp.int32(0))
+    t = x.dtype.itemsize * 8
+    xu = jax.lax.bitcast_convert_type(
+        jnp.where(ok, x, jnp.asarray(0, x.dtype)), jnp.dtype(f"uint{t}"))
+    pad = (-n) % _PIECE
+    if pad:
+        xu = jnp.concatenate([xu, jnp.zeros(pad, xu.dtype)])
+    pieces = xu.reshape(-1, _PIECE)
+    # one 16-bit plane per 16 bits of the dtype, each piece-sum < 2^31
+    planes = []
+    for k in range(max(2, t // 16)):
+        part = ((pieces >> jnp.asarray(16 * k, xu.dtype))
+                & jnp.asarray(0xFFFF, xu.dtype)).astype(jnp.uint32)
+        planes.append(jnp.sum(part, axis=1, dtype=jnp.uint32))
+    return jnp.stack(planes), jnp.zeros((1,), jnp.uint32), n_neg, mn, mx
+
+
+def _combine_sum(planes, _unused, n_neg, dtype_bits, is_float):
+    if is_float:
+        return float(planes[0])
+    total = 0
+    for k in range(planes.shape[0]):
+        total += int(np.sum(np.asarray(planes[k], np.int64))) << (16 * k)
+    return total - (int(n_neg) << dtype_bits)
+
+
+def scan_column(path: str, column: Optional[str] = None, mesh=None) -> dict:
+    """Fused sum/min/max/count over a compressed column — the decoded data
+    never materializes in HBM for fusable codecs. Returns python scalars:
+    {sum, min, max, count}."""
+    total = 0
+    mn, mx = None, None
+    count = 0
+    for blocks, cdtype, vtype, valid in _decoded_chunks(path, column, mesh):
+        if valid == 0:
+            continue
+        flat = _flatten_logical(blocks, cdtype, vtype)
+        planes, _z, n_neg, m1, m2 = _stats_kernel(flat, jnp.int32(valid))
+        is_float = np.issubdtype(np.asarray(m1).dtype, np.floating)
+        total += _combine_sum(np.asarray(planes), None, int(n_neg),
+                              np.asarray(flat).dtype.itemsize * 8
+                              if not is_float else 0, is_float)
+        m1, m2 = m1.item(), m2.item()
+        mn = m1 if mn is None else min(mn, m1)
+        mx = m2 if mx is None else max(mx, m2)
+        count += valid
+    return {"sum": total, "min": mn, "max": mx, "count": count}
+
+
+@functools.partial(jax.jit, static_argnames=("op",))
+def _count_kernel(x, v, value, op):
+    ok = jnp.arange(x.shape[0]) < v
+    hit = _PREDS[op](x, value.astype(x.dtype))
+    # int32 is enough: per-chunk counts are < 2^31 (chunk <= blocks * 1024)
+    return jnp.sum((ok & hit).astype(jnp.int32))
+
+
+def count_where(path: str, op: str, value, column: Optional[str] = None,
+                mesh=None) -> int:
+    """Fused filtered count: predicate evaluated on decoded values
+    in-graph, only the running count leaves the device."""
+    if op not in _PREDS:
+        raise ValueError(f"unknown predicate {op!r}; have {sorted(_PREDS)}")
+    total = 0
+    for blocks, cdtype, vtype, valid in _decoded_chunks(path, column, mesh):
+        if valid == 0:
+            continue
+        flat = _flatten_logical(blocks, cdtype, vtype)
+        total += int(_count_kernel(flat, jnp.int32(valid),
+                                   jnp.asarray(value), op))
+    return total

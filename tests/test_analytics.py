@@ -1,0 +1,95 @@
+"""Fused analytics over compressed columns: scan_column / count_where vs
+numpy ground truth across codecs, dtypes, transforms and floats."""
+
+import numpy as np
+import pytest
+
+from fastlanes_tpu import analytics, fio, fio_table
+
+
+def test_scan_bitpack_column(tmp_path, rng):
+    path = str(tmp_path / "c.flt")
+    values = rng.integers(0, 1 << 12, 5000, np.int64).astype(np.uint32)
+    fio.write_file(path, values, codec="bitpack")
+    stats = analytics.scan_column(path)
+    assert stats["count"] == 5000
+    assert stats["sum"] == int(values.sum())
+    assert stats["min"] == int(values.min())
+    assert stats["max"] == int(values.max())
+
+
+@pytest.mark.parametrize("codec", ["ffor", "delta", "zdelta", "rle"])
+def test_scan_codecs(tmp_path, rng, codec):
+    path = str(tmp_path / "c.flt")
+    if codec == "rle":
+        values = np.repeat(rng.integers(0, 1000, 100).astype(np.uint32), 50)
+    else:
+        values = np.sort(rng.integers(1000, 1 << 20, 4000, np.int64)
+                         .astype(np.uint32))
+    fio.write_file(path, values, codec=codec, chunk_blocks=2)
+    stats = analytics.scan_column(path)
+    assert stats["sum"] == int(values.sum())
+    assert stats["min"] == int(values.min())
+    assert stats["max"] == int(values.max())
+    assert stats["count"] == len(values)
+
+
+def test_scan_signed_column(tmp_path, rng):
+    path = str(tmp_path / "s.flt")
+    values = rng.integers(-500, 500, 3000, np.int64).astype(np.int32)
+    fio.write_file(path, values)
+    stats = analytics.scan_column(path)
+    assert stats["sum"] == int(values.sum())
+    assert stats["min"] == int(values.min())
+    assert stats["max"] == int(values.max())
+
+
+def test_scan_float_column(tmp_path, rng):
+    path = str(tmp_path / "f.flt")
+    values = (rng.integers(0, 1 << 16, 3000) / 100.0).astype(np.float32)
+    fio.write_file(path, values)
+    stats = analytics.scan_column(path)
+    assert stats["min"] == float(values.min())
+    assert stats["max"] == float(values.max())
+    assert stats["count"] == 3000
+    # f32 accumulation order differs from numpy's pairwise sum — tolerance
+    assert abs(stats["sum"] - float(values.sum())) < abs(float(values.sum())) * 1e-5 + 1
+
+
+def test_scan_table_column(tmp_path, rng):
+    path = str(tmp_path / "t.flt")
+    qty = rng.integers(0, 500, 3000).astype(np.uint16)
+    fio_table.write_table(path, {"qty": qty})
+    stats = analytics.scan_column(path, column="qty")
+    assert stats["sum"] == int(qty.sum())
+    with pytest.raises(ValueError, match="column"):
+        analytics.scan_column(path)
+
+
+def test_count_where(tmp_path, rng):
+    path = str(tmp_path / "c.flt")
+    values = rng.integers(0, 10_000, 8000, np.int64).astype(np.uint32)
+    fio.write_file(path, values, chunk_blocks=3)
+    for op, fn in (("gt", np.greater), ("le", np.less_equal), ("eq", np.equal)):
+        want = int(fn(values, 5000).sum())
+        assert analytics.count_where(path, op, 5000) == want
+    with pytest.raises(ValueError, match="predicate"):
+        analytics.count_where(path, "contains", 5)
+
+
+def test_scan_u64_requires_x64(tmp_path, rng):
+    import jax
+
+    path = str(tmp_path / "u.flt")
+    values = rng.integers(0, 1 << 40, 2048, np.int64).astype(np.uint64)
+    fio.write_file(path, values, codec="bitpack")
+    with pytest.raises(ValueError, match="x64"):
+        analytics.scan_column(path)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        stats = analytics.scan_column(path)
+        assert stats["sum"] == int(values.sum())
+        assert stats["min"] == int(values.min())
+        assert stats["max"] == int(values.max())
+    finally:
+        jax.config.update("jax_enable_x64", False)
