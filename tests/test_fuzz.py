@@ -188,3 +188,48 @@ def test_fuzz_float_and_runs_files(seed, tmp_path):
             assert np.asarray(val).tobytes() == np.asarray(want).tobytes()
         else:
             assert val == want
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_fused_kernels_interpret(seed):
+    """Random configs through the FUSED Pallas kernels in interpret mode
+    (undelta_pack / unzdelta_pack / unfor_pack), vs the oracle pipeline."""
+    from fastlanes_tpu import fio
+    from fastlanes_tpu.kernels import pallas_codecs as pk
+    from fastlanes_tpu.utils.testing import from_jax_form, to_jax_form
+
+    rng = np.random.default_rng(0xFD5 + seed)
+    dt = str(rng.choice(["u8", "u16", "u32", "u64"]))
+    t = {"u8": 8, "u16": 16, "u32": 32, "u64": 64}[dt]
+    nl = 1024 // t
+    n_blocks = int(rng.integers(1, 5))
+    w = int(rng.integers(1, t + 1))
+    vals = rng.integers(0, 1 << min(w, t), (n_blocks, 1024),
+                        dtype=np.uint64).astype(f"uint{t}")
+    transposed = ref.transpose(vals, dt)
+    base = np.ascontiguousarray(transposed[:, :nl])
+    kind = rng.choice(["delta", "zdelta", "ffor"])
+    if kind == "ffor":
+        reference = int(vals.min())
+        packed = ref.for_pack(vals, reference, w, dt)
+        got = from_jax_form(pk.unfor_pack(to_jax_form(packed, dt), reference,
+                                          w, dt, tile_b=4, interpret=True), dt)
+        want = ref.unfor_pack(packed, reference, w, dt)
+    elif kind == "delta":
+        deltas = ref.delta(transposed, base, dt)
+        wd = max(w, int(deltas.max()).bit_length())
+        packed = ref.pack(deltas, wd, dt)
+        got = from_jax_form(pk.undelta_pack(
+            to_jax_form(packed, dt), to_jax_form(base, dt), wd, dt,
+            tile_b=4, interpret=True), dt)
+        want = transposed
+    else:
+        deltas = ref.delta(transposed, base, dt)
+        zz = fio._zigzag_deltas(deltas)
+        wz = max(1, int(zz.max()).bit_length())
+        packed = ref.pack(zz, wz, dt)
+        got = from_jax_form(pk.unzdelta_pack(
+            to_jax_form(packed, dt), to_jax_form(base, dt), wz, dt,
+            tile_b=4, interpret=True), dt)
+        want = transposed
+    np.testing.assert_array_equal(got, want)
