@@ -88,6 +88,18 @@ def main():
         assert np.array_equal(got[k], table[k])
     print("7. table file (unsigned + signed zigzag columns) ok")
 
+    # 8. Fused analytics: query a compressed file without materializing it.
+    from fastlanes_tpu import analytics
+
+    col = np.sort(rng.integers(0, 1 << 20, 4000, np.int64).astype(np.uint32))
+    with tempfile.NamedTemporaryFile(suffix=".flt") as f:
+        fio.write_file(f.name, col)
+        stats = analytics.scan_column(f.name)
+        n_hi = analytics.count_where(f.name, "gt", 1 << 19)
+    assert stats["sum"] == int(col.sum()) and stats["count"] == 4000
+    assert n_hi == int((col > (1 << 19)).sum())
+    print(f"8. fused analytics (sum/min/max/count_where) over compressed ok")
+
 
 if __name__ == "__main__":
     main()
