@@ -16,7 +16,6 @@ sys.path.insert(0, ".")
 
 import jax
 
-from fastlanes_tpu.core import layout
 from fastlanes_tpu.models.codecs import DeltaCodec, auto_encode, get_codec
 from fastlanes_tpu.ops import bitpack, dispatch, single
 from fastlanes_tpu.parallel import mesh as pmesh, shard as psh
@@ -98,7 +97,7 @@ def main():
         n_hi = analytics.count_where(f.name, "gt", 1 << 19)
     assert stats["sum"] == int(col.sum()) and stats["count"] == 4000
     assert n_hi == int((col > (1 << 19)).sum())
-    print(f"8. fused analytics (sum/min/max/count_where) over compressed ok")
+    print("8. fused analytics (sum/min/max/count_where) over compressed ok")
 
 
 if __name__ == "__main__":

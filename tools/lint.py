@@ -23,7 +23,7 @@ import sys
 
 MAX_LINE = 100
 DEFAULT_PATHS = ["fastlanes_tpu", "tools", "tests", "benchmarks",
-                 "bench.py", "__graft_entry__.py"]
+                 "examples", "bench.py", "__graft_entry__.py"]
 
 
 def iter_py(paths):
