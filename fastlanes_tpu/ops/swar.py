@@ -35,8 +35,9 @@ bytes gathered into one 32-bit lane), which XLA lowers through the same
 relayout machinery that sank the wide-decode experiment
 (kernels/MOSAIC_NOTES.md) — the 4x op-count win never materializes.
 Kept, bit-exact and tested, as the documented negative result; NOT
-routed. A future variant for consumers that keep data resident in the
-u32 image could skip both conversions and revisit this.
+routed. Follow-up: skipping the OUTPUT bitcast (raw u32 image out)
+doubles throughput to 78.5e9 — still below plain ops, so the image-domain
+variant is not worth surfacing either.
 """
 
 from __future__ import annotations
