@@ -152,7 +152,7 @@ def _stats_kernel(x, v):
 
 def _combine_sum(planes, _unused, n_neg, dtype_bits, is_float):
     if is_float:
-        return float(planes[0])
+        return float(planes.reshape(-1)[0])
     total = 0
     for k in range(planes.shape[0]):
         total += int(np.sum(np.asarray(planes[k], np.int64))) << (16 * k)
