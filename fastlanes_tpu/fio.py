@@ -277,6 +277,10 @@ def _split_rle_payload(meta: dict, raw: bytes, n_blocks: int, dtype: str):
     packed_idx = packed_idx.reshape(n_blocks, plen)
     o += 2 * n_blocks * plen
     run_values = np.frombuffer(raw[o:], np_dt)[: meta["n_runs"]]
+    if len(run_values) != meta["n_runs"]:
+        raise ValueError(
+            f"truncated rle payload: {len(run_values)} run values, "
+            f"header says {meta['n_runs']}")
     return counts, base, packed_idx, run_values
 
 

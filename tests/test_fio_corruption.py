@@ -92,3 +92,24 @@ def test_table_magic_mismatch(tmp_path, rng, flt):
     fio_table.write_table(tpath, {"a": np.arange(1024, dtype=np.uint16)})
     with pytest.raises(ValueError, match="not an FLT file"):
         fio.read_header(tpath)
+
+
+def test_truncated_rle_payload(tmp_path, rng):
+    path = str(tmp_path / "r.flt")
+    vals = np.repeat(rng.integers(0, 100, 60).astype(np.uint32), 50)
+    fio.write_file(path, vals, codec="rle")
+    with open(path, "rb") as f:
+        data = f.read()
+    with open(path, "wb") as f:
+        f.write(data[:-40])  # drop tail run values
+    with pytest.raises(ValueError):
+        fio.read_file(path)
+
+
+def test_alp_bad_meta_rejected(tmp_path, rng):
+    path = str(tmp_path / "a.flt")
+    vals = (rng.integers(0, 10000, 3000) / 100.0).astype(np.float32)
+    fio.write_file(path, vals)
+    _patch_header(path, lambda h: h["chunks"][0].update(vtype="f128"))
+    with pytest.raises(KeyError):
+        fio.read_file(path)
