@@ -63,3 +63,47 @@ def test_table_column_on_mesh(tmp_path, rng):
     got = np.asarray(fio_device.read_column_device(path, "walk", mesh=mesh,
                                                    use_kernels=False))
     np.testing.assert_array_equal(got, col)
+
+
+def test_rle_wire_golden():
+    """RLE chunk bytes pinned (FORMAT.md rle layout): deterministic run
+    pattern -> payload sha256 must never change without a version bump."""
+    import hashlib
+
+    vals = np.repeat(np.arange(80, dtype=np.uint32) * 1000, 26)[:2048].reshape(2, 1024)
+    meta, payload = fio._encode_chunk(vals, "u32", "rle")
+    assert meta["codec"] == "rle" and meta["n_runs"] == 80
+    assert hashlib.sha256(payload).hexdigest() == (
+        "cd31ae957db76044613319d686c2347f8c62e39e1278033a1aafb6539b5567f7")
+    np.testing.assert_array_equal(fio._decode_chunk(meta, payload, 2, "u32"), vals)
+
+
+def test_alp_wire_golden():
+    """ALP chunk bytes pinned: 2-decimal f32 ramp -> e=2, f=0, zero
+    exceptions, fixed payload sha256."""
+    import hashlib
+
+    prices = ((np.arange(2048) % 977) / 100.0).astype(np.float32).reshape(2, 1024)
+    meta, payload = fio._encode_chunk_float(prices, "u32", "alp")
+    assert (meta["codec"], meta["e"], meta["f"], meta["n_exc"]) == ("alp", 2, 0, 0)
+    assert meta["width"] == 10
+    assert hashlib.sha256(payload).hexdigest() == (
+        "9d9be0891895810e95d0f8ef5c1c52e7ea0c64aa3e09e7a024712c654f5d79f2")
+    out = fio._decode_chunk(meta, payload, 2, "u32")
+    np.testing.assert_array_equal(out.view(np.uint32), prices.view(np.uint32))
+
+
+def test_alprd_wire_golden():
+    """ALP_RD chunk bytes pinned: exact-binary f64 values (deterministic,
+    no RNG stream dependence) -> fixed cut/dict/payload."""
+    import hashlib
+
+    i = np.arange(2048)
+    doubles = (((i % 911) + 1) * (2.0 ** -(i % 13))).astype(np.float64).reshape(2, 1024)
+    meta, payload = fio._encode_chunk_float(doubles, "u64", "alprd")
+    assert (meta["codec"], meta["width"], meta["idx_width"],
+            meta["n_exc"], len(meta["dict"])) == ("alprd", 54, 3, 0, 6)
+    assert hashlib.sha256(payload).hexdigest() == (
+        "77cb2e50c3774c1f9816fdf9a1ae7f5baf9680dc35b323556d00aab150abc3ef")
+    out = fio._decode_chunk(meta, payload, 2, "u64")
+    np.testing.assert_array_equal(out.view(np.uint64), doubles.view(np.uint64))
