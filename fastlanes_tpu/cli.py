@@ -4,6 +4,7 @@
     python -m fastlanes_tpu decompress column.flt raw.npy [--start B] [--stop B]
     python -m fastlanes_tpu inspect    column.flt
     python -m fastlanes_tpu get        column.flt BLOCK INDEX
+    python -m fastlanes_tpu scan       column.flt [--where gt:100]
 
 The role the `vortex` CLI plays around the Rust crate: compress whole
 columns to disk, decode block ranges, random-access single elements.
@@ -186,6 +187,24 @@ def _cmd_get(args) -> int:
     return 0
 
 
+def _cmd_scan(args) -> int:
+    """Fused query over a compressed file: sum/min/max/count, optional
+    filtered count — decoded data never materializes (analytics module)."""
+    from . import analytics
+
+    stats = analytics.scan_column(args.input, column=args.column)
+    if args.where:
+        try:
+            op, _, value = args.where.partition(":")
+            stats[f"count_{op}_{value}"] = analytics.count_where(
+                args.input, op, float(value) if "." in value else int(value),
+                column=args.column)
+        except ValueError as e:
+            raise SystemExit(f"bad --where {args.where!r}: {e}")
+    print(json.dumps(stats))
+    return 0
+
+
 def _cmd_bench(args) -> int:
     """Single-block latency micro-bench — the shape of the reference's
     criterion benches (reference benches/bitpacking.rs:13-63): pack one
@@ -278,6 +297,15 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("block", type=int)
     g.add_argument("index", type=int)
     g.set_defaults(fn=_cmd_get)
+
+    sc = sub.add_parser("scan",
+                        help="fused sum/min/max/count query over a compressed file")
+    sc.add_argument("input")
+    sc.add_argument("--column", default=None, help="table files: column name")
+    sc.add_argument("--where", default=None, metavar="OP:VALUE",
+                    help="also count rows matching OP:VALUE "
+                         "(OP in lt/le/gt/ge/eq/ne)")
+    sc.set_defaults(fn=_cmd_scan)
 
     b = sub.add_parser("bench",
                        help="single-block (1024-value) host latency micro-bench")

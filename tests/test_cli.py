@@ -141,3 +141,32 @@ def test_cli_flat_input_and_signed_rejection(tmp_path, rng, capsys):
     np.testing.assert_array_equal(got, svals)
     # an explicit --dtype instead reinterprets the bits mod 2^T
     assert cli.main(["compress", str(signed), str(flt), "--dtype", "u32"]) == 0
+
+
+def test_cli_scan(tmp_path, rng, capsys):
+    raw, flt = tmp_path / "s.npy", tmp_path / "s.flt"
+    values = rng.integers(0, 10_000, 5000, np.int64).astype(np.uint32)
+    np.save(raw, values)
+    cli.main(["compress", str(raw), str(flt)])
+    capsys.readouterr()
+    assert cli.main(["scan", str(flt), "--where", "gt:5000"]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["sum"] == int(values.sum())
+    assert stats["min"] == int(values.min())
+    assert stats["max"] == int(values.max())
+    assert stats["count"] == 5000
+    assert stats["count_gt_5000"] == int((values > 5000).sum())
+
+
+def test_cli_scan_table(tmp_path, rng, capsys):
+    from fastlanes_tpu import fio_table
+
+    path = tmp_path / "t.flt"
+    qty = rng.integers(0, 500, 3000).astype(np.uint16)
+    fio_table.write_table(str(path), {"qty": qty})
+    assert cli.main(["scan", str(path), "--column", "qty"]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["sum"] == int(qty.sum())
+    # missing --column on a table file -> clean error
+    assert cli.main(["scan", str(path)]) == 1
+    assert "column" in capsys.readouterr().err
