@@ -7,20 +7,23 @@ reference src/ has no float code. This is beyond-parity surface).
 Scheme (self-consistent spec, chosen for device reproducibility):
 
   encode:  ints = round(v * 10^e * 10^-f)            (host, float64 math)
-  decode:  v'   = (float(ints) * 10^f) / 10^e        (value dtype)
+  decode:  v'   = float(ints) / 10^(e-f)             (value dtype, ONE
+                                                      correctly rounded
+                                                      IEEE division)
   exceptions: every position where decode(encode(v)) != v bitwise (NaN,
   inf, overflow, precision loss) stores the original value verbatim and is
   patched after decode; its slot in the int stream holds a filler so it
   never widens the packed width.
 
-Why multiply-then-DIVIDE instead of one multiply by 10^(f-e): 10^e and 10^f
-are exactly representable in the value dtype over the whole search range
-(10^e = 2^e * 5^e and 5^10 < 2^24 for f32, 5^18 < 2^53 for f64), so with
-f = 0 and |ints| inside the exact-conversion range, IEEE division yields
-the correctly rounded quotient — identical to how the original decimal
-value rounded into the dtype. A single multiply by the INEXACT factor
-10^(f-e) loses that (measured ~27% exceptions on 2-decimal f32 data vs ~0
-with the division form).
+Why DIVIDE instead of one multiply by 10^(f-e): 10^(e-f) is exactly
+representable in the value dtype over the whole search range
+(10^d = 2^d * 5^d and 5^10 < 2^24 for f32, 5^18 < 2^53 for f64), so for
+|ints| inside the exact-conversion range the IEEE division yields the
+correctly rounded quotient — identical to how the original decimal value
+rounded into the dtype. A single multiply by the INEXACT factor 10^(f-e)
+loses that (measured ~27% exceptions on 2-decimal f32 data vs ~0 with the
+division form). One division (not multiply-then-divide) keeps the device
+emulation to a single rounding.
 
 The integer stream is FFoR'd (shifted by its min) and bit-packed with the
 existing integer codecs, so ALP decode on device = unfor-style unshift ->
@@ -37,7 +40,9 @@ computes the IEEE quotient in the INTEGER domain — see
 _div_pow10_f32_device — bit-exact with the host spec (validated on the
 real chip over millions of values, every d in 0..10).
 float64 columns: ints bounded to +-2^52, payload u64 (limb pairs); the
-decode needs f64 — native on CPU jax (x64), host codec path on TPU.
+device decode emulates the spec's single correctly-rounded f64 division in
+the integer limb domain (_div_pow10_f64_limbs) — x64-FREE, runs on TPU;
+without x64 the result is the (..., 2) uint32 f64 bit image.
 """
 
 from __future__ import annotations
@@ -68,8 +73,17 @@ def _encode_ints(values64: np.ndarray, e: int, f: int) -> np.ndarray:
 
 
 def _decode_np(ints: np.ndarray, e: int, f: int, np_float) -> np.ndarray:
-    scaled = ints.astype(np_float) * _pow10(f, np_float)
-    return (scaled / _pow10(e, np_float)).astype(np_float)
+    """ONE correctly rounded IEEE division: v = i / 10^(e-f).
+
+    Spec note (round 3): this replaced the older multiply-then-divide chain
+    (i * 10^f, then / 10^e). For every in-range f32 value the two are
+    bit-identical (all intermediates exact, single rounding either way);
+    for f64 the single-division form avoids a second rounding when
+    i * 10^f exceeds 2^53, and — decisively — it is emulable bit-exactly
+    on TPU in the integer limb domain (_div_pow10_f64_limbs): the device
+    needs only ONE rounding to reproduce, with exact operands
+    (|i| <= 2^52, 10^d = 2^d * 5^d exact in f64 for d <= 18)."""
+    return (ints.astype(np_float) / _pow10(e - f, np_float)).astype(np_float)
 
 
 def _ok_mask(values: np.ndarray, ints: np.ndarray, e: int, f: int) -> np.ndarray:
@@ -222,6 +236,204 @@ def _div_pow10_f32_device(x_int, d: int):
     return jnp.where(neg, -out, out).astype(jnp.float32)
 
 
+def _div_pow10_f64_limbs(lo, hi, d: int):
+    """Correctly-rounded float64 quotient i / 10^d for an int64 i given as
+    (lo, hi) uint32 limbs (two's complement), |i| <= 2^52, 0 <= d <= 18 —
+    WITHOUT int64/float64 arithmetic. Returns the (lo, hi) uint32 limb image
+    of the IEEE f64 result: bit-exact with numpy's
+    ``np.float64(i) / np.float64(10.0**d)`` (validated by an exhaustive
+    random+adversarial sweep in tests/test_alp_f64_device.py).
+
+    Method (the f64 generalization of _div_pow10_f32_device, two-limb):
+
+      i/10^d = (|i| / 5^d) * 2^-d * sign     (2^d scaling commutes with RN)
+
+    normalize |i| to M in [2^52, 2^53) (za static-free via shl_dyn), then
+    long-divide M*2^K by F = 5^d (K = F.bit_length()) in 7-bit chunks.
+    Every chunk's quotient digit is estimated with an f32 reciprocal
+    multiply (|error| < 1 since digit <= 127 and the f32 relative error is
+    ~2^-22) and corrected exactly against the two-limb remainder; digits
+    accumulate into a two-limb quotient. A final conditional widen makes
+    the quotient uniformly 54 bits; round-to-nearest-even with the sticky
+    remainder gives the 53-bit mantissa, and the exponent/sign/mantissa
+    pack into f64 bits directly. All ops are uint32 vector ops — identical
+    results on TPU and CPU jax."""
+    import jax
+    import jax.numpy as jnp
+
+    u32 = jnp.uint32
+    lo = lo.astype(u32)
+    hi = hi.astype(u32)
+    neg = (hi >> u32(31)) == u32(1)
+    # |i|: two's-complement negate where negative
+    alo = jnp.where(neg, u32(0) - lo, lo)
+    ahi = jnp.where(neg, ~hi + (lo == u32(0)).astype(u32), hi)
+    zero = (alo == u32(0)) & (ahi == u32(0))
+    alo_safe = jnp.where(zero, u32(1), alo)
+    # bit length n of |i| in [1, 53]
+    n = jnp.where(ahi != u32(0),
+                  jnp.int32(64) - jax.lax.clz(ahi).astype(jnp.int32),
+                  jnp.int32(32) - jax.lax.clz(alo_safe).astype(jnp.int32))
+    za = jnp.int32(53) - n                     # in [0, 52]
+    mlo, mhi = eng_shl_dyn((alo_safe, ahi), za)  # M in [2^52, 2^53)
+
+    if d == 0:
+        # exact: |i| <= 2^52 < 2^53, the mantissa IS M
+        q_lo, q_hi = mlo, mhi
+        exp_unb = n - jnp.int32(1)
+    else:
+        F = 5 ** d                             # < 2^42
+        K = F.bit_length()
+        f0, f1 = F & 0xFFFFFFFF, F >> 32
+        inv_f = np.float32(1.0 / F)
+        n_bits = 53 + K                        # dividend D = M << K
+        # 7-bit chunks, first chunk sized so the total is exactly n_bits
+        sizes = []
+        rem = n_bits
+        first = n_bits % 7 or 7
+        sizes.append(first)
+        rem -= first
+        while rem:
+            sizes.append(7)
+            rem -= 7
+        # D's bit j (0 = LSB) for j in [K, 53+K) is M bit j-K; below K is 0.
+        consumed = 0
+        r0 = jnp.zeros_like(mlo)
+        r1 = jnp.zeros_like(mlo)
+        q_lo = jnp.zeros_like(mlo)
+        q_hi = jnp.zeros_like(mlo)
+        two32 = np.float32(2.0) ** 32
+        for s in sizes:
+            consumed += s
+            # next s bits of D, MSB-first: bits [n_bits-consumed, +s)
+            base = n_bits - consumed           # static
+            chunk = _extract_bits_2limb(mlo, mhi, base - K, s)
+            # r = (r << s) | chunk  (r < F so r<<s fits 49 bits)
+            r1 = (r1 << u32(s)) | (r0 >> u32(32 - s))
+            r0 = (r0 << u32(s)) | chunk
+            # digit estimate: f32 reciprocal multiply, exact correction
+            rf = r1.astype(jnp.float32) * two32 + r0.astype(jnp.float32)
+            step = (rf * inv_f).astype(jnp.int32)
+            step = jnp.clip(step, 0, (1 << s) - 1).astype(u32)
+            p0, p1 = _mul_small_2limb(step, f0, f1)
+            b0, b1, neg_r = _sub_2limb(r0, r1, p0, p1)
+            # step one too high: add F back
+            a0, a1, _ = _add_2limb(b0, b1, u32(f0), u32(f1))
+            r0 = jnp.where(neg_r, a0, b0)
+            r1 = jnp.where(neg_r, a1, b1)
+            step = step - neg_r.astype(u32)
+            # step one too low: subtract F once more
+            ge = _ge_2limb(r0, r1, u32(f0), u32(f1))
+            c0, c1, _ = _sub_2limb(r0, r1, u32(f0), u32(f1))
+            r0 = jnp.where(ge, c0, r0)
+            r1 = jnp.where(ge, c1, r1)
+            step = step + ge.astype(u32)
+            q_hi = (q_hi << u32(s)) | (q_lo >> u32(32 - s))
+            q_lo = (q_lo << u32(s)) | step
+        # Q = floor(M*2^K/F) in [2^52, 2^54); widen the 53-bit cases so Q
+        # uniformly holds 54 bits (mantissa + round bit)
+        need = q_hi < u32(1 << 21)             # Q < 2^53
+        r1w = (r1 << u32(1)) | (r0 >> u32(31))
+        r0w = r0 << u32(1)
+        bit = _ge_2limb(r0w, r1w, u32(f0), u32(f1))
+        s0, s1, _ = _sub_2limb(r0w, r1w, u32(f0), u32(f1))
+        q_hi_w = (q_hi << u32(1)) | (q_lo >> u32(31))
+        q_lo_w = (q_lo << u32(1)) | bit.astype(u32)
+        q_lo = jnp.where(need, q_lo_w, q_lo)
+        q_hi = jnp.where(need, q_hi_w, q_hi)
+        r0 = jnp.where(need, jnp.where(bit, s0, r0w), r0)
+        r1 = jnp.where(need, jnp.where(bit, s1, r1w), r1)
+        kadj = need.astype(jnp.int32)
+        # round to nearest, ties to even
+        round_bit = q_lo & u32(1)
+        m_lo = (q_lo >> u32(1)) | (q_hi << u32(31))
+        m_hi = q_hi >> u32(1)                  # 53-bit mantissa in [2^52, 2^53)
+        sticky = ((r0 | r1) != u32(0)).astype(u32)
+        inc = round_bit & (sticky | (m_lo & u32(1)))
+        m_lo = m_lo + inc
+        m_hi = m_hi + (m_lo == u32(0)).astype(u32) * (inc != u32(0)).astype(u32)
+        # mantissa overflow 2^53 -> 2^52, exponent +1
+        ovf = m_hi == u32(1 << 21)
+        m_hi = jnp.where(ovf, u32(1 << 20), m_hi)
+        exp_unb = (jnp.int32(53) - jnp.int32(K) - kadj - za - jnp.int32(d)
+                   + ovf.astype(jnp.int32))
+        q_lo, q_hi = m_lo, m_hi
+    expfield = (exp_unb + jnp.int32(1023)).astype(u32)
+    out_hi = (neg.astype(u32) << u32(31)) | (expfield << u32(20)) | (q_hi & u32(0xFFFFF))
+    out_lo = q_lo
+    out_hi = jnp.where(zero, u32(0), out_hi)
+    out_lo = jnp.where(zero, u32(0), out_lo)
+    return out_lo, out_hi
+
+
+def eng_shl_dyn(vec, k):
+    """shl by traced k on a (lo, hi) uint32 limb pair (thin alias over the
+    ops engine to keep alp.py import-light at module load)."""
+    from .ops import _engine as eng
+
+    return eng.shl_dyn(vec, k, "u64")
+
+
+def _extract_bits_2limb(mlo, mhi, base: int, s: int):
+    """Bits [base, base+s) of the two-limb value (static base; negative
+    base positions read as zero bits below the LSB)."""
+    import jax.numpy as jnp
+
+    u32 = jnp.uint32
+    if base <= -s:
+        return jnp.zeros_like(mlo)
+    shift_back = 0
+    if base < 0:
+        shift_back = -base
+        s = s + base
+        base = 0
+    if base >= 32:
+        out = (mhi >> u32(base - 32)) & u32((1 << s) - 1)
+    elif base + s <= 32:
+        out = (mlo >> u32(base)) & u32((1 << s) - 1)
+    else:
+        lo_bits = 32 - base
+        out = ((mlo >> u32(base)) | (mhi << u32(lo_bits))) & u32((1 << s) - 1)
+    return out << u32(shift_back) if shift_back else out
+
+
+def _mul_small_2limb(step, f0: int, f1: int):
+    """step * F for vector step < 2^8 and constant F = f1*2^32 + f0 < 2^42;
+    exact two-limb product (fits 50 bits)."""
+    import jax.numpy as jnp
+
+    u32 = jnp.uint32
+    p_low = step * u32(f0 & 0xFFFF)
+    p_mid = step * u32(f0 >> 16)
+    lo = p_low + ((p_mid & u32(0xFFFF)) << u32(16))
+    carry = (lo < p_low).astype(u32)
+    hi = (p_mid >> u32(16)) + step * u32(f1) + carry
+    return lo, hi
+
+
+def _add_2limb(a0, a1, b0, b1):
+    import jax.numpy as jnp
+
+    lo = a0 + b0
+    carry = (lo < a0).astype(jnp.uint32)
+    return lo, a1 + b1 + carry, None
+
+
+def _sub_2limb(a0, a1, b0, b1):
+    """a - b over two limbs; third result: borrow-out (a < b)."""
+    import jax.numpy as jnp
+
+    lo = a0 - b0
+    borrow = (a0 < b0).astype(jnp.uint32)
+    hi = a1 - b1 - borrow
+    neg = (a1 < b1) | ((a1 == b1) & (a0 < b0))
+    return lo, hi, neg
+
+
+def _ge_2limb(a0, a1, b0, b1):
+    return (a1 > b1) | ((a1 == b1) & (a0 >= b0))
+
+
 def decode_device(shifted, e: int, f: int, reference: int, np_float,
                   exc_pos=None, exc_val=None):
     """Device twin of decode_np (jnp): unshift -> convert -> scale ->
@@ -231,17 +443,47 @@ def decode_device(shifted, e: int, f: int, reference: int, np_float,
     the divide by 10^e runs through _div_pow10_f32_device (TPU's hardware
     divide is not IEEE-correctly-rounded; the encoder's in-range bound
     keeps |i * 10^f| < 2^24 so both steps are exact/NR-exact).
-    f64 payloads need x64 jax (CPU IEEE divide) — TPU has no f64 vectors."""
+
+    f64 payloads: x64-FREE — `shifted` may be the (..., 2) uint32 limb
+    image (the TPU form); the single correctly-rounded division of the
+    wire spec runs in the integer limb domain (_div_pow10_f64_limbs) and
+    the result comes back as float64 when jax x64 is enabled, else as the
+    (..., 2) uint32 limb image of the f64 bits (bitcastable by any x64
+    consumer). int64 `shifted` (legacy CPU form) is also accepted."""
+    import jax
     import jax.numpy as jnp
 
     if np_float == np.float64:
-        ints = shifted.astype(jnp.int64) + jnp.int64(reference)
-        scaled = ints.astype(jnp.float64) * jnp.float64(_pow10(f, np_float))
-        out = scaled / jnp.float64(_pow10(e, np_float))
-    else:
-        ints = shifted.astype(jnp.int32) + jnp.int32(reference)
-        x = ints * jnp.int32(10 ** f)  # exact: in-range values are < 2^24
-        out = _div_pow10_f32_device(x, e)
+        from .ops import _engine as eng
+
+        arr = jnp.asarray(shifted)
+        if arr.dtype == jnp.uint32:  # (..., 2) limb image
+            lo, hi = arr[..., 0], arr[..., 1]
+            shape = arr.shape[:-1]
+        else:  # int64/uint64 (x64 on)
+            bits = jax.lax.bitcast_convert_type(
+                arr.astype(jnp.uint64), jnp.uint32)
+            lo, hi = bits[..., 0], bits[..., 1]
+            shape = arr.shape
+        rlo = np.uint32(reference & 0xFFFFFFFF)
+        rhi = np.uint32((reference >> 32) & 0xFFFFFFFF)
+        lo, hi = lo.reshape(-1), hi.reshape(-1)
+        ilo, ihi = eng.add((lo, hi), (jnp.full_like(lo, rlo),
+                                      jnp.full_like(hi, rhi)), "u64")
+        olo, ohi = _div_pow10_f64_limbs(ilo, ihi, e - f)
+        if exc_pos is not None and len(exc_pos):
+            elimb = (np.asarray(exc_val, np.float64)
+                     .view(np.uint32).reshape(-1, 2))
+            pos = jnp.asarray(np.asarray(exc_pos, np.int32))
+            olo = olo.at[pos].set(jnp.asarray(elimb[:, 0]))
+            ohi = ohi.at[pos].set(jnp.asarray(elimb[:, 1]))
+        out = jnp.stack([olo, ohi], axis=-1).reshape(*shape, 2)
+        if jax.config.read("jax_enable_x64"):
+            return jax.lax.bitcast_convert_type(out, jnp.float64)
+        return out
+    ints = shifted.astype(jnp.int32) + jnp.int32(reference)
+    x = ints * jnp.int32(10 ** f)  # exact: in-range values are < 2^24
+    out = _div_pow10_f32_device(x, e)
     if exc_pos is not None and len(exc_pos):
         flat = out.reshape(-1)
         flat = flat.at[jnp.asarray(np.asarray(exc_pos, np.int64))].set(

@@ -15,10 +15,12 @@ an FLT file or table column WITHOUT materializing the decoded data in HBM
 
 Works for every chunk codec (bitpack/ffor fuse fully; delta/zdelta/rle/alp
 decode in-graph first) and every dtype incl. signed transforms and floats.
-Caveat: u64 integer columns reduce in the int64 domain — values >= 2^63
-appear negative to min/max and sums wrap mod 2^64 (recovered exactly in
-the Python accumulator only while per-chunk partials stay in int64
-range).
+u64 integer columns reduce x64-FREE in the uint32 limb domain
+(_stats_kernel_u64): sums are exact big-ints via 16-bit plane reduction;
+min/max use int64 semantics (unsigned values >= 2^63 appear negative —
+the same convention as the signed transforms). f64 columns still need x64
+jax for sum/min/max (float reductions without f64 vector math would be
+inexact).
 """
 
 from __future__ import annotations
@@ -83,24 +85,24 @@ def _decoded_chunks(path: str, column: Optional[str], mesh):
 
 
 def _flatten_logical(blocks, cdtype, vtype):
-    """Device blocks -> flat logical vector for reductions. u64 integer
-    columns assemble limb pairs into int64, f64 limb images bitcast to
-    float64 — both need x64 jax (jnp int64/f64 silently degrade without
-    it, which would corrupt results; raise instead)."""
+    """Device blocks -> flat logical vector for reductions.
+
+    u64 INTEGER columns stay in the (N, 2) uint32 limb domain (x64-free;
+    the limb kernels below reduce them exactly). f64 limb images bitcast
+    to float64 when x64 jax is available; float reductions without f64
+    vector arithmetic would be inexact, so they still raise otherwise."""
     arr = blocks
     if cdtype == "u64" and arr.ndim >= 2 and arr.shape[-1] == 2 and (
             arr.dtype == jnp.uint32):
-        if not jax.config.read("jax_enable_x64"):
-            raise ValueError(
-                "analytics over u64/f64 columns needs x64 jax "
-                "(jax.config.update('jax_enable_x64', True))")
-        lo = arr[..., 0].astype(jnp.int64)
-        hi = arr[..., 1].astype(jnp.int64)
-        wide = lo | (hi << 32)
         if vtype == "f64":
-            arr = jax.lax.bitcast_convert_type(wide, jnp.float64)
-        else:
-            arr = wide  # int64 bit pattern (uint64 column or signed view)
+            if not jax.config.read("jax_enable_x64"):
+                raise ValueError(
+                    "analytics over f64 columns needs x64 jax "
+                    "(jax.config.update('jax_enable_x64', True)); u64 "
+                    "integer columns reduce x64-free in the limb domain")
+            return jax.lax.bitcast_convert_type(
+                arr.reshape(-1, 2), jnp.float64).reshape(-1)
+        return arr.reshape(-1, 2)  # limb kernels handle (N, 2)
     return arr.reshape(-1)
 
 
@@ -150,6 +152,63 @@ def _stats_kernel(x, v):
     return jnp.stack(planes), jnp.zeros((1,), jnp.uint32), n_neg, mn, mx
 
 
+@jax.jit
+def _stats_kernel_u64(limbs, v):
+    """u64 limb-domain twin of _stats_kernel, x64-free and EXACT: four
+    16-bit planes summed per piece (big-int reassembly on the host), and
+    min/max by signed-int64 order computed lexicographically on
+    (sign-flipped hi, lo) — matching the int64 semantics of the x64 path
+    (unsigned columns >= 2^63 appear negative; recovered by the caller's
+    two's-complement reconstruction)."""
+    lo, hi = limbs[..., 0], limbs[..., 1]
+    n = lo.shape[0]
+    ok = jnp.arange(n) < v
+    lo = jnp.where(ok, lo, jnp.uint32(0))
+    hi = jnp.where(ok, hi, jnp.uint32(0))
+    n_neg = jnp.sum(((hi >> 31) & 1).astype(jnp.int32))
+    # signed order key: flip the sign bit of hi, compare (key, lo) lexicographic
+    key = hi ^ jnp.uint32(0x80000000)
+    big = jnp.uint32(0xFFFFFFFF)
+    key_mn = jnp.where(ok, key, big)
+    key_mx = jnp.where(ok, key, jnp.uint32(0))
+    kmn = jnp.min(key_mn)
+    kmx = jnp.max(key_mx)
+    mn_lo = jnp.min(jnp.where(ok & (key == kmn), lo, big))
+    mx_lo = jnp.max(jnp.where(ok & (key == kmx), lo, jnp.uint32(0)))
+    # exact sum: 16-bit planes over both limbs
+    pad = (-n) % _PIECE
+    if pad:
+        lo = jnp.concatenate([lo, jnp.zeros(pad, jnp.uint32)])
+        hi = jnp.concatenate([hi, jnp.zeros(pad, jnp.uint32)])
+    planes = []
+    for src, base in ((lo, 0), (hi, 2)):
+        pieces = src.reshape(-1, _PIECE)
+        for k in range(2):
+            part = (pieces >> jnp.uint32(16 * k)) & jnp.uint32(0xFFFF)
+            planes.append(jnp.sum(part, axis=1, dtype=jnp.uint32))
+    return jnp.stack(planes), n_neg, kmn, mn_lo, kmx, mx_lo
+
+
+def _i64_of(key: int, lo: int) -> int:
+    """(sign-flipped hi key, lo) -> python int with int64 semantics."""
+    u = ((key ^ 0x80000000) << 32) | lo
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+@functools.partial(jax.jit, static_argnames=("op",))
+def _count_kernel_u64(limbs, v, vkey, vlo, op):
+    """Filtered count on u64 limbs: signed-int64 predicate evaluated
+    lexicographically on (sign-flipped hi, lo) without 64-bit ints."""
+    lo, hi = limbs[..., 0], limbs[..., 1]
+    ok = jnp.arange(lo.shape[0]) < v
+    key = hi ^ jnp.uint32(0x80000000)
+    lt = (key < vkey) | ((key == vkey) & (lo < vlo))
+    eq = (key == vkey) & (lo == vlo)
+    hit = {"lt": lt, "le": lt | eq, "gt": ~(lt | eq), "ge": ~lt,
+           "eq": eq, "ne": ~eq}[op]
+    return jnp.sum((ok & hit).astype(jnp.int32))
+
+
 def _combine_sum(planes, _unused, n_neg, dtype_bits, is_float):
     if is_float:
         return float(planes.reshape(-1)[0])
@@ -170,12 +229,20 @@ def scan_column(path: str, column: Optional[str] = None, mesh=None) -> dict:
         if valid == 0:
             continue
         flat = _flatten_logical(blocks, cdtype, vtype)
-        planes, _z, n_neg, m1, m2 = _stats_kernel(flat, jnp.int32(valid))
-        is_float = np.issubdtype(np.asarray(m1).dtype, np.floating)
-        total += _combine_sum(np.asarray(planes), None, int(n_neg),
-                              np.asarray(flat).dtype.itemsize * 8
-                              if not is_float else 0, is_float)
-        m1, m2 = m1.item(), m2.item()
+        if flat.ndim == 2:  # u64 integer limbs (x64-free exact path)
+            planes, n_neg, kmn, mn_lo, kmx, mx_lo = _stats_kernel_u64(
+                flat, jnp.int32(valid))
+            total += _combine_sum(np.asarray(planes), None, int(n_neg),
+                                  64, False)
+            m1 = _i64_of(int(kmn), int(mn_lo))
+            m2 = _i64_of(int(kmx), int(mx_lo))
+        else:
+            planes, _z, n_neg, m1, m2 = _stats_kernel(flat, jnp.int32(valid))
+            is_float = np.issubdtype(np.asarray(m1).dtype, np.floating)
+            total += _combine_sum(np.asarray(planes), None, int(n_neg),
+                                  np.asarray(flat).dtype.itemsize * 8
+                                  if not is_float else 0, is_float)
+            m1, m2 = m1.item(), m2.item()
         mn = m1 if mn is None else min(mn, m1)
         mx = m2 if mx is None else max(mx, m2)
         count += valid
@@ -201,6 +268,13 @@ def count_where(path: str, op: str, value, column: Optional[str] = None,
         if valid == 0:
             continue
         flat = _flatten_logical(blocks, cdtype, vtype)
-        total += int(_count_kernel(flat, jnp.int32(valid),
-                                   jnp.asarray(value), op))
+        if flat.ndim == 2:  # u64 integer limbs
+            u = int(value) & ((1 << 64) - 1)  # two's-complement bit pattern
+            vkey = jnp.uint32(((u >> 32) ^ 0x80000000) & 0xFFFFFFFF)
+            vlo = jnp.uint32(u & 0xFFFFFFFF)
+            total += int(_count_kernel_u64(flat, jnp.int32(valid),
+                                           vkey, vlo, op))
+        else:
+            total += int(_count_kernel(flat, jnp.int32(valid),
+                                       jnp.asarray(value), op))
     return total

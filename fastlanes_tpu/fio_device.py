@@ -105,13 +105,6 @@ def _decode_chunk_device(meta: dict, raw: bytes, n_blocks: int, dtype: str,
         from . import alp as alp_mod
 
         np_float = fio._VTYPES[meta["vtype"]]
-        if np_float == np.float64:
-            import jax
-
-            if not jax.config.read("jax_enable_x64"):
-                raise ValueError(
-                    "device decode of f64 ALP columns needs x64 jax (CPU); "
-                    "on TPU use the host path (fio.read_file)")
         packed, exc_pos, exc_val = fio._split_alp_payload(
             meta, raw, n_blocks, dtype, np_float)
         packed_dev = _np_to_device_form(np.ascontiguousarray(packed), dtype)

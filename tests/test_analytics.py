@@ -77,19 +77,53 @@ def test_count_where(tmp_path, rng):
         analytics.count_where(path, "contains", 5)
 
 
-def test_scan_u64_requires_x64(tmp_path, rng):
+def test_scan_u64_x64_free(tmp_path, rng):
+    """u64 integer columns reduce exactly WITHOUT x64 jax (limb kernels)."""
     import jax
 
+    assert not jax.config.read("jax_enable_x64")
     path = str(tmp_path / "u.flt")
     values = rng.integers(0, 1 << 40, 2048, np.int64).astype(np.uint64)
+    values[17] = (1 << 62) + 12345  # exercise the high limb
     fio.write_file(path, values, codec="bitpack")
+    stats = analytics.scan_column(path)
+    assert stats["sum"] == int(values.sum())
+    assert stats["min"] == int(values.min())
+    assert stats["max"] == int(values.max())
+    assert stats["count"] == len(values)
+    thresh = int(np.median(values))
+    for op, fn in (("gt", np.greater), ("le", np.less_equal),
+                   ("eq", np.equal), ("ne", np.not_equal)):
+        assert analytics.count_where(path, op, thresh) == int(
+            fn(values, thresh).sum())
+
+
+def test_scan_u64_signed_view(tmp_path, rng):
+    """Signed i64 columns (viewu transform) reduce x64-free with int64
+    min/max semantics."""
+    path = str(tmp_path / "i.flt")
+    values = rng.integers(-(1 << 40), 1 << 40, 3000, np.int64)
+    fio.write_file(path, values)
+    stats = analytics.scan_column(path)
+    assert stats["sum"] == int(values.sum())
+    assert stats["min"] == int(values.min())
+    assert stats["max"] == int(values.max())
+    assert analytics.count_where(path, "lt", 0) == int((values < 0).sum())
+
+
+def test_scan_f64_requires_x64(tmp_path, rng):
+    """f64 columns still need x64 for reductions (no exact float path)."""
+    import jax
+
+    path = str(tmp_path / "f64.flt")
+    values = (rng.integers(0, 1 << 16, 2048) / 100.0).astype(np.float64)
+    fio.write_file(path, values)
     with pytest.raises(ValueError, match="x64"):
         analytics.scan_column(path)
     jax.config.update("jax_enable_x64", True)
     try:
         stats = analytics.scan_column(path)
-        assert stats["sum"] == int(values.sum())
-        assert stats["min"] == int(values.min())
-        assert stats["max"] == int(values.max())
+        assert stats["min"] == float(values.min())
+        assert stats["max"] == float(values.max())
     finally:
         jax.config.update("jax_enable_x64", False)
