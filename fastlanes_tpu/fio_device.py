@@ -67,19 +67,19 @@ def _decode_chunk_device(meta: dict, raw: bytes, n_blocks: int, dtype: str,
         else:
             transposed = pk.undelta_pack(pi, bv, 1, "u16")
         idx = transpose_mod.untranspose(transposed, "u16").astype(jnp.int32)
-        # gather: pad per-block run values to the chunk max on host, then a
-        # vectorized take_along_axis on device (counts <= 1024)
-        maxc = int(counts.max()) if len(counts) else 1
-        padded = np.zeros((n_blocks, maxc), layout.np_dtype(dtype))
-        offsets = np.cumsum(counts) - counts
-        for b in range(n_blocks):
-            padded[b, : counts[b]] = run_values[offsets[b]: offsets[b] + counts[b]]
-        rv = _np_to_device_form(padded, dtype)
+        # gather: per-block run index + the block's offset into the flat run
+        # value stream = one vectorized device gather. No per-block host
+        # loop, and memory stays at the exact run count (a padded
+        # (n_blocks, max_count) staging table is worst-case 1024x larger
+        # when any block is run-dense).
+        offsets = (np.cumsum(counts) - counts).astype(np.int32)
+        flat_idx = idx + jnp.asarray(offsets)[:, None]
+        rv = _np_to_device_form(np.ascontiguousarray(run_values), dtype)
         if dtype == "u64":
-            lo = jnp.take_along_axis(rv[..., 0], idx, axis=-1)
-            hi = jnp.take_along_axis(rv[..., 1], idx, axis=-1)
+            lo = jnp.take(rv[..., 0], flat_idx, axis=0)
+            hi = jnp.take(rv[..., 1], flat_idx, axis=0)
             return jnp.stack([lo, hi], axis=-1)
-        return jnp.take_along_axis(rv, idx, axis=-1)
+        return jnp.take(rv, flat_idx, axis=0)
 
     if codec == "alprd":
         from . import alp as alp_mod
@@ -113,9 +113,10 @@ def _decode_chunk_device(meta: dict, raw: bytes, n_blocks: int, dtype: str,
                                          use_kernels=use_kernels)
         else:
             shifted = pk.unpack(packed_dev, w, dtype)
-        if dtype == "u64":  # limb image -> int64 for the unshift/convert
-            shifted = (shifted[..., 0].astype(jnp.int64)
-                       | (shifted[..., 1].astype(jnp.int64) << 32))
+        # u64 payloads pass through as the (..., 2) uint32 limb image:
+        # decode_device runs the spec's correctly-rounded division in the
+        # limb domain (x64-free; float64 comes back as the f64 bit image
+        # unless jax x64 is enabled)
         return alp_mod.decode_device(shifted, meta["e"], meta["f"],
                                      meta["reference"], np_float,
                                      exc_pos, exc_val)
