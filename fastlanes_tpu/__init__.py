@@ -30,7 +30,7 @@ __all__ = [
     "delta_pack", "for_pack", "unfor_pack", "transpose", "untranspose",
     "unchecked_pack", "unchecked_unpack", "unchecked_unpack_single",
     "auto_encode", "get_codec", "write_file", "read_file", "read_blocks",
-    "read_single", "scan_column", "count_where", "__version__",
+    "read_single", "scan_column", "count_where", "LimbPlanes", "__version__",
 ]
 
 
@@ -48,6 +48,7 @@ _API_HOME = {
     **{n: "models.codecs" for n in ("auto_encode", "get_codec")},
     **{n: "fio" for n in ("write_file", "read_file", "read_blocks", "read_single")},
     **{n: "analytics" for n in ("scan_column", "count_where")},
+    "LimbPlanes": "limbs",
 }
 
 

@@ -87,10 +87,15 @@ def _decoded_chunks(path: str, column: Optional[str], mesh):
 def _flatten_logical(blocks, cdtype, vtype):
     """Device blocks -> flat logical vector for reductions.
 
-    u64 INTEGER columns stay in the (N, 2) uint32 limb domain (x64-free;
-    the limb kernels below reduce them exactly). f64 limb images bitcast
-    to float64 when x64 jax is available; float reductions without f64
-    vector arithmetic would be inexact, so they still raise otherwise."""
+    u64 INTEGER columns stay in the (lo, hi) uint32 plane domain (x64-free;
+    the limb kernels below reduce them exactly — and the planes arrive
+    straight from the decoder without an interleaving stack). f64 limb
+    images bitcast to float64 when x64 jax is available; float reductions
+    without f64 vector arithmetic would be inexact, so they still raise
+    otherwise."""
+    if isinstance(blocks, tuple) or type(blocks).__name__ == "LimbPlanes":
+        lo, hi = blocks if isinstance(blocks, tuple) else (blocks.lo, blocks.hi)
+        return lo.reshape(-1), hi.reshape(-1)
     arr = blocks
     if cdtype == "u64" and arr.ndim >= 2 and arr.shape[-1] == 2 and (
             arr.dtype == jnp.uint32):
@@ -102,7 +107,7 @@ def _flatten_logical(blocks, cdtype, vtype):
                     "integer columns reduce x64-free in the limb domain")
             return jax.lax.bitcast_convert_type(
                 arr.reshape(-1, 2), jnp.float64).reshape(-1)
-        return arr.reshape(-1, 2)  # limb kernels handle (N, 2)
+        return arr.reshape(-1, 2)[..., 0], arr.reshape(-1, 2)[..., 1]
     return arr.reshape(-1)
 
 
@@ -153,14 +158,14 @@ def _stats_kernel(x, v):
 
 
 @jax.jit
-def _stats_kernel_u64(limbs, v):
+def _stats_kernel_u64(lo, hi, v):
     """u64 limb-domain twin of _stats_kernel, x64-free and EXACT: four
     16-bit planes summed per piece (big-int reassembly on the host), and
     min/max by signed-int64 order computed lexicographically on
     (sign-flipped hi, lo) — matching the int64 semantics of the x64 path
     (unsigned columns >= 2^63 appear negative; recovered by the caller's
-    two's-complement reconstruction)."""
-    lo, hi = limbs[..., 0], limbs[..., 1]
+    two's-complement reconstruction). Takes separate planes (the decoder's
+    native output form — no interleave anywhere on the path)."""
     n = lo.shape[0]
     ok = jnp.arange(n) < v
     lo = jnp.where(ok, lo, jnp.uint32(0))
@@ -196,10 +201,9 @@ def _i64_of(key: int, lo: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("op",))
-def _count_kernel_u64(limbs, v, vkey, vlo, op):
+def _count_kernel_u64(lo, hi, v, vkey, vlo, op):
     """Filtered count on u64 limbs: signed-int64 predicate evaluated
     lexicographically on (sign-flipped hi, lo) without 64-bit ints."""
-    lo, hi = limbs[..., 0], limbs[..., 1]
     ok = jnp.arange(lo.shape[0]) < v
     key = hi ^ jnp.uint32(0x80000000)
     lt = (key < vkey) | ((key == vkey) & (lo < vlo))
@@ -229,9 +233,9 @@ def scan_column(path: str, column: Optional[str] = None, mesh=None) -> dict:
         if valid == 0:
             continue
         flat = _flatten_logical(blocks, cdtype, vtype)
-        if flat.ndim == 2:  # u64 integer limbs (x64-free exact path)
+        if isinstance(flat, tuple):  # u64 integer limb planes (x64-free exact)
             planes, n_neg, kmn, mn_lo, kmx, mx_lo = _stats_kernel_u64(
-                flat, jnp.int32(valid))
+                flat[0], flat[1], jnp.int32(valid))
             total += _combine_sum(np.asarray(planes), None, int(n_neg),
                                   64, False)
             m1 = _i64_of(int(kmn), int(mn_lo))
@@ -268,11 +272,11 @@ def count_where(path: str, op: str, value, column: Optional[str] = None,
         if valid == 0:
             continue
         flat = _flatten_logical(blocks, cdtype, vtype)
-        if flat.ndim == 2:  # u64 integer limbs
+        if isinstance(flat, tuple):  # u64 integer limb planes
             u = int(value) & ((1 << 64) - 1)  # two's-complement bit pattern
             vkey = jnp.uint32(((u >> 32) ^ 0x80000000) & 0xFFFFFFFF)
             vlo = jnp.uint32(u & 0xFFFFFFFF)
-            total += int(_count_kernel_u64(flat, jnp.int32(valid),
+            total += int(_count_kernel_u64(flat[0], flat[1], jnp.int32(valid),
                                            vkey, vlo, op))
         else:
             total += int(_count_kernel(flat, jnp.int32(valid),

@@ -506,8 +506,10 @@ def _denormalize(out, had_batch, dtype, like):
     return out
 
 
-def _run(op, arrs, params, width, dtype, tile_b, interpret):
-    """Common driver: pad, split limbs, call kernel, unpad, rejoin."""
+def _run(op, arrs, params, width, dtype, tile_b, interpret, join=True):
+    """Common driver: pad, split limbs, call kernel, unpad, rejoin.
+    join=False (u64 decode fast path) returns the kernel's separate
+    (lo, hi) planes without the interleaving stack."""
     dtype = layout.canon_dtype(dtype)
     limb = eng.is_limb(dtype)
     tile_b = tile_b or default_tile(dtype)
@@ -536,6 +538,8 @@ def _run(op, arrs, params, width, dtype, tile_b, interpret):
                        (_STAGE_WORDS, _STAGE_ROWS, _WIDE_DECODE))
     out = call(*call_inputs)
     if limb:
+        if not join:
+            return out[0][:b], out[1][:b]
         out = _join_limbs(out[0], out[1])
     return out[:b]
 
@@ -620,52 +624,81 @@ def pack(values, width, dtype, *, tile_b=None, interpret=None):
     return _denormalize(out, had_batch, dtype, values)
 
 
-def unpack(packed, width, dtype, *, tile_b=None, interpret=None):
+def _plane_result(out, had_batch):
+    lo, hi = out
+    if not had_batch:
+        lo, hi = lo[0], hi[0]
+    return lo, hi
+
+
+def unpack(packed, width, dtype, *, tile_b=None, interpret=None, planes=False):
+    """planes=True (u64 only): return separate (lo, hi) uint32 planes —
+    the fast device form (skips the interleaving stack, +57% on v5e)."""
+    if planes and not eng.is_limb(dtype):
+        raise ValueError("planes=True is the u64 limb-plane API")
     use_ops, interp = _route("unpack", width, dtype, interpret)
     if use_ops:
-        return ops_bitpack.unpack(packed, width, dtype)
+        return ops_bitpack.unpack(packed, width, dtype, planes=planes)
     main, had_batch = _normalize(packed, dtype)
     if width == 0:
-        return _denormalize(_zero_blocks(main, dtype), had_batch, dtype, packed)
-    out = _run("unpack", main, None, width, dtype, tile_b, interp)
+        out = _zero_blocks(main, dtype)
+        if planes:
+            return _plane_result(_split_limbs(out), had_batch)
+        return _denormalize(out, had_batch, dtype, packed)
+    out = _run("unpack", main, None, width, dtype, tile_b, interp,
+               join=not planes)
+    if planes:
+        return _plane_result(out, had_batch)
     return _denormalize(out, had_batch, dtype, packed)
 
 
-def undelta_pack(packed, base, width, dtype, *, tile_b=None, interpret=None):
+def undelta_pack(packed, base, width, dtype, *, tile_b=None, interpret=None,
+                 planes=False):
+    if planes and not eng.is_limb(dtype):
+        raise ValueError("planes=True is the u64 limb-plane API")
     use_ops, interp = _route("undelta_pack", width, dtype, interpret)
     if use_ops or width == 0:
         from ..ops import delta as ops_delta
 
-        return ops_delta.undelta_pack(packed, base, width, dtype)
+        return ops_delta.undelta_pack(packed, base, width, dtype, planes=planes)
     tile = tile_b or default_tile(dtype)
     main, had_batch = _normalize(packed, dtype)
     out = _run("undelta_pack", main, _prep_base(base, dtype, tile),
-               width, dtype, tile, interp)
+               width, dtype, tile, interp, join=not planes)
+    if planes:
+        return _plane_result(out, had_batch)
     return _denormalize(out, had_batch, dtype, packed)
 
 
-def unzdelta_pack(packed, base, width, dtype, *, tile_b=None, interpret=None):
+def unzdelta_pack(packed, base, width, dtype, *, tile_b=None, interpret=None,
+                  planes=False):
     """Fused zdelta decode: unpack -> unzigzag -> per-lane prefix-sum in one
     kernel pass (the zdelta twin of undelta_pack)."""
+    if planes and not eng.is_limb(dtype):
+        raise ValueError("planes=True is the u64 limb-plane API")
     use_ops, interp = _route("unzdelta_pack", width, dtype, interpret)
     if use_ops or width == 0:
         from .. import transforms as _tr
         from ..ops import delta as ops_delta
 
-        zz = ops_bitpack.unpack(packed, width, dtype)
-        arr = jnp.asarray(zz)
-        if eng.is_limb(dtype) and arr.dtype == jnp.uint32:
-            deltas = jnp.stack(
-                _tr.zigzag_decode_limb(arr[..., 0], arr[..., 1]), -1)
-        else:
-            t = layout.bit_width(dtype)
-            deltas = jax.lax.bitcast_convert_type(
-                _tr.zigzag_decode(arr), jnp.dtype(f"uint{t}"))
+        if eng.is_limb(dtype):
+            zlo, zhi = ops_bitpack.unpack(packed, width, dtype, planes=True)
+            deltas = _tr.zigzag_decode_limb(zlo, zhi)
+            lo, hi = ops_delta.undelta(deltas, base, dtype, planes=True)
+            if planes:
+                return lo, hi
+            return eng.from_vec((lo, hi), dtype, like=packed)
+        zz = jnp.asarray(ops_bitpack.unpack(packed, width, dtype))
+        t = layout.bit_width(dtype)
+        deltas = jax.lax.bitcast_convert_type(
+            _tr.zigzag_decode(zz), jnp.dtype(f"uint{t}"))
         return ops_delta.undelta(deltas, base, dtype)
     tile = tile_b or default_tile(dtype)
     main, had_batch = _normalize(packed, dtype)
     out = _run("unzdelta_pack", main, _prep_base(base, dtype, tile),
-               width, dtype, tile, interp)
+               width, dtype, tile, interp, join=not planes)
+    if planes:
+        return _plane_result(out, had_batch)
     return _denormalize(out, had_batch, dtype, packed)
 
 
@@ -684,15 +717,20 @@ def delta_pack(values, base, width, dtype, *, tile_b=None, interpret=None):
     return _denormalize(out, had_batch, dtype, values)
 
 
-def unfor_pack(packed, reference, width, dtype, *, tile_b=None, interpret=None):
+def unfor_pack(packed, reference, width, dtype, *, tile_b=None, interpret=None,
+               planes=False):
+    if planes and not eng.is_limb(dtype):
+        raise ValueError("planes=True is the u64 limb-plane API")
     use_ops, interp = _route("unfor_pack", width, dtype, interpret)
     if use_ops or width == 0:
         from ..ops import ffor as ops_ffor
 
-        return ops_ffor.unfor_pack(packed, reference, width, dtype)
+        return ops_ffor.unfor_pack(packed, reference, width, dtype, planes=planes)
     main, had_batch = _normalize(packed, dtype)
     out = _run("unfor_pack", main, ("ref", _prep_ref(reference, dtype)),
-               width, dtype, tile_b, interp)
+               width, dtype, tile_b, interp, join=not planes)
+    if planes:
+        return _plane_result(out, had_batch)
     return _denormalize(out, had_batch, dtype, packed)
 
 

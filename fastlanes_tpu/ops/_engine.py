@@ -52,6 +52,14 @@ def to_vec(arr, dtype):
         if arr.dtype != want:
             raise ValueError(f"expected {want} array for dtype {dtype}, got {arr.dtype}")
         return arr
+    if isinstance(arr, tuple) or type(arr).__name__ == "LimbPlanes":
+        # separate-plane form: (lo, hi) tuple or a limbs.LimbPlanes — the
+        # fast path that never materializes the interleaved image
+        lo, hi = (arr.lo, arr.hi) if not isinstance(arr, tuple) else arr
+        lo, hi = jnp.asarray(lo), jnp.asarray(hi)
+        if lo.dtype != jnp.uint32 or hi.dtype != jnp.uint32:
+            raise ValueError("u64 limb planes must be uint32")
+        return lo, hi
     arr = jnp.asarray(arr)
     if arr.dtype == jnp.uint32:
         if arr.shape[-1] != 2:
@@ -91,6 +99,8 @@ def from_vec(vec, dtype, like=None):
         return vec
     lo, hi = vec
     limbs = jnp.stack([lo, hi], axis=-1)
+    if isinstance(like, tuple) or type(like).__name__ == "LimbPlanes":
+        like = None  # plane-form input has no uint64-array convention
     if like is not None and str(jnp.asarray(like).dtype) == "uint64":
         return jax.lax.bitcast_convert_type(limbs, jnp.uint64)
     return limbs

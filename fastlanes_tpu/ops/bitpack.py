@@ -172,14 +172,26 @@ def pack(values, width: int, dtype) -> "jnp.ndarray":
     return eng.from_vec(out, dtype, like=values)
 
 
-def unpack(packed, width: int, dtype) -> "jnp.ndarray":
-    """BitPacking::unpack, batched: (B, 1024*W//T) -> (B, 1024)."""
+def _check_planes(planes, dtype):
+    if planes and not eng.is_limb(dtype):
+        raise ValueError("planes=True is the u64 limb-plane API; other "
+                         "dtypes return a single array already")
+
+
+def unpack(packed, width: int, dtype, *, planes: bool = False) -> "jnp.ndarray":
+    """BitPacking::unpack, batched: (B, 1024*W//T) -> (B, 1024).
+
+    planes=True (u64 only) returns separate (lo, hi) uint32 planes — the
+    fast device form (see unpack_planes)."""
     dtype = layout.canon_dtype(dtype)
+    _check_planes(planes, dtype)
     vec = eng.to_vec(packed, dtype)
     vec, had_batch = eng.promote_shape(vec, dtype)
     rows = dict(unpack_row_stream(vec, width, dtype))
     out = assemble_blocks(rows, dtype)
     out = eng.squeeze_shape(out, had_batch, dtype)
+    if planes:
+        return out
     return eng.from_vec(out, dtype, like=packed)
 
 
@@ -196,10 +208,4 @@ def unpack_planes(packed, width: int, dtype):
     if not eng.is_limb(dtype):
         raise ValueError("unpack_planes is the u64 limb-plane API; "
                          "use unpack for other dtypes")
-    vec = eng.to_vec(packed, dtype)
-    vec, had_batch = eng.promote_shape(vec, dtype)
-    rows = dict(unpack_row_stream(vec, width, dtype))
-    lo, hi = assemble_blocks(rows, dtype)
-    if not had_batch:
-        lo, hi = lo[0], hi[0]
-    return lo, hi
+    return unpack(packed, width, dtype, planes=True)

@@ -33,9 +33,13 @@ def delta(values, base, dtype):
     return eng.from_vec(out, dtype, like=values)
 
 
-def undelta(deltas, base, dtype):
-    """Delta::undelta (delta.rs:36-45): per-lane prefix sum from base."""
+def undelta(deltas, base, dtype, *, planes: bool = False):
+    """Delta::undelta (delta.rs:36-45): per-lane prefix sum from base.
+    planes=True (u64 only): separate (lo, hi) uint32 planes out."""
+    from .bitpack import _check_planes
+
     dtype = layout.canon_dtype(dtype)
+    _check_planes(planes, dtype)
     vec = eng.to_vec(deltas, dtype)
     vec, had_batch = eng.promote_shape(vec, dtype)
     prev = _base_vec(base, dtype, vec)
@@ -44,13 +48,19 @@ def undelta(deltas, base, dtype):
         prev = eng.add(d, prev, dtype)
         rows[row] = prev
     out = eng.squeeze_shape(assemble_blocks(rows, dtype), had_batch, dtype)
+    if planes:
+        return out
     return eng.from_vec(out, dtype, like=deltas)
 
 
-def undelta_pack(packed, base, width: int, dtype):
+def undelta_pack(packed, base, width: int, dtype, *, planes: bool = False):
     """Fused Delta::undelta_pack (delta.rs:48-63): prefix-sum inside the
-    unpack row stream — one pass, the flagship fusion of the layout."""
+    unpack row stream — one pass, the flagship fusion of the layout.
+    planes=True (u64 only): separate (lo, hi) uint32 planes out."""
+    from .bitpack import _check_planes
+
     dtype = layout.canon_dtype(dtype)
+    _check_planes(planes, dtype)
     vec = eng.to_vec(packed, dtype)
     vec, had_batch = eng.promote_shape(vec, dtype)
     prev = _base_vec(base, dtype, vec)
@@ -59,6 +69,8 @@ def undelta_pack(packed, base, width: int, dtype):
         prev = eng.add(elem, prev, dtype)
         rows[row] = prev
     out = eng.squeeze_shape(assemble_blocks(rows, dtype), had_batch, dtype)
+    if planes:
+        return out
     return eng.from_vec(out, dtype, like=packed)
 
 

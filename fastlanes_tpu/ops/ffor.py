@@ -47,13 +47,19 @@ def for_pack(values, reference, width: int, dtype):
     return eng.from_vec(out, dtype, like=values)
 
 
-def unfor_pack(packed, reference, width: int, dtype):
-    """FoR::unfor_pack (ffor.rs:38-50): unpack + wrapping_add(reference), fused."""
+def unfor_pack(packed, reference, width: int, dtype, *, planes: bool = False):
+    """FoR::unfor_pack (ffor.rs:38-50): unpack + wrapping_add(reference), fused.
+    planes=True (u64 only): separate (lo, hi) uint32 planes out."""
+    from .bitpack import _check_planes
+
     dtype = layout.canon_dtype(dtype)
+    _check_planes(planes, dtype)
     vec = eng.to_vec(packed, dtype)
     vec, had_batch = eng.promote_shape(vec, dtype)
     ref = _ref_vec(reference, dtype)
     rows = {row: eng.add(elem, ref, dtype)
             for row, elem in unpack_row_stream(vec, width, dtype)}
     out = eng.squeeze_shape(assemble_blocks(rows, dtype), had_batch, dtype)
+    if planes:
+        return out
     return eng.from_vec(out, dtype, like=packed)

@@ -36,8 +36,11 @@ def _untranspose_one(arr2d):
     return x.reshape(b, 1024)
 
 
-def _apply(fn, values, dtype):
+def _apply(fn, values, dtype, planes=False):
+    from .bitpack import _check_planes
+
     dtype = layout.canon_dtype(dtype)
+    _check_planes(planes, dtype)
     vec = eng.to_vec(values, dtype)
     vec, had_batch = eng.promote_shape(vec, dtype)
     if eng.is_limb(dtype):
@@ -45,14 +48,18 @@ def _apply(fn, values, dtype):
     else:
         out = fn(vec)
     out = eng.squeeze_shape(out, had_batch, dtype)
+    if planes:
+        return out
     return eng.from_vec(out, dtype, like=values)
 
 
-def transpose(values, dtype):
-    """Transpose::transpose: out[i] = in[transpose_index(i)] (transpose.rs:11-15)."""
-    return _apply(_transpose_one, values, dtype)
+def transpose(values, dtype, *, planes: bool = False):
+    """Transpose::transpose: out[i] = in[transpose_index(i)] (transpose.rs:11-15).
+    planes=True (u64 only): (lo, hi) uint32 planes in/out."""
+    return _apply(_transpose_one, values, dtype, planes)
 
 
-def untranspose(values, dtype):
-    """Transpose::untranspose: out[transpose_index(i)] = in[i] (transpose.rs:18-22)."""
-    return _apply(_untranspose_one, values, dtype)
+def untranspose(values, dtype, *, planes: bool = False):
+    """Transpose::untranspose: out[transpose_index(i)] = in[i] (transpose.rs:18-22).
+    planes=True (u64 only): (lo, hi) uint32 planes in/out."""
+    return _apply(_untranspose_one, values, dtype, planes)

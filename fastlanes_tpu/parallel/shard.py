@@ -54,20 +54,25 @@ def _resolve_kernels(use_kernels, name, width, dtype):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_sharded(name, use_kernels, width, dtype, axis, mesh, param):
+def _build_sharded(name, use_kernels, width, dtype, axis, mesh, param,
+                   planes=False):
     """jit(shard_map(codec)) — cached so repeated calls with the same
     (op, mesh, width, dtype) hit one compiled executable instead of
     re-tracing an eager shard_map per call. `param` describes the second
-    operand: None, ('rep', ndim) replicated, or ('blk', ndim) block-sharded."""
-    fn = _kernel_or_op(name, use_kernels)
+    operand: None, ('rep', ndim) replicated, or ('blk', ndim) block-sharded.
+    planes=True (u64 decode): the codec returns separate (lo, hi) uint32
+    planes, each block-sharded — no interleaving stack on the chip."""
+    fn = _kernel_or_op(name, use_kernels, planes=planes)
     spec = _block_spec(dtype, axis)
+    out_spec = (P(axis, None), P(axis, None)) if planes else spec
     # pallas_call's out_shape carries no varying-across-mesh info, so the
     # shard_map replication checker cannot type the kernel path — disable it
     # there (the ops path keeps the static check).
     check = not use_kernels
     if param is None:
         sharded = jax.shard_map(lambda v: fn(v, width, dtype), mesh=mesh,
-                                in_specs=(spec,), out_specs=spec, check_vma=check)
+                                in_specs=(spec,), out_specs=out_spec,
+                                check_vma=check)
     else:
         kind, ndim = param
         if kind == "blk":
@@ -75,16 +80,23 @@ def _build_sharded(name, use_kernels, width, dtype, axis, mesh, param):
         else:
             p_spec = P(*([None] * ndim))
         sharded = jax.shard_map(lambda v, p: fn(v, p, width, dtype), mesh=mesh,
-                                in_specs=(spec, p_spec), out_specs=spec,
+                                in_specs=(spec, p_spec), out_specs=out_spec,
                                 check_vma=check)
     return jax.jit(sharded)
 
 
-def _sharded_unary(name, use_kernels, mesh, arr, width, dtype, axis):
+def _slice_out(out, b, planes):
+    if planes:
+        return out[0][:b], out[1][:b]
+    return out[:b]
+
+
+def _sharded_unary(name, use_kernels, mesh, arr, width, dtype, axis, planes=False):
     use_kernels = _resolve_kernels(use_kernels, name, width, dtype)
-    call = _build_sharded(name, use_kernels, width, dtype, axis, mesh, None)
+    call = _build_sharded(name, use_kernels, width, dtype, axis, mesh, None,
+                          planes=planes)
     padded, b = _pad_to(jnp.asarray(arr), mesh.shape[axis])
-    return call(padded)[:b]
+    return _slice_out(call(padded), b, planes)
 
 
 def sharded_pack(mesh, values, width, dtype, axis="blocks", use_kernels="auto"):
@@ -94,11 +106,16 @@ def sharded_pack(mesh, values, width, dtype, axis="blocks", use_kernels="auto"):
     return _sharded_unary("pack", use_kernels, mesh, values, width, dtype, axis)
 
 
-def sharded_unpack(mesh, packed, width, dtype, axis="blocks", use_kernels="auto"):
-    return _sharded_unary("unpack", use_kernels, mesh, packed, width, dtype, axis)
+def sharded_unpack(mesh, packed, width, dtype, axis="blocks", use_kernels="auto",
+                   planes=False):
+    """planes=True (u64 only): (lo, hi) uint32 plane outputs, block-sharded —
+    the fast device form (no interleaving stack)."""
+    return _sharded_unary("unpack", use_kernels, mesh, packed, width, dtype,
+                          axis, planes=planes)
 
 
-def sharded_undelta_pack(mesh, packed, base, width, dtype, axis="blocks", use_kernels="auto"):
+def sharded_undelta_pack(mesh, packed, base, width, dtype, axis="blocks",
+                         use_kernels="auto", planes=False):
     """Fused delta decode. A shared per-lane base ((LANES,) or limb image) is
     replicated (P(None)); a per-block base ((B, LANES)[, 2]) is sharded along
     the block axis with the packed payload."""
@@ -106,25 +123,28 @@ def sharded_undelta_pack(mesh, packed, base, width, dtype, axis="blocks", use_ke
     per_block = base.ndim == packed.ndim and base.shape[0] == packed.shape[0]
     param = ("blk" if per_block else "rep", base.ndim)
     use_kernels = _resolve_kernels(use_kernels, "undelta_pack", width, dtype)
-    call = _build_sharded("undelta_pack", use_kernels, width, dtype, axis, mesh, param)
+    call = _build_sharded("undelta_pack", use_kernels, width, dtype, axis, mesh,
+                          param, planes=planes)
     padded, b = _pad_to(packed, mesh.shape[axis])
     if per_block:
         base, _ = _pad_to(base, mesh.shape[axis])
-    return call(padded, base)[:b]
+    return _slice_out(call(padded, base), b, planes)
 
 
-def sharded_unzdelta_pack(mesh, packed, base, width, dtype, axis="blocks", use_kernels="auto"):
+def sharded_unzdelta_pack(mesh, packed, base, width, dtype, axis="blocks",
+                          use_kernels="auto", planes=False):
     """Fused zdelta decode (unpack -> unzigzag -> prefix-sum) sharded over
     blocks; base replication/sharding rules as sharded_undelta_pack."""
     packed, base = jnp.asarray(packed), jnp.asarray(base)
     per_block = base.ndim == packed.ndim and base.shape[0] == packed.shape[0]
     param = ("blk" if per_block else "rep", base.ndim)
     use_kernels = _resolve_kernels(use_kernels, "unzdelta_pack", width, dtype)
-    call = _build_sharded("unzdelta_pack", use_kernels, width, dtype, axis, mesh, param)
+    call = _build_sharded("unzdelta_pack", use_kernels, width, dtype, axis, mesh,
+                          param, planes=planes)
     padded, b = _pad_to(packed, mesh.shape[axis])
     if per_block:
         base, _ = _pad_to(base, mesh.shape[axis])
-    return call(padded, base)[:b]
+    return _slice_out(call(padded, base), b, planes)
 
 
 def sharded_for_pack(mesh, values, reference, width, dtype, axis="blocks", use_kernels="auto"):
@@ -137,13 +157,14 @@ def sharded_for_pack(mesh, values, reference, width, dtype, axis="blocks", use_k
     return call(padded, ref_arr)[:b]
 
 
-def sharded_unfor_pack(mesh, packed, reference, width, dtype, axis="blocks", use_kernels="auto"):
+def sharded_unfor_pack(mesh, packed, reference, width, dtype, axis="blocks",
+                       use_kernels="auto", planes=False):
     ref_arr = _ref_array(reference, dtype)
     use_kernels = _resolve_kernels(use_kernels, "unfor_pack", width, dtype)
     call = _build_sharded("unfor_pack", use_kernels, width, dtype, axis, mesh,
-                          ("rep", ref_arr.ndim))
+                          ("rep", ref_arr.ndim), planes=planes)
     padded, b = _pad_to(jnp.asarray(packed), mesh.shape[axis])
-    return call(padded, ref_arr)[:b]
+    return _slice_out(call(padded, ref_arr), b, planes)
 
 
 def global_max_bits(mesh, values, dtype, axis="blocks"):
@@ -215,25 +236,33 @@ def sharded_roundtrip_check(mesh, values, width, dtype, axis="blocks", use_kerne
     return fn(padded)
 
 
-def _ops_unzdelta_pack(p, b, w, dt):
+def _ops_unzdelta_pack(p, b, w, dt, planes=False):
     """XLA-ops zdelta decode: unpack -> unzigzag -> per-lane prefix sum."""
     from .. import transforms as _tr
 
-    zz = jnp.asarray(bitpack.unpack(p, w, dt))
-    if eng.is_limb(dt) and zz.dtype == jnp.uint32:
-        deltas = jnp.stack(_tr.zigzag_decode_limb(zz[..., 0], zz[..., 1]), -1)
-    else:
-        t = layout.bit_width(dt)
-        deltas = jax.lax.bitcast_convert_type(
-            _tr.zigzag_decode(zz), jnp.dtype(f"uint{t}"))
+    if eng.is_limb(dt):
+        zlo, zhi = bitpack.unpack(p, w, dt, planes=True)
+        deltas = _tr.zigzag_decode_limb(zlo, zhi)
+        lo, hi = delta_mod.undelta(deltas, b, dt, planes=True)
+        if planes:
+            return lo, hi
+        return eng.from_vec((lo, hi), dt, like=p)
+    t = layout.bit_width(dt)
+    deltas = jax.lax.bitcast_convert_type(
+        _tr.zigzag_decode(jnp.asarray(bitpack.unpack(p, w, dt))),
+        jnp.dtype(f"uint{t}"))
     return delta_mod.undelta(deltas, b, dt)
 
 
-def _kernel_or_op(name, use_kernels):
+def _kernel_or_op(name, use_kernels, planes=False):
     """use_kernels: True = Pallas kernels (compiled on TPU, ops fallback
     elsewhere); 'interpret' = Pallas kernels in interpret mode with a small
     tile — runs the EXACT kernel code path (incl. the check_vma=False seam)
-    on the CPU test mesh; False = XLA ops."""
+    on the CPU test mesh; False = XLA ops. planes=True: decode ops return
+    (lo, hi) uint32 planes (u64 fast path)."""
+    if planes and name not in ("unpack", "undelta_pack", "unzdelta_pack",
+                               "unfor_pack"):
+        raise ValueError(f"planes output is decode-only, not {name!r}")
     if use_kernels:
         from .. import kernels
 
@@ -246,16 +275,20 @@ def _kernel_or_op(name, use_kernels):
             "unfor_pack": kernels.unfor_pack,
         }
         fn = fns[name]
+        kw = {"planes": True} if planes else {}
         if use_kernels == "interpret":
-            return lambda *a, _fn=fn: _fn(*a, tile_b=8, interpret=True)
+            return lambda *a, _fn=fn: _fn(*a, tile_b=8, interpret=True, **kw)
+        if kw:
+            return lambda *a, _fn=fn: _fn(*a, **kw)
         return fn
+    kw = {"planes": True} if planes else {}
     return {
         "pack": lambda v, w, dt: bitpack.pack(v, w, dt),
-        "unpack": lambda p, w, dt: bitpack.unpack(p, w, dt),
-        "undelta_pack": lambda p, b, w, dt: delta_mod.undelta_pack(p, b, w, dt),
-        "unzdelta_pack": _ops_unzdelta_pack,
+        "unpack": lambda p, w, dt: bitpack.unpack(p, w, dt, **kw),
+        "undelta_pack": lambda p, b, w, dt: delta_mod.undelta_pack(p, b, w, dt, **kw),
+        "unzdelta_pack": functools.partial(_ops_unzdelta_pack, planes=planes),
         "for_pack": lambda v, r, w, dt: ffor.for_pack(v, r, w, dt),
-        "unfor_pack": lambda p, r, w, dt: ffor.unfor_pack(p, r, w, dt),
+        "unfor_pack": lambda p, r, w, dt: ffor.unfor_pack(p, r, w, dt, **kw),
     }[name]
 
 
