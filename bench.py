@@ -128,41 +128,78 @@ def main():
     # the DEFAULT public path (kernels.routing picks the winner per config)
     measure_materialized("routed_decode", lambda p: pk.unpack(p, W, DT),
                          packed, sol_decode)
-    measure_materialized("routed_encode", lambda v: pk.pack(v, W, DT),
-                         values, sol_encode)
     # forced XLA ops
     measure_materialized("ops_decode", lambda p: bitpack.unpack(p, W, DT),
                          packed, sol_decode)
-    measure_materialized("ops_encode", lambda v: bitpack.pack(v, W, DT),
-                         values, sol_encode)
 
-    # TRUE encode: the chain's input-perturbation xor has many slice
-    # consumers, so XLA materializes it — a full extra read+write of the
-    # input per iteration charged to "encode" above. Fusing the xor into
-    # each row-slice read (single consumer per slice, identical codec DAG)
-    # removes the artifact: this is the codec's real materialized-encode
-    # throughput (measured +63% on v5e: 130.9e9 vs 80.3e9).
-    from fastlanes_tpu.core import layout as _layout
-    from fastlanes_tpu.ops import _engine as _eng
-
-    def pack_slice_xor(x, c):
-        nl = _layout.lanes(DT)
-        row_fn = lambda r: _eng.cols(x, _layout.row_offset(r), nl, DT) ^ c
-        words = bitpack.pack_words(row_fn, W, DT, None)
-        return _eng.concat_cols(words, DT)
-
+    # ENCODE through the public fused-encode entry kernels.pack_map: the
+    # chain's per-iteration producer (xor with the carry) is applied per
+    # row-slice read, so XLA fuses it into the packed-word production —
+    # exactly the work a user's on-device encode does (read input once,
+    # write packed words). Perturbing the WHOLE input array instead
+    # (pack(x ^ c)) makes XLA materialize the producer — its output has
+    # many overlapping slice consumers — charging a spurious extra
+    # read+write of the input per iteration; that variant is recorded
+    # below as encode_materialized_producer (benchmarks/NOTES.md).
     @jax.jit
-    def rep_true_encode(x):
+    def rep_encode_user(x):
         def body(c, _):
-            out = jax.lax.optimization_barrier(pack_slice_xor(x, c))
+            out = pk.pack_map(lambda v: v ^ c, x, W, DT)
+            out = jax.lax.optimization_barrier(out)
             nc = jnp.where(out.reshape(-1)[0] < jnp.uint32(0xFFFFFFFF),
                            jnp.uint32(0), jnp.uint32(1))
             return nc, ()
         c, _ = jax.lax.scan(body, jnp.uint32(0), None, length=K)
         return c
-    t = _timed_scalar(rep_true_encode, values, K)
-    results["ops_encode_true_ints_per_s"] = n_ints / t
-    results["ops_encode_true_sol_frac"] = (n_ints / t) / sol_encode
+    t = _timed_scalar(rep_encode_user, values, K)
+    results["routed_encode_ints_per_s"] = n_ints / t
+    results["routed_encode_sol_frac"] = (n_ints / t) / sol_encode
+
+    # the materialized-producer harness variant (the round-1/2 number)
+    measure_materialized("encode_materialized_producer",
+                         lambda v: pk.pack(v, W, DT), values, sol_encode)
+    measure_materialized("ops_encode", lambda v: bitpack.pack(v, W, DT),
+                         values, sol_encode)
+
+    # fused FoR encode (for_pack): a real codec entry whose scalar reference
+    # carries the chain dependency — no input perturbation at all
+    @jax.jit
+    def rep_encode_for(x):
+        def body(c, _):
+            out = pk.for_pack(x, c, W, DT)
+            out = jax.lax.optimization_barrier(out)
+            nc = jnp.where(out.reshape(-1)[0] < jnp.uint32(0xFFFFFFFF),
+                           jnp.uint32(0), jnp.uint32(1))
+            return nc, ()
+        c, _ = jax.lax.scan(body, jnp.uint32(0), None, length=K)
+        return c
+    t = _timed_scalar(rep_encode_for, values, K)
+    results["for_encode_ints_per_s"] = n_ints / t
+    results["for_encode_sol_frac"] = (n_ints / t) / sol_encode
+
+    # original-order fused decode (the delta/zdelta/rle FILE-READ path:
+    # kernels.undelta_pack_orig — untranspose fused, VERDICT r2 item 1)
+    nl32 = layout.lanes(DT)
+    tr_np = ref.transpose(values_np, DT)
+    base32 = jnp.asarray(np.ascontiguousarray(tr_np[:, :nl32]))
+    deltas_np = ref.delta(tr_np, np.asarray(base32), DT)
+    wd = max(int(deltas_np.max()).bit_length(), 1)
+    packed_d = jnp.asarray(ref.pack(deltas_np, wd, DT))
+    sol_orig = HBM_GBPS * 1e9 / (4 * wd / 32 + 4)
+
+    @jax.jit
+    def rep_orig(x):
+        def body(c, _):
+            out = pk.undelta_pack_orig(jnp.bitwise_xor(x, c), base32, wd, DT)
+            out = jax.lax.optimization_barrier(out)
+            nc = jnp.where(out.reshape(-1)[0] < jnp.uint32(0xFFFFFFFF),
+                           jnp.uint32(0), jnp.uint32(1))
+            return nc.astype(x.dtype), ()
+        c, _ = jax.lax.scan(body, jnp.zeros((), x.dtype), None, length=K)
+        return c
+    t = _timed_scalar(rep_orig, packed_d, K)
+    results["undelta_orig_w%d_ints_per_s" % wd] = n_ints / t
+    results["undelta_orig_w%d_sol_frac" % wd] = (n_ints / t) / sol_orig
 
     # u64 W=3 materialized decode, separate limb planes (the performance
     # output form; the interleaved image pays a strided stack)

@@ -150,7 +150,8 @@ def main():
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20))
         try:
             got = np.asarray(jax.jit(call)(*arrs))
-            print(f"{name:12s} OK   sum={int(np.uint64(got.reshape(-1)[:64].astype(np.uint64).sum()))}",
+            total = int(np.uint64(got.reshape(-1)[:64].astype(np.uint64).sum()))
+            print(f"{name:12s} OK   sum={total}",
                   flush=True)
         except Exception as e:
             msg = str(e).replace("\n", " ")[:140]

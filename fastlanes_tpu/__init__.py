@@ -26,7 +26,7 @@ from .core.layout import BLOCK, DTYPES, FL_ORDER, bit_width, lanes, packed_len
 
 __all__ = [
     "layout", "BLOCK", "DTYPES", "FL_ORDER", "bit_width", "lanes", "packed_len",
-    "pack", "unpack", "unpack_single", "delta", "undelta", "undelta_pack",
+    "pack", "pack_map", "unpack", "unpack_single", "delta", "undelta", "undelta_pack",
     "delta_pack", "for_pack", "unfor_pack", "transpose", "untranspose",
     "unchecked_pack", "unchecked_unpack", "unchecked_unpack_single",
     "auto_encode", "get_codec", "write_file", "read_file", "read_blocks",
@@ -38,7 +38,7 @@ __all__ = [
 # `pub use ...::*`, lib.rs:17-20); only the owner is imported, so host-only
 # IO names never pull in jax.
 _API_HOME = {
-    **{n: "ops.bitpack" for n in ("pack", "unpack")},
+    **{n: "ops.bitpack" for n in ("pack", "pack_map", "unpack")},
     "unpack_single": "ops.single",
     **{n: "ops.delta" for n in ("delta", "undelta", "undelta_pack", "delta_pack")},
     **{n: "ops.ffor" for n in ("for_pack", "unfor_pack")},

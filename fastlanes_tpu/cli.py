@@ -317,6 +317,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    # Device-path subcommands (scan, decompress --device) pick up whatever
+    # jax platform the host registers. FASTLANES_TPU_PLATFORM=cpu forces
+    # the selection BEFORE any backend use — needed because a site-installed
+    # accelerator plugin wins over the JAX_PLATFORMS env var, and a dead
+    # remote-TPU tunnel would otherwise hang the CLI at first jax use.
+    import os
+
+    plat = os.environ.get("FASTLANES_TPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     args = build_parser().parse_args(argv)
     try:
         return args.fn(args)

@@ -26,8 +26,6 @@ from . import fio, transforms
 from .core import layout
 from .kernels import pallas_codecs as pk
 from .limbs import LimbPlanes
-from .ops import delta as delta_mod
-from .ops import transpose as transpose_mod
 from .parallel import shard as psh
 
 
@@ -70,11 +68,12 @@ def _decode_chunk_device(meta: dict, raw: bytes, n_blocks: int, dtype: str,
         pi = jnp.asarray(np.ascontiguousarray(packed_idx))
         bv = jnp.asarray(np.ascontiguousarray(basev))
         if mesh is not None:
-            transposed = psh.sharded_undelta_pack(mesh, pi, bv, 1, "u16",
-                                                  use_kernels=use_kernels)
+            idx_u16 = psh.sharded_undelta_pack(mesh, pi, bv, 1, "u16",
+                                               use_kernels=use_kernels,
+                                               orig=True)
         else:
-            transposed = pk.undelta_pack(pi, bv, 1, "u16")
-        idx = transpose_mod.untranspose(transposed, "u16").astype(jnp.int32)
+            idx_u16 = pk.undelta_pack_orig(pi, bv, 1, "u16")
+        idx = idx_u16.astype(jnp.int32)
         # gather: per-block run index + the block's offset into the flat run
         # value stream = one vectorized device gather. No per-block host
         # loop, and memory stays at the exact run count (a padded
@@ -136,24 +135,20 @@ def _decode_chunk_device(meta: dict, raw: bytes, n_blocks: int, dtype: str,
             np.frombuffer(raw[:base_bytes], np_dt).reshape(n_blocks, nl), dtype)
         packed = _np_to_device_form(
             np.frombuffer(raw[base_bytes:], np_dt).reshape(n_blocks, plen), dtype)
+        # original-order fused decode: untranspose never runs as a standalone
+        # permute pass (it gated every sorted-column read at ~17e9 ints/s;
+        # see ops/orig.py and the kernels.*_orig routing)
         if codec == "zdelta":
             if mesh is not None:
-                # unpack -> unzigzag -> prefix-sum composed in-graph per shard
-                zz = psh.sharded_unpack(mesh, packed, w, dtype,
-                                        use_kernels=use_kernels, planes=planes)
-                deltas = _unzigzag_device(zz, dtype)
-                transposed = delta_mod.undelta(deltas, base, dtype, planes=planes)
-            else:
-                # single fused kernel pass
-                transposed = pk.unzdelta_pack(packed, base, w, dtype,
-                                              planes=planes)
-        elif mesh is not None:
-            transposed = psh.sharded_undelta_pack(mesh, packed, base, w, dtype,
-                                                  use_kernels=use_kernels,
-                                                  planes=planes)
-        else:
-            transposed = pk.undelta_pack(packed, base, w, dtype, planes=planes)
-        return transpose_mod.untranspose(transposed, dtype, planes=planes)
+                return psh.sharded_unzdelta_pack(mesh, packed, base, w, dtype,
+                                                 use_kernels=use_kernels,
+                                                 planes=planes, orig=True)
+            return pk.unzdelta_pack_orig(packed, base, w, dtype, planes=planes)
+        if mesh is not None:
+            return psh.sharded_undelta_pack(mesh, packed, base, w, dtype,
+                                            use_kernels=use_kernels,
+                                            planes=planes, orig=True)
+        return pk.undelta_pack_orig(packed, base, w, dtype, planes=planes)
 
     packed = _np_to_device_form(np.frombuffer(raw, np_dt).reshape(n_blocks, plen), dtype)
     if codec == "bitpack":

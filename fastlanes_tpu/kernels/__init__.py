@@ -7,13 +7,18 @@ from .pallas_codecs import (
     warmup,
     for_pack,
     pack,
+    pack_map,
     undelta_pack,
+    undelta_pack_orig,
     unzdelta_pack,
+    unzdelta_pack_orig,
     unfor_pack,
     unpack,
+    unpack_orig,
 )
 
 __all__ = [
-    "pallas_codecs", "pack", "unpack", "undelta_pack", "unzdelta_pack", "delta_pack",
+    "pallas_codecs", "pack", "pack_map", "unpack", "undelta_pack", "unzdelta_pack", "delta_pack",
     "for_pack", "unfor_pack", "warmup",
+    "unpack_orig", "undelta_pack_orig", "unzdelta_pack_orig",
 ]

@@ -734,6 +734,96 @@ def unfor_pack(packed, reference, width, dtype, *, tile_b=None, interpret=None,
     return _denormalize(out, had_batch, dtype, packed)
 
 
+def pack_map(fn, values, width, dtype):
+    """Fused-encode entry: pack with an elementwise producer applied per
+    row-slice read (see ops.bitpack.pack_map). Always the XLA-ops path —
+    encode routes to ops on every measured config (kernels/routing_tpu.json;
+    the Pallas pack kernel loses the encode race), and a Python producer
+    fuses naturally only in the ops trace."""
+    return ops_bitpack.pack_map(fn, values, width, dtype)
+
+
+# -- original-order decode (untranspose fused into decode; VERDICT r2
+#    item 1). FLT delta/zdelta/rle chunks store transposed blocks; these
+#    entries return ORIGINAL order directly. Two strategies, measured per
+#    (op, dtype, width) like pallas-vs-ops: 'od' = output-domain decode
+#    (ops/orig.py — no transposed image ever materialized), 'compose' =
+#    routed transposed decode + standalone untranspose. u64 always
+#    composes in the (lo, hi) plane domain.
+
+
+def _route_orig(op, width, dtype, strategy):
+    if strategy is not None:
+        if strategy not in ("od", "compose"):
+            raise ValueError(
+                f"strategy must be 'od' or 'compose', got {strategy!r}")
+        return strategy
+    from . import routing
+
+    return routing.best_path(op, layout.canon_dtype(dtype), width)
+
+
+def unpack_orig(packed, width, dtype, *, strategy=None, interpret=None,
+                planes=False):
+    """unpack straight to original order (macros.rs:101-174 composed with
+    transpose.rs:18-22 in one pass)."""
+    from ..ops import transpose as transpose_mod
+
+    dtype = layout.canon_dtype(dtype)
+    if eng.is_limb(dtype):
+        out = unpack(packed, width, dtype, interpret=interpret, planes=True)
+        return transpose_mod.untranspose(out, dtype, planes=planes)
+    if planes:
+        raise ValueError("planes=True is the u64 limb-plane API")
+    if _route_orig("unpack_orig", width, dtype, strategy) == "od":
+        from ..ops import orig as ops_orig
+
+        return ops_orig.unpack_orig(packed, width, dtype)
+    return transpose_mod.untranspose(
+        unpack(packed, width, dtype, interpret=interpret), dtype)
+
+
+def undelta_pack_orig(packed, base, width, dtype, *, strategy=None,
+                      interpret=None, planes=False):
+    """Fused delta decode straight to original order (delta.rs:48-63
+    composed with transpose.rs:18-22) — the sorted-column file-read path."""
+    from ..ops import transpose as transpose_mod
+
+    dtype = layout.canon_dtype(dtype)
+    if eng.is_limb(dtype):
+        out = undelta_pack(packed, base, width, dtype, interpret=interpret,
+                           planes=True)
+        return transpose_mod.untranspose(out, dtype, planes=planes)
+    if planes:
+        raise ValueError("planes=True is the u64 limb-plane API")
+    if _route_orig("undelta_pack_orig", width, dtype, strategy) == "od":
+        from ..ops import orig as ops_orig
+
+        return ops_orig.undelta_pack_orig(packed, base, width, dtype)
+    return transpose_mod.untranspose(
+        undelta_pack(packed, base, width, dtype, interpret=interpret), dtype)
+
+
+def unzdelta_pack_orig(packed, base, width, dtype, *, strategy=None,
+                       interpret=None, planes=False):
+    """Fused zdelta decode straight to original order."""
+    from ..ops import transpose as transpose_mod
+
+    dtype = layout.canon_dtype(dtype)
+    if eng.is_limb(dtype):
+        out = unzdelta_pack(packed, base, width, dtype, interpret=interpret,
+                            planes=True)
+        return transpose_mod.untranspose(out, dtype, planes=planes)
+    if planes:
+        raise ValueError("planes=True is the u64 limb-plane API")
+    if _route_orig("unzdelta_pack_orig", width, dtype, strategy) == "od":
+        from ..ops import orig as ops_orig
+
+        return ops_orig.unzdelta_pack_orig(packed, base, width, dtype)
+    return transpose_mod.untranspose(
+        unzdelta_pack(packed, base, width, dtype, interpret=interpret), dtype)
+
+
 def for_pack(values, reference, width, dtype, *, tile_b=None, interpret=None):
     use_ops, interp = _route("for_pack", width, dtype, interpret)
     if use_ops:

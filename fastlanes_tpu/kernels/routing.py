@@ -60,11 +60,24 @@ def _load_file():
 _PALLAS_MARGIN = 1.08
 
 
+# Unmeasured-op defaults. Classic codec entries keep the kernel (the
+# pre-routing behavior); original-order decode entries (VERDICT r3 item 1)
+# default to the fused output-domain formulation, which does strictly less
+# memory traffic than decode-then-untranspose.
+_UNMEASURED_DEFAULT = {
+    "unpack_orig": "od",
+    "undelta_pack_orig": "od",
+    "unzdelta_pack_orig": "od",
+}
+
+
 @functools.lru_cache(maxsize=None)
 def _lookup(op: str, dtype: str, width: int):
-    """Winner for (op, dtype, width): 'pallas' | 'ops'. Nearest measured
-    width of the same (op, dtype) stands in for unmeasured widths (ties
-    toward the lower width); unmeasured ops keep the kernel."""
+    """Winner strategy for (op, dtype, width) — 'pallas' | 'ops' for the
+    classic entries, 'od' | 'compose' for the *_orig entries. Nearest
+    measured width of the same (op, dtype) stands in for unmeasured widths
+    (ties toward the lower width); fully unmeasured ops use
+    _UNMEASURED_DEFAULT ('pallas' when unlisted)."""
     entries = _entries()
     exact = entries.get(f"{op}:{dtype}:{width}")
     if exact is None:
@@ -74,12 +87,18 @@ def _lookup(op: str, dtype: str, width: int):
             if key.startswith(prefix):
                 candidates.append(int(key[len(prefix):]))
         if not candidates:
-            return "pallas"
+            return _UNMEASURED_DEFAULT.get(op, "pallas")
         nearest = min(candidates, key=lambda w: (abs(w - width), w))
         exact = entries[f"{op}:{dtype}:{nearest}"]
-    pallas = exact.get("pallas", 0.0)
-    ops = exact.get("ops", 0.0)
-    return "pallas" if pallas >= ops * _PALLAS_MARGIN else "ops"
+    best, best_v = _UNMEASURED_DEFAULT.get(op, "pallas"), -1.0
+    for strat, ips in exact.items():
+        if not isinstance(ips, (int, float)):
+            continue
+        # the Pallas strategy pays the compile-stability discount
+        v = ips / _PALLAS_MARGIN if strat == "pallas" else float(ips)
+        if v > best_v:
+            best, best_v = strat, v
+    return best
 
 
 def best_path(op: str, dtype: str, width: int) -> str:

@@ -172,6 +172,38 @@ def pack(values, width: int, dtype) -> "jnp.ndarray":
     return eng.from_vec(out, dtype, like=values)
 
 
+def pack_map(fn, values, width: int, dtype):
+    """pack(fn(values)) with `fn` applied PER TRANSPOSED ROW SLICE — the
+    fused-encode public entry (VERDICT r2 item 4).
+
+    Writing `pack(fn(values))` materializes fn(values) first: the packed
+    words read many overlapping row slices of it, and XLA materializes an
+    elementwise producer that has many slice consumers — a full extra
+    read+write of the input charged to the encode (benchmarks/NOTES.md:
+    80.3e9 vs 130.9e9 ints/s, u32 W=3 on v5e). This entry applies `fn`
+    AFTER each row-slice read, so every fn instance has a single consumer
+    and XLA fuses it into the packed-word production: the codec's true
+    encode throughput, through a public API. `delta_pack`/`for_pack` are
+    the specialized versions of this hook (reference delta.rs:25-33,
+    ffor.rs:24-35); `fn` generalizes it to any elementwise producer.
+
+    `fn` must be jax-traceable and elementwise on a (B, LANES) row vec;
+    for u64 it receives and returns a (lo, hi) uint32 plane pair.
+    """
+    dtype = layout.canon_dtype(dtype)
+    vec = eng.to_vec(values, dtype)
+    vec, had_batch = eng.promote_shape(vec, dtype)
+    base_row = _row_fn_of(vec, dtype)
+    words = pack_words(lambda row: fn(base_row(row)), width, dtype, None)
+    if not words:
+        b = (vec[0] if eng.is_limb(dtype) else vec).shape[0]
+        out = eng.zeros((b, 0), dtype)
+    else:
+        out = eng.concat_cols(words, dtype)
+    out = eng.squeeze_shape(out, had_batch, dtype)
+    return eng.from_vec(out, dtype, like=values)
+
+
 def _check_planes(planes, dtype):
     if planes and not eng.is_limb(dtype):
         raise ValueError("planes=True is the u64 limb-plane API; other "

@@ -55,14 +55,15 @@ def _resolve_kernels(use_kernels, name, width, dtype):
 
 @functools.lru_cache(maxsize=None)
 def _build_sharded(name, use_kernels, width, dtype, axis, mesh, param,
-                   planes=False):
+                   planes=False, orig_strategy="compose"):
     """jit(shard_map(codec)) — cached so repeated calls with the same
     (op, mesh, width, dtype) hit one compiled executable instead of
     re-tracing an eager shard_map per call. `param` describes the second
     operand: None, ('rep', ndim) replicated, or ('blk', ndim) block-sharded.
     planes=True (u64 decode): the codec returns separate (lo, hi) uint32
     planes, each block-sharded — no interleaving stack on the chip."""
-    fn = _kernel_or_op(name, use_kernels, planes=planes)
+    fn = _kernel_or_op(name, use_kernels, planes=planes,
+                       orig_strategy=orig_strategy)
     spec = _block_spec(dtype, axis)
     out_spec = (P(axis, None), P(axis, None)) if planes else spec
     # pallas_call's out_shape carries no varying-across-mesh info, so the
@@ -91,10 +92,32 @@ def _slice_out(out, b, planes):
     return out[:b]
 
 
-def _sharded_unary(name, use_kernels, mesh, arr, width, dtype, axis, planes=False):
-    use_kernels = _resolve_kernels(use_kernels, name, width, dtype)
+def _resolve_orig(use_kernels, orig_name, width, dtype):
+    """Resolve an original-order decode request to
+    (name, use_kernels, orig_strategy). 'auto' takes the measured winner
+    among od/compose (routing; compose's inner decode is itself routed);
+    explicit False takes the output-domain ops path (u64: ops compose),
+    True/'interpret' compose around that kernel path."""
+    dtype = layout.canon_dtype(dtype)
+    if use_kernels == "auto":
+        from ..kernels import routing
+
+        strat = routing.best_path(orig_name, dtype, width)
+        if strat == "od" and not eng.is_limb(dtype):
+            return orig_name, False, "od"
+        base = _ORIG_BASE[orig_name]
+        return orig_name, _resolve_kernels("auto", base, width, dtype), "compose"
+    if not use_kernels and not eng.is_limb(dtype):
+        return orig_name, False, "od"
+    return orig_name, use_kernels, "compose"
+
+
+def _sharded_unary(name, use_kernels, mesh, arr, width, dtype, axis, planes=False,
+                   orig_strategy="compose"):
+    if name not in _ORIG_BASE:
+        use_kernels = _resolve_kernels(use_kernels, name, width, dtype)
     call = _build_sharded(name, use_kernels, width, dtype, axis, mesh, None,
-                          planes=planes)
+                          planes=planes, orig_strategy=orig_strategy)
     padded, b = _pad_to(jnp.asarray(arr), mesh.shape[axis])
     return _slice_out(call(padded), b, planes)
 
@@ -107,44 +130,54 @@ def sharded_pack(mesh, values, width, dtype, axis="blocks", use_kernels="auto"):
 
 
 def sharded_unpack(mesh, packed, width, dtype, axis="blocks", use_kernels="auto",
-                   planes=False):
+                   planes=False, orig=False):
     """planes=True (u64 only): (lo, hi) uint32 plane outputs, block-sharded —
-    the fast device form (no interleaving stack)."""
+    the fast device form (no interleaving stack). orig=True: decode straight
+    to ORIGINAL order (untranspose fused per shard; see kernels.unpack_orig)."""
+    if orig:
+        name, use_kernels, strat = _resolve_orig(use_kernels, "unpack_orig",
+                                                 width, dtype)
+        return _sharded_unary(name, use_kernels, mesh, packed, width, dtype,
+                              axis, planes=planes, orig_strategy=strat)
     return _sharded_unary("unpack", use_kernels, mesh, packed, width, dtype,
                           axis, planes=planes)
 
 
-def sharded_undelta_pack(mesh, packed, base, width, dtype, axis="blocks",
-                         use_kernels="auto", planes=False):
-    """Fused delta decode. A shared per-lane base ((LANES,) or limb image) is
-    replicated (P(None)); a per-block base ((B, LANES)[, 2]) is sharded along
-    the block axis with the packed payload."""
+def _sharded_delta_family(op, mesh, packed, base, width, dtype, axis,
+                          use_kernels, planes, orig):
     packed, base = jnp.asarray(packed), jnp.asarray(base)
     per_block = base.ndim == packed.ndim and base.shape[0] == packed.shape[0]
     param = ("blk" if per_block else "rep", base.ndim)
-    use_kernels = _resolve_kernels(use_kernels, "undelta_pack", width, dtype)
-    call = _build_sharded("undelta_pack", use_kernels, width, dtype, axis, mesh,
-                          param, planes=planes)
+    strat = "compose"
+    if orig:
+        op, use_kernels, strat = _resolve_orig(use_kernels, op + "_orig",
+                                               width, dtype)
+    else:
+        use_kernels = _resolve_kernels(use_kernels, op, width, dtype)
+    call = _build_sharded(op, use_kernels, width, dtype, axis, mesh,
+                          param, planes=planes, orig_strategy=strat)
     padded, b = _pad_to(packed, mesh.shape[axis])
     if per_block:
         base, _ = _pad_to(base, mesh.shape[axis])
     return _slice_out(call(padded, base), b, planes)
+
+
+def sharded_undelta_pack(mesh, packed, base, width, dtype, axis="blocks",
+                         use_kernels="auto", planes=False, orig=False):
+    """Fused delta decode. A shared per-lane base ((LANES,) or limb image) is
+    replicated (P(None)); a per-block base ((B, LANES)[, 2]) is sharded along
+    the block axis with the packed payload. orig=True decodes straight to
+    original order (untranspose fused per shard)."""
+    return _sharded_delta_family("undelta_pack", mesh, packed, base, width,
+                                 dtype, axis, use_kernels, planes, orig)
 
 
 def sharded_unzdelta_pack(mesh, packed, base, width, dtype, axis="blocks",
-                          use_kernels="auto", planes=False):
+                          use_kernels="auto", planes=False, orig=False):
     """Fused zdelta decode (unpack -> unzigzag -> prefix-sum) sharded over
     blocks; base replication/sharding rules as sharded_undelta_pack."""
-    packed, base = jnp.asarray(packed), jnp.asarray(base)
-    per_block = base.ndim == packed.ndim and base.shape[0] == packed.shape[0]
-    param = ("blk" if per_block else "rep", base.ndim)
-    use_kernels = _resolve_kernels(use_kernels, "unzdelta_pack", width, dtype)
-    call = _build_sharded("unzdelta_pack", use_kernels, width, dtype, axis, mesh,
-                          param, planes=planes)
-    padded, b = _pad_to(packed, mesh.shape[axis])
-    if per_block:
-        base, _ = _pad_to(base, mesh.shape[axis])
-    return _slice_out(call(padded, base), b, planes)
+    return _sharded_delta_family("unzdelta_pack", mesh, packed, base, width,
+                                 dtype, axis, use_kernels, planes, orig)
 
 
 def sharded_for_pack(mesh, values, reference, width, dtype, axis="blocks", use_kernels="auto"):
@@ -254,12 +287,41 @@ def _ops_unzdelta_pack(p, b, w, dt, planes=False):
     return delta_mod.undelta(deltas, b, dt)
 
 
-def _kernel_or_op(name, use_kernels, planes=False):
+#: original-order decode op -> its transposed-domain decode primitive
+_ORIG_BASE = {
+    "unpack_orig": "unpack",
+    "undelta_pack_orig": "undelta_pack",
+    "unzdelta_pack_orig": "unzdelta_pack",
+}
+
+
+def _kernel_or_op(name, use_kernels, planes=False, orig_strategy="compose"):
     """use_kernels: True = Pallas kernels (compiled on TPU, ops fallback
     elsewhere); 'interpret' = Pallas kernels in interpret mode with a small
     tile — runs the EXACT kernel code path (incl. the check_vma=False seam)
     on the CPU test mesh; False = XLA ops. planes=True: decode ops return
-    (lo, hi) uint32 planes (u64 fast path)."""
+    (lo, hi) uint32 planes (u64 fast path). *_orig names decode straight to
+    ORIGINAL order: orig_strategy='od' is the output-domain formulation
+    (ops/orig.py, non-u64), 'compose' is decode + untranspose per shard."""
+    if name in _ORIG_BASE:
+        if orig_strategy == "od" and not planes:
+            from ..ops import orig as ops_orig
+
+            return {
+                "unpack_orig": lambda p, w, dt: ops_orig.unpack_orig(p, w, dt),
+                "undelta_pack_orig":
+                    lambda p, b, w, dt: ops_orig.undelta_pack_orig(p, b, w, dt),
+                "unzdelta_pack_orig":
+                    lambda p, b, w, dt: ops_orig.unzdelta_pack_orig(p, b, w, dt),
+            }[name]
+        from ..ops import transpose as transpose_mod
+
+        dec = _kernel_or_op(_ORIG_BASE[name], use_kernels, planes=planes)
+
+        def composed(*a, _dec=dec, _planes=planes):
+            return transpose_mod.untranspose(_dec(*a), a[-1], planes=_planes)
+
+        return composed
     if planes and name not in ("unpack", "undelta_pack", "unzdelta_pack",
                                "unfor_pack"):
         raise ValueError(f"planes output is decode-only, not {name!r}")

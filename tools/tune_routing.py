@@ -53,6 +53,10 @@ def build_configs(quick: bool):
             for op in ("undelta_pack", "unzdelta_pack", "for_pack",
                        "unfor_pack", "delta_pack"):
                 configs.append((op, dt, w))
+            if dt != "u64":  # u64 orig decode always composes (no od form)
+                for op in ("unpack_orig", "undelta_pack_orig",
+                           "unzdelta_pack_orig"):
+                    configs.append((op, dt, w))
     return configs
 
 
@@ -133,7 +137,8 @@ def main():
         else:
             main = ref.pack(values, w, dt)
         main = jax.block_until_ready(jnp.asarray(to_jax_form(main, dt)))
-        if op in ("undelta_pack", "unzdelta_pack", "delta_pack"):
+        if op in ("undelta_pack", "unzdelta_pack", "delta_pack",
+                  "undelta_pack_orig", "unzdelta_pack_orig"):
             base = np.ascontiguousarray(ref.transpose(values, dt)[:, :nl])
             return main, (jax.block_until_ready(jnp.asarray(to_jax_form(base, dt))),)
         if op in ("for_pack", "unfor_pack"):
@@ -167,10 +172,44 @@ def main():
                    if f"{op}:{dt}:{w}" not in entries]
         print(f"# {len(configs)} configs to measure", file=sys.stderr)
 
+    from fastlanes_tpu.ops import orig as ops_orig
+
+    orig_fns = {  # the two strategies of the *_orig entries (VERDICT item 1)
+        "unpack_orig": {
+            "od": lambda p, w, dt: ops_orig.unpack_orig(p, w, dt),
+            "compose": lambda p, w, dt: pk.unpack_orig(p, w, dt,
+                                                       strategy="compose"),
+        },
+        "undelta_pack_orig": {
+            "od": lambda p, b, w, dt: ops_orig.undelta_pack_orig(p, b, w, dt),
+            "compose": lambda p, b, w, dt: pk.undelta_pack_orig(
+                p, b, w, dt, strategy="compose"),
+        },
+        "unzdelta_pack_orig": {
+            "od": lambda p, b, w, dt: ops_orig.unzdelta_pack_orig(p, b, w, dt),
+            "compose": lambda p, b, w, dt: pk.unzdelta_pack_orig(
+                p, b, w, dt, strategy="compose"),
+        },
+    }
+
     for op, dt, w in configs:
         key = f"{op}:{dt}:{w}"
         main, rest = make_inputs(op, dt, w)
         rec = {}
+        if op in orig_fns:
+            for strat, fn in orig_fns[op].items():
+                try:
+                    t_s = chained(
+                        lambda x, *r, _fn=fn, _w=w, _dt=dt: _fn(x, *r, _w, _dt),
+                        main, *rest)
+                    rec[strat] = round(n_ints / t_s, 1)
+                except Exception as e:  # pragma: no cover
+                    print(f"# {key} {strat} failed: {str(e)[:100]}",
+                          file=sys.stderr)
+            if rec:
+                entries[key] = rec
+                print(json.dumps({key: rec}), flush=True)
+            continue
         try:
             t_ops = chained(
                 lambda x, *r, _op=op, _w=w, _dt=dt: ops_fns[_op](x, *r, _w, _dt),
