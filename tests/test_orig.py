@@ -222,3 +222,52 @@ def test_fio_device_delta_sharded_orig(tmp_path):
                    .astype(np.uint32), axis=1)
     p, got = _roundtrip_device(vals, tmp_path, "sorted8.flt", mesh=m)
     assert np.array_equal(np.asarray(got).reshape(16, 1024), vals)
+
+
+def test_chunk_batching_merges_dispatches(tmp_path, monkeypatch):
+    """Consecutive same-(codec, width) chunks decode in ONE batched device
+    dispatch; mixed-width files split into per-signature runs."""
+    from fastlanes_tpu import fio_device as fd
+
+    calls = []
+    real = fd._decode_packed_device
+    monkeypatch.setattr(
+        fd, "_decode_packed_device",
+        lambda *a, **k: calls.append(a[0]) or real(*a, **k))
+    # 8 chunks of identical width: sorted data with the same gap structure
+    base_col = np.arange(8 * 1024, dtype=np.uint32) * 7
+    p = str(tmp_path / "uniform.flt")
+    fio.write_file(p, base_col, chunk_blocks=1)
+    hdr = fio.read_header(p)
+    assert len(hdr["chunks"]) == 8
+    widths = {c["width"] for c in hdr["chunks"]}
+    got = fio_device.read_file_device(p)
+    assert np.array_equal(np.asarray(got).reshape(-1), base_col)
+    if len(widths) == 1 and hdr["chunks"][0]["codec"] in ("delta", "zdelta",
+                                                          "bitpack"):
+        assert len(calls) == 1, f"expected 1 batched dispatch, got {calls}"
+
+
+def test_chunk_batching_partial_range(tmp_path):
+    vals = np.sort(RNG.integers(0, 1 << 29, (32, 1024), np.int64)
+                   .astype(np.uint32), axis=1)
+    p = str(tmp_path / "range.flt")
+    fio.write_file(p, vals, chunk_blocks=4)
+    want = fio.read_blocks(p, 3, 29)
+    got = fio_device.read_blocks_device(p, 3, 29)
+    assert np.array_equal(np.asarray(got), want)
+
+
+def test_chunk_batching_mixed_codecs(tmp_path):
+    """A file whose chunks pick different codecs/widths still reads exactly."""
+    rng = np.random.default_rng(3)
+    a = np.sort(rng.integers(0, 1 << 30, 4 * 1024, np.int64).astype(np.uint32))
+    b = rng.integers(50_000, 50_000 + 128, 4 * 1024, np.int64).astype(np.uint32)
+    c = rng.integers(0, 8, 4 * 1024, np.int64).astype(np.uint32)
+    vals = np.concatenate([a, b, c])
+    p = str(tmp_path / "mixed.flt")
+    fio.write_file(p, vals, chunk_blocks=4)
+    hdr = fio.read_header(p)
+    assert len({ch["codec"] for ch in hdr["chunks"]}) >= 2
+    got = fio_device.read_file_device(p)
+    assert np.array_equal(np.asarray(got).reshape(-1), vals)
