@@ -23,6 +23,16 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+# FASTLANES_TPU_PLATFORM=cpu forces the jax platform BEFORE backend init
+# (a site-installed accelerator plugin beats the JAX_PLATFORMS env var,
+# and a dead remote-TPU tunnel hangs backend setup).
+import os as _os
+
+if _os.environ.get("FASTLANES_TPU_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["FASTLANES_TPU_PLATFORM"])
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 from jax.experimental import pallas as pl  # noqa: E402

@@ -763,65 +763,68 @@ def _route_orig(op, width, dtype, strategy):
     return routing.best_path(op, layout.canon_dtype(dtype), width)
 
 
-def unpack_orig(packed, width, dtype, *, strategy=None, interpret=None,
-                planes=False):
-    """unpack straight to original order (macros.rs:101-174 composed with
-    transpose.rs:18-22 in one pass)."""
+def _orig_entry(op, decode_fn, od_fn, packed, width, dtype, strategy,
+                interpret, planes):
+    """Shared driver for the *_orig entries: route od/compose; u64 runs in
+    the (lo, hi) plane domain either way (planes=False interleaves at the
+    end for the byte-image convention)."""
     from ..ops import transpose as transpose_mod
 
     dtype = layout.canon_dtype(dtype)
     if eng.is_limb(dtype):
-        out = unpack(packed, width, dtype, interpret=interpret, planes=True)
-        return transpose_mod.untranspose(out, dtype, planes=planes)
+        if _route_orig(op, width, dtype, strategy) == "od":
+            out = od_fn()
+        else:
+            out = transpose_mod.untranspose(decode_fn(), dtype, planes=True)
+        if planes:
+            return out
+        return eng.from_vec(out, dtype, like=packed)
     if planes:
         raise ValueError("planes=True is the u64 limb-plane API")
-    if _route_orig("unpack_orig", width, dtype, strategy) == "od":
-        from ..ops import orig as ops_orig
+    if _route_orig(op, width, dtype, strategy) == "od":
+        return od_fn()
+    return transpose_mod.untranspose(decode_fn(), dtype)
 
-        return ops_orig.unpack_orig(packed, width, dtype)
-    return transpose_mod.untranspose(
-        unpack(packed, width, dtype, interpret=interpret), dtype)
+
+def unpack_orig(packed, width, dtype, *, strategy=None, interpret=None,
+                planes=False):
+    """unpack straight to original order (macros.rs:101-174 composed with
+    transpose.rs:18-22 in one pass)."""
+    from ..ops import orig as ops_orig
+
+    return _orig_entry(
+        "unpack_orig",
+        lambda: unpack(packed, width, dtype, interpret=interpret,
+                       planes=eng.is_limb(dtype)),
+        lambda: ops_orig.unpack_orig(packed, width, dtype),
+        packed, width, dtype, strategy, interpret, planes)
 
 
 def undelta_pack_orig(packed, base, width, dtype, *, strategy=None,
                       interpret=None, planes=False):
     """Fused delta decode straight to original order (delta.rs:48-63
     composed with transpose.rs:18-22) — the sorted-column file-read path."""
-    from ..ops import transpose as transpose_mod
+    from ..ops import orig as ops_orig
 
-    dtype = layout.canon_dtype(dtype)
-    if eng.is_limb(dtype):
-        out = undelta_pack(packed, base, width, dtype, interpret=interpret,
-                           planes=True)
-        return transpose_mod.untranspose(out, dtype, planes=planes)
-    if planes:
-        raise ValueError("planes=True is the u64 limb-plane API")
-    if _route_orig("undelta_pack_orig", width, dtype, strategy) == "od":
-        from ..ops import orig as ops_orig
-
-        return ops_orig.undelta_pack_orig(packed, base, width, dtype)
-    return transpose_mod.untranspose(
-        undelta_pack(packed, base, width, dtype, interpret=interpret), dtype)
+    return _orig_entry(
+        "undelta_pack_orig",
+        lambda: undelta_pack(packed, base, width, dtype, interpret=interpret,
+                             planes=eng.is_limb(dtype)),
+        lambda: ops_orig.undelta_pack_orig(packed, base, width, dtype),
+        packed, width, dtype, strategy, interpret, planes)
 
 
 def unzdelta_pack_orig(packed, base, width, dtype, *, strategy=None,
                        interpret=None, planes=False):
     """Fused zdelta decode straight to original order."""
-    from ..ops import transpose as transpose_mod
+    from ..ops import orig as ops_orig
 
-    dtype = layout.canon_dtype(dtype)
-    if eng.is_limb(dtype):
-        out = unzdelta_pack(packed, base, width, dtype, interpret=interpret,
-                            planes=True)
-        return transpose_mod.untranspose(out, dtype, planes=planes)
-    if planes:
-        raise ValueError("planes=True is the u64 limb-plane API")
-    if _route_orig("unzdelta_pack_orig", width, dtype, strategy) == "od":
-        from ..ops import orig as ops_orig
-
-        return ops_orig.unzdelta_pack_orig(packed, base, width, dtype)
-    return transpose_mod.untranspose(
-        unzdelta_pack(packed, base, width, dtype, interpret=interpret), dtype)
+    return _orig_entry(
+        "unzdelta_pack_orig",
+        lambda: unzdelta_pack(packed, base, width, dtype, interpret=interpret,
+                              planes=eng.is_limb(dtype)),
+        lambda: ops_orig.unzdelta_pack_orig(packed, base, width, dtype),
+        packed, width, dtype, strategy, interpret, planes)
 
 
 def for_pack(values, reference, width, dtype, *, tile_b=None, interpret=None):

@@ -125,40 +125,157 @@ def _seg_cumsum(nat, dtype):
                       dtype=nat.dtype).reshape(b, layout.BLOCK)
 
 
+# -- u64 limb-domain building blocks ----------------------------------------
+# TPUs have no 64-bit vector ints: u64 words are (lo, hi) uint32 plane
+# pairs, shifts become funnels across the limbs with VECTOR shift amounts
+# (trace-time constant arrays — one per output position), and the delta
+# prefix sum propagates carries via a second cumsum of overflow indicators.
+
+
+def _shr64_vec(lo, hi, sh):
+    """(lo, hi) >> sh elementwise, sh a uint32 array in [0, 64). Shift
+    operands are kept in [0, 31] everywhere (shift-by->=width is undefined
+    on TPU vectors); discarded lanes are masked by the wheres."""
+    import jax.numpy as jnp
+
+    s = sh & jnp.uint32(31)
+    up = (jnp.uint32(32) - s) & jnp.uint32(31)
+    lo_small = (lo >> s) | jnp.where(s == 0, jnp.uint32(0), hi << up)
+    hi_small = hi >> s
+    lo_big = hi >> s  # sh >= 32: sh - 32 == sh & 31
+    small = sh < jnp.uint32(32)
+    return (jnp.where(small, lo_small, lo_big),
+            jnp.where(small, hi_small, jnp.uint32(0)))
+
+
+def _shl64_vec(lo, hi, sh):
+    """(lo, hi) << sh elementwise, sh a uint32 array in [0, 64)."""
+    import jax.numpy as jnp
+
+    s = sh & jnp.uint32(31)
+    down = (jnp.uint32(32) - s) & jnp.uint32(31)
+    hi_small = (hi << s) | jnp.where(s == 0, jnp.uint32(0), lo >> down)
+    lo_small = lo << s
+    hi_big = lo << s
+    small = sh < jnp.uint32(32)
+    return (jnp.where(small, lo_small, jnp.uint32(0)),
+            jnp.where(small, hi_small, hi_big))
+
+
+def _natural_unpack_u64(lo, hi, width):
+    """u64 od unpack: packed limb planes (B, 16*W) -> natural lane-major
+    (B, 1024) plane pair."""
+    import jax.numpy as jnp
+
+    t, nl = 64, 16
+    b = lo.shape[0]
+    if width == 0:
+        z = jnp.zeros((b, layout.BLOCK), jnp.uint32)
+        return z, z
+    r = np.tile(np.arange(t, dtype=np.int64), nl)
+    k = (r * width) // t
+    sh = (r * width) % t
+    straddle = (sh + width > t) & (k + 1 < width)
+    SH = jnp.asarray(sh.astype(np.uint32))
+    SL = jnp.asarray((((t - sh) % t)).astype(np.uint32))
+    reps = [(_repeat_lanes(lo[:, kk * nl:(kk + 1) * nl], t),
+             _repeat_lanes(hi[:, kk * nl:(kk + 1) * nl], t))
+            for kk in range(width)]
+    acc_lo = jnp.zeros((b, layout.BLOCK), jnp.uint32)
+    acc_hi = jnp.zeros((b, layout.BLOCK), jnp.uint32)
+    for kk in range(width):
+        m = jnp.asarray(k == kk)
+        s_lo, s_hi = _shr64_vec(reps[kk][0], reps[kk][1], SH)
+        acc_lo = jnp.where(m, s_lo, acc_lo)
+        acc_hi = jnp.where(m, s_hi, acc_hi)
+    for kk in range(1, width):
+        m = (k == kk - 1) & straddle
+        if m.any():
+            s_lo, s_hi = _shl64_vec(reps[kk][0], reps[kk][1], SL)
+            mj = jnp.asarray(m)
+            acc_lo = jnp.where(mj, acc_lo | s_lo, acc_lo)
+            acc_hi = jnp.where(mj, acc_hi | s_hi, acc_hi)
+    if width < t:
+        mask = (1 << width) - 1
+        acc_lo = acc_lo & jnp.uint32(mask & 0xFFFFFFFF)
+        acc_hi = acc_hi & jnp.uint32((mask >> 32) & 0xFFFFFFFF)
+    return acc_lo, acc_hi
+
+
+def _seg_cumsum_u64(lo, hi, dtype="u64"):
+    """64-bit wrapping segmented cumsum on natural-order planes: cumsum
+    both limbs mod 2^32, then add the running count of low-limb overflows
+    to the high limb (a + b overflows iff the wrapped sum < b)."""
+    import jax.numpy as jnp
+
+    t, nl = 64, 16
+    b = lo.shape[0]
+    lo3 = lo.reshape(b, nl, t)
+    hi3 = hi.reshape(b, nl, t)
+    lo_c = jnp.cumsum(lo3, axis=-1, dtype=jnp.uint32)
+    carry = jnp.cumsum((lo_c < lo3).astype(jnp.uint32), axis=-1,
+                       dtype=jnp.uint32)
+    hi_c = jnp.cumsum(hi3, axis=-1, dtype=jnp.uint32) + carry
+    return lo_c.reshape(b, layout.BLOCK), hi_c.reshape(b, layout.BLOCK)
+
+
+def _add64(a_lo, a_hi, b_lo, b_hi):
+    import jax.numpy as jnp
+
+    lo = a_lo + b_lo
+    return lo, a_hi + b_hi + (lo < b_lo).astype(jnp.uint32)
+
+
 def _check_dtype(dtype) -> str:
-    dtype = layout.canon_dtype(dtype)
-    if eng.is_limb(dtype):
-        raise ValueError(
-            "output-domain decode has no u64 limb form (carry-aware "
-            "segmented cumsum); compose unpack(planes=True) with "
-            "untranspose instead")
-    return dtype
+    return layout.canon_dtype(dtype)
 
 
 def unpack_orig(packed, width, dtype):
     """unpack + untranspose in one pass: packed transposed-domain blocks ->
-    ORIGINAL-order (B, 1024) values, no transposed image materialized."""
+    ORIGINAL-order (B, 1024) values, no transposed image materialized.
+    u64 returns a (lo, hi) uint32 plane pair."""
     dtype = _check_dtype(dtype)
     layout.check_width(dtype, width)
     vec = eng.to_vec(packed, dtype)
     vec, had_batch = eng.promote_shape(vec, dtype)
-    out = _chunk_perm(_natural_unpack(vec, width, dtype), dtype)
+    if eng.is_limb(dtype):
+        lo, hi = _natural_unpack_u64(vec[0], vec[1], width)
+        out = _chunk_perm(lo, dtype), _chunk_perm(hi, dtype)
+    else:
+        out = _chunk_perm(_natural_unpack(vec, width, dtype), dtype)
+    return eng.squeeze_shape(out, had_batch, dtype)
+
+
+def _finish_delta_orig(nat, base, width, dtype, had_batch, vec):
+    """Shared tail of the delta-family orig decodes: segmented cumsum (+base)
+    in the natural domain, then the chunk permutation."""
+    t = layout.bit_width(dtype)
+    if eng.is_limb(dtype):
+        base_lo, base_hi = _base_2d(base, dtype, vec)
+        lo, hi = _seg_cumsum_u64(*nat)
+        lo, hi = _add64(lo, hi, _repeat_lanes(base_lo, t),
+                        _repeat_lanes(base_hi, t))
+        out = _chunk_perm(lo, dtype), _chunk_perm(hi, dtype)
+    else:
+        base_vec = _base_2d(base, dtype, vec)
+        nat = _seg_cumsum(nat, dtype) + _repeat_lanes(base_vec, t)
+        out = _chunk_perm(nat, dtype)
     return eng.squeeze_shape(out, had_batch, dtype)
 
 
 def undelta_pack_orig(packed, base, width, dtype):
     """undelta_pack + untranspose in one pass (delta.rs:48-63 composed with
-    transpose.rs:18-22): per-segment cumsum in the original domain."""
+    transpose.rs:18-22): per-segment cumsum in the original domain.
+    u64 returns a (lo, hi) uint32 plane pair (carry-propagating cumsum)."""
     dtype = _check_dtype(dtype)
     layout.check_width(dtype, width)
-    t = layout.bit_width(dtype)
     vec = eng.to_vec(packed, dtype)
     vec, had_batch = eng.promote_shape(vec, dtype)
-    base_vec = _base_2d(base, dtype, vec)
-    nat = _seg_cumsum(_natural_unpack(vec, width, dtype), dtype)
-    nat = nat + _repeat_lanes(base_vec, t)
-    out = _chunk_perm(nat, dtype)
-    return eng.squeeze_shape(out, had_batch, dtype)
+    if eng.is_limb(dtype):
+        nat = _natural_unpack_u64(vec[0], vec[1], width)
+    else:
+        nat = _natural_unpack(vec, width, dtype)
+    return _finish_delta_orig(nat, base, width, dtype, had_batch, vec)
 
 
 def unzdelta_pack_orig(packed, base, width, dtype):
@@ -166,27 +283,41 @@ def unzdelta_pack_orig(packed, base, width, dtype):
     per-segment cumsum -> chunk permutation, one traced pass."""
     import jax.numpy as jnp
 
+    from .. import transforms
+
     dtype = _check_dtype(dtype)
     layout.check_width(dtype, width)
-    t = layout.bit_width(dtype)
     vec = eng.to_vec(packed, dtype)
     vec, had_batch = eng.promote_shape(vec, dtype)
-    base_vec = _base_2d(base, dtype, vec)
-    nat = _natural_unpack(vec, width, dtype)
-    one = nat.dtype.type(1)
-    nat = (nat >> one) ^ (jnp.zeros_like(nat) - (nat & one))  # unzigzag bits
-    nat = _seg_cumsum(nat, dtype)
-    nat = nat + _repeat_lanes(base_vec, t)
-    out = _chunk_perm(nat, dtype)
-    return eng.squeeze_shape(out, had_batch, dtype)
+    if eng.is_limb(dtype):
+        zlo, zhi = _natural_unpack_u64(vec[0], vec[1], width)
+        nat = transforms.zigzag_decode_limb(zlo, zhi)
+    else:
+        z = _natural_unpack(vec, width, dtype)
+        one = z.dtype.type(1)
+        nat = (z >> one) ^ (jnp.zeros_like(z) - (z & one))  # unzigzag bits
+    return _finish_delta_orig(nat, base, width, dtype, had_batch, vec)
 
 
 def _base_2d(base, dtype, vec):
     """Base operand -> (B, LANES) in the packed batch: scalar, (LANES,)
-    shared, or (B, LANES) per-block (the ops/delta._base_vec conventions)."""
+    shared, or (B, LANES) per-block (the ops/delta._base_vec conventions).
+    u64: returns a ((B, LANES), (B, LANES)) plane pair."""
     import jax.numpy as jnp
 
     nl = layout.lanes(dtype)
+    if eng.is_limb(dtype):
+        b = vec[0].shape[0]
+        if isinstance(base, int):
+            lo = jnp.full((b, nl), base & 0xFFFFFFFF, jnp.uint32)
+            hi = jnp.full((b, nl), (base >> 32) & 0xFFFFFFFF, jnp.uint32)
+            return lo, hi
+        lo, hi = eng.to_vec(base, dtype)
+        if lo.ndim == 1:
+            if lo.shape[0] != nl:
+                raise ValueError(f"shared u64 base must be ({nl},)-shaped")
+            lo, hi = lo[None, :], hi[None, :]
+        return (jnp.broadcast_to(lo, (b, nl)), jnp.broadcast_to(hi, (b, nl)))
     jdt = jnp.dtype(layout.np_dtype(dtype).name)
     b = vec.shape[0]
     arr = jnp.asarray(base)

@@ -92,22 +92,24 @@ def _slice_out(out, b, planes):
     return out[:b]
 
 
-def _resolve_orig(use_kernels, orig_name, width, dtype):
+def _resolve_orig(use_kernels, orig_name, width, dtype, planes):
     """Resolve an original-order decode request to
     (name, use_kernels, orig_strategy). 'auto' takes the measured winner
     among od/compose (routing; compose's inner decode is itself routed);
-    explicit False takes the output-domain ops path (u64: ops compose),
-    True/'interpret' compose around that kernel path."""
+    explicit False takes the output-domain ops path, True/'interpret'
+    compose around that kernel path. u64 od emits (lo, hi) planes, so it
+    needs planes=True; the interleaved-image convention composes."""
     dtype = layout.canon_dtype(dtype)
+    od_ok = planes or not eng.is_limb(dtype)
     if use_kernels == "auto":
         from ..kernels import routing
 
         strat = routing.best_path(orig_name, dtype, width)
-        if strat == "od" and not eng.is_limb(dtype):
+        if strat == "od" and od_ok:
             return orig_name, False, "od"
         base = _ORIG_BASE[orig_name]
         return orig_name, _resolve_kernels("auto", base, width, dtype), "compose"
-    if not use_kernels and not eng.is_limb(dtype):
+    if not use_kernels and od_ok:
         return orig_name, False, "od"
     return orig_name, use_kernels, "compose"
 
@@ -136,7 +138,7 @@ def sharded_unpack(mesh, packed, width, dtype, axis="blocks", use_kernels="auto"
     to ORIGINAL order (untranspose fused per shard; see kernels.unpack_orig)."""
     if orig:
         name, use_kernels, strat = _resolve_orig(use_kernels, "unpack_orig",
-                                                 width, dtype)
+                                                 width, dtype, planes)
         return _sharded_unary(name, use_kernels, mesh, packed, width, dtype,
                               axis, planes=planes, orig_strategy=strat)
     return _sharded_unary("unpack", use_kernels, mesh, packed, width, dtype,
@@ -151,7 +153,7 @@ def _sharded_delta_family(op, mesh, packed, base, width, dtype, axis,
     strat = "compose"
     if orig:
         op, use_kernels, strat = _resolve_orig(use_kernels, op + "_orig",
-                                               width, dtype)
+                                               width, dtype, planes)
     else:
         use_kernels = _resolve_kernels(use_kernels, op, width, dtype)
     call = _build_sharded(op, use_kernels, width, dtype, axis, mesh,
@@ -304,7 +306,9 @@ def _kernel_or_op(name, use_kernels, planes=False, orig_strategy="compose"):
     ORIGINAL order: orig_strategy='od' is the output-domain formulation
     (ops/orig.py, non-u64), 'compose' is decode + untranspose per shard."""
     if name in _ORIG_BASE:
-        if orig_strategy == "od" and not planes:
+        if orig_strategy == "od":
+            # the od fns return (lo, hi) plane tuples for u64 — the sharded
+            # wrapper only selects od with planes=True there (_resolve_orig)
             from ..ops import orig as ops_orig
 
             return {

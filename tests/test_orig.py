@@ -85,12 +85,107 @@ def test_unbatched_and_base_forms():
     assert np.array_equal(got, want5)
 
 
-def test_orig_rejects_u64_and_bad_base():
-    with pytest.raises(ValueError):
-        ops_orig.unpack_orig(np.zeros((2, 96, 2), np.uint32), 3, "u64")
+def test_orig_rejects_bad_base():
     packed, base, wd, _ = _delta_fixture("u32", 4)
     with pytest.raises(ValueError):
         ops_orig.undelta_pack_orig(packed, base[:, :5], wd, "u32")
+
+
+def _u64_img(arr):
+    return np.ascontiguousarray(arr).view(np.uint32).reshape(*arr.shape, 2)
+
+
+@pytest.mark.parametrize("w", [1, 3, 31, 33, 40, 63, 64])
+def test_u64_od_unpack_orig(w):
+    """u64 output-domain unpack: vector-shift limb funnels across word
+    boundaries, bit-exact vs untranspose(unpack) at every shift regime."""
+    vals = RNG.integers(0, 1 << min(w, 63), (4, 1024), dtype=np.uint64)
+    if w == 64:
+        vals |= np.uint64(1) << np.uint64(63)
+    tr = ref.transpose(vals, "u64")
+    packed = ref.pack(tr, w, "u64")
+    want = _u64_img(ref.untranspose(ref.unpack(packed, w, "u64"), "u64"))
+    lo, hi = ops_orig.unpack_orig(_u64_img(packed), w, "u64")
+    assert np.array_equal(np.asarray(lo), want[..., 0]), f"lo w={w}"
+    assert np.array_equal(np.asarray(hi), want[..., 1]), f"hi w={w}"
+
+
+def test_u64_od_undelta_carry_propagation():
+    """The carry-propagating segmented cumsum: values cross the 2^32
+    boundary repeatedly so low-limb overflows MUST carry into the high
+    limb."""
+    nl = layout.lanes("u64")
+    # steps near 2^31 force frequent low-limb wraps in the prefix sums
+    steps = RNG.integers((1 << 31) - 5, (1 << 31) + 5, (6, 1024),
+                         dtype=np.uint64)
+    vals = np.cumsum(steps, axis=1, dtype=np.uint64) + np.uint64(0xFFFF0000)
+    tr = ref.transpose(vals, "u64")
+    base = np.ascontiguousarray(tr[:, :nl])
+    deltas = ref.delta(tr, base, "u64")
+    wd = int(deltas.max()).bit_length()
+    packed = ref.pack(deltas, wd, "u64")
+    want = _u64_img(ref.untranspose(ref.undelta_pack(packed, base, wd, "u64"),
+                                    "u64"))
+    lo, hi = ops_orig.undelta_pack_orig(_u64_img(packed), _u64_img(base), wd,
+                                        "u64")
+    assert np.array_equal(np.asarray(lo), want[..., 0])
+    assert np.array_equal(np.asarray(hi), want[..., 1])
+
+
+def test_u64_od_unzdelta():
+    nl = layout.lanes("u64")
+    steps = RNG.integers(-9, 9, (4, 1024), dtype=np.int64)
+    vals = (np.cumsum(steps, axis=1) + (1 << 40)).astype(np.uint64)
+    tr = ref.transpose(vals, "u64")
+    base = np.ascontiguousarray(tr[:, :nl])
+    zz = fio._zigzag_deltas(ref.delta(tr, base, "u64"))
+    wz = int(zz.max()).bit_length()
+    packed = ref.pack(zz, wz, "u64")
+    lo, hi = ops_orig.unzdelta_pack_orig(_u64_img(packed), _u64_img(base), wz,
+                                         "u64")
+    want = _u64_img(vals)
+    assert np.array_equal(np.asarray(lo), want[..., 0])
+    assert np.array_equal(np.asarray(hi), want[..., 1])
+
+
+def test_u64_kernel_entry_od_strategy():
+    nl = layout.lanes("u64")
+    vals = np.sort(RNG.integers(0, 1 << 45, (4, 1024), dtype=np.uint64),
+                   axis=1)
+    tr = ref.transpose(vals, "u64")
+    base = np.ascontiguousarray(tr[:, :nl])
+    deltas = ref.delta(tr, base, "u64")
+    wd = int(deltas.max()).bit_length()
+    packed = ref.pack(deltas, wd, "u64")
+    want = _u64_img(vals)
+    for strategy in ("od", "compose"):
+        lo, hi = kernels.undelta_pack_orig(
+            _u64_img(packed), _u64_img(base), wd, "u64", planes=True,
+            strategy=strategy)
+        assert np.array_equal(np.asarray(lo), want[..., 0]), strategy
+        assert np.array_equal(np.asarray(hi), want[..., 1]), strategy
+    # planes=False: the interleaved byte image
+    img = kernels.undelta_pack_orig(_u64_img(packed), _u64_img(base), wd,
+                                    "u64", strategy="od")
+    assert np.array_equal(np.asarray(img), want)
+
+
+def test_u64_sharded_orig_od_planes():
+    m = mesh_mod.make_mesh()
+    nl = layout.lanes("u64")
+    vals = np.sort(RNG.integers(0, 1 << 50, (16, 1024), dtype=np.uint64),
+                   axis=1)
+    tr = ref.transpose(vals, "u64")
+    base = np.ascontiguousarray(tr[:, :nl])
+    deltas = ref.delta(tr, base, "u64")
+    wd = int(deltas.max()).bit_length()
+    packed = ref.pack(deltas, wd, "u64")
+    lo, hi = psh.sharded_undelta_pack(
+        m, _u64_img(packed), _u64_img(base), wd, "u64",
+        use_kernels=False, planes=True, orig=True)
+    want = _u64_img(vals)
+    assert np.array_equal(np.asarray(lo), want[..., 0])
+    assert np.array_equal(np.asarray(hi), want[..., 1])
 
 
 @pytest.mark.parametrize("strategy", ["od", "compose"])

@@ -28,6 +28,16 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+# FASTLANES_TPU_PLATFORM=cpu forces the jax platform BEFORE backend init
+# (a site-installed accelerator plugin beats the JAX_PLATFORMS env var,
+# and a dead remote-TPU tunnel hangs backend setup).
+import os as _os
+
+if _os.environ.get("FASTLANES_TPU_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["FASTLANES_TPU_PLATFORM"])
+
 TABLE_PATH = "fastlanes_tpu/kernels/routing_tpu.json"
 
 # widths measured per op family; unmeasured widths route via nearest-width
@@ -53,10 +63,9 @@ def build_configs(quick: bool):
             for op in ("undelta_pack", "unzdelta_pack", "for_pack",
                        "unfor_pack", "delta_pack"):
                 configs.append((op, dt, w))
-            if dt != "u64":  # u64 orig decode always composes (no od form)
-                for op in ("unpack_orig", "undelta_pack_orig",
-                           "unzdelta_pack_orig"):
-                    configs.append((op, dt, w))
+            for op in ("unpack_orig", "undelta_pack_orig",
+                       "unzdelta_pack_orig"):
+                configs.append((op, dt, w))
     return configs
 
 
@@ -71,9 +80,19 @@ def main():
     ap.add_argument("--only-missing", action="store_true",
                     help="measure only configs absent from the existing table")
     ap.add_argument("--k", type=int, default=None, help="chain length")
+    ap.add_argument("--ops", default=None,
+                    help="comma-separated op names to measure (filter)")
+    ap.add_argument("--dtypes", default=None,
+                    help="comma-separated dtypes to measure (filter)")
     args = ap.parse_args()
 
     configs = build_configs(args.quick)
+    if args.ops:
+        keep = set(args.ops.split(","))
+        configs = [c for c in configs if c[0] in keep]
+    if args.dtypes:
+        keep_dt = set(args.dtypes.split(","))
+        configs = [c for c in configs if c[1] in keep_dt]
     if args.dry:
         for c in configs:
             print(":".join(map(str, c)))

@@ -7,6 +7,16 @@ import sys
 import numpy as np
 
 sys.path.insert(0, ".")
+
+# FASTLANES_TPU_PLATFORM=cpu forces the jax platform BEFORE backend init
+# (a site-installed accelerator plugin beats the JAX_PLATFORMS env var,
+# and a dead remote-TPU tunnel hangs backend setup).
+import os as _os
+
+if _os.environ.get("FASTLANES_TPU_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["FASTLANES_TPU_PLATFORM"])
 from fastlanes_tpu.core import layout
 from fastlanes_tpu.kernels import pallas_codecs as pk
 from fastlanes_tpu.ref import numpy_ref as ref
