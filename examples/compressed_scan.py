@@ -18,6 +18,15 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+# FASTLANES_TPU_PLATFORM=cpu forces the jax platform BEFORE backend init
+# (a dead remote-accelerator tunnel would hang at first jax use).
+import os as _os
+
+if _os.environ.get("FASTLANES_TPU_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["FASTLANES_TPU_PLATFORM"])
+
 import jax
 import jax.numpy as jnp
 

@@ -14,6 +14,15 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+# FASTLANES_TPU_PLATFORM=cpu forces the jax platform BEFORE backend init
+# (a dead remote-accelerator tunnel would hang at first jax use).
+import os as _os
+
+if _os.environ.get("FASTLANES_TPU_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["FASTLANES_TPU_PLATFORM"])
+
 import jax
 
 from fastlanes_tpu.models.codecs import DeltaCodec, auto_encode, get_codec
@@ -98,6 +107,32 @@ def main():
     assert stats["sum"] == int(col.sum()) and stats["count"] == 4000
     assert n_hi == int((col > (1 << 19)).sum())
     print("8. fused analytics (sum/min/max/count_where) over compressed ok")
+
+    # 9. Original-order fused decode + fused-producer encode (round-3 API).
+    from fastlanes_tpu import kernels
+    from fastlanes_tpu.ref import numpy_ref as npref
+
+    tr = npref.transpose(sorted_vals, "u32")
+    base = np.ascontiguousarray(tr[:, :32])
+    deltas = npref.delta(tr, base, "u32")
+    wd = int(deltas.max()).bit_length()
+    pd = npref.pack(deltas, wd, "u32")
+    orig = np.asarray(kernels.undelta_pack_orig(pd, base, wd, "u32"))
+    assert np.array_equal(orig, sorted_vals)  # untranspose fused into decode
+    import jax.numpy as jnp
+
+    pm = np.asarray(kernels.pack_map(
+        lambda v: v - jnp.uint32(1), sorted_vals + np.uint32(1), gw, "u32"))
+    assert np.array_equal(pm, np.asarray(bitpack.pack(sorted_vals, gw, "u32")))
+    print(f"9. orig-order fused decode (W={wd}) + pack_map fused encode ok")
+
+    # 10. u64 columns come back as LimbPlanes (lo/hi uint32 device planes).
+    col64 = np.sort(rng.integers(0, 1 << 44, 3000, np.int64).astype(np.uint64))
+    with tempfile.NamedTemporaryFile(suffix=".flt") as f:
+        fio.write_file(f.name, col64)
+        planes = fio_device.read_file_device(f.name)
+    assert np.array_equal(planes.to_u64().reshape(-1), col64)
+    print(f"10. u64 file -> LimbPlanes(shape={planes.shape}) bit-exact ok")
 
 
 if __name__ == "__main__":

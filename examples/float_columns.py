@@ -13,6 +13,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# FASTLANES_TPU_PLATFORM=cpu forces the jax platform BEFORE backend init
+# (a dead remote-accelerator tunnel would hang at first jax use).
+if os.environ.get("FASTLANES_TPU_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["FASTLANES_TPU_PLATFORM"])
+
 
 def main():
     from fastlanes_tpu import fio, fio_device, fio_table
