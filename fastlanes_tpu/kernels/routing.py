@@ -45,9 +45,37 @@ def _entries():
 def _load_file():
     try:
         with open(_TABLE_PATH) as f:
-            return json.load(f)["entries"]
+            doc = json.load(f)
+        entries = doc["entries"]
     except (OSError, KeyError, json.JSONDecodeError):
         return {}
+    _check_provenance(doc.get("platform", ""))
+    return entries
+
+
+@functools.lru_cache(maxsize=1)
+def _check_provenance(table_platform: str) -> None:
+    """Routing decisions are hardware measurements. If this process runs on
+    a TPU generation other than the one the table was tuned on, warn once —
+    the decisions still work (both strategies are correct), but the user
+    should regenerate with tools/tune_routing.py for fastest-path claims."""
+    import warnings
+
+    try:
+        import jax
+
+        dev = jax.devices()[0]
+    except Exception:  # pragma: no cover - no backend at all
+        return
+    if dev.platform != "tpu":
+        return  # off-TPU callers use defaults/explicit strategies
+    kind = getattr(dev, "device_kind", "")
+    if table_platform and kind and kind not in table_platform:
+        warnings.warn(
+            f"kernels/routing_tpu.json was tuned on {table_platform!r} but "
+            f"this process runs on {kind!r}; regenerate with "
+            "tools/tune_routing.py for measured fastest-path routing",
+            RuntimeWarning, stacklevel=3)
 
 
 # Stability margin: the kernel must beat ops by >8% to win a config. The
