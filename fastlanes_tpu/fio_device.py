@@ -17,6 +17,7 @@ device; `.to_u64()` a host uint64 array.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax.numpy as jnp
@@ -151,6 +152,28 @@ def _parse_delta_payload(raw, n_blocks, dtype, nl, np_dt, plen):
     return base, packed
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_chunk_decode(codec, w, dtype, planes):
+    """One jit-compiled executable per (codec, width, dtype): the routed
+    decode entries are otherwise traced EAGERLY here (the ops strategy
+    would run op-by-op — each op a ~26ms dispatch on a tunneled chip).
+    Shape-keyed by jit's own cache; ffor's reference rides in-graph."""
+    import jax
+
+    if codec == "zdelta":
+        return jax.jit(lambda p, b: pk.unzdelta_pack_orig(p, b, w, dtype,
+                                                          planes=planes))
+    if codec == "delta":
+        return jax.jit(lambda p, b: pk.undelta_pack_orig(p, b, w, dtype,
+                                                         planes=planes))
+    if codec == "bitpack":
+        return jax.jit(lambda p: pk.unpack(p, w, dtype, planes=planes))
+    if codec == "ffor":
+        return jax.jit(lambda p, r: pk.unfor_pack(p, r, w, dtype,
+                                                  planes=planes))
+    raise ValueError(f"unknown codec {codec!r}")
+
+
 def _decode_packed_device(codec, packed, base, w, ref_val, dtype, mesh,
                           use_kernels):
     """Device decode of a parsed (possibly multi-chunk batched) payload."""
@@ -164,22 +187,25 @@ def _decode_packed_device(codec, packed, base, w, ref_val, dtype, mesh,
                 return psh.sharded_unzdelta_pack(mesh, packed, base, w, dtype,
                                                  use_kernels=use_kernels,
                                                  planes=planes, orig=True)
-            return pk.unzdelta_pack_orig(packed, base, w, dtype, planes=planes)
-        if mesh is not None:
+        elif mesh is not None:
             return psh.sharded_undelta_pack(mesh, packed, base, w, dtype,
                                             use_kernels=use_kernels,
                                             planes=planes, orig=True)
-        return pk.undelta_pack_orig(packed, base, w, dtype, planes=planes)
+        if mesh is None:
+            return _jitted_chunk_decode(codec, w, dtype, planes)(packed, base)
     if codec == "bitpack":
         if mesh is not None:
             return psh.sharded_unpack(mesh, packed, w, dtype,
                                       use_kernels=use_kernels, planes=planes)
-        return pk.unpack(packed, w, dtype, planes=planes)
+        return _jitted_chunk_decode(codec, w, dtype, planes)(packed)
     if codec == "ffor":
         if mesh is not None:
             return psh.sharded_unfor_pack(mesh, packed, ref_val, w, dtype,
                                           use_kernels=use_kernels, planes=planes)
-        return pk.unfor_pack(packed, ref_val, w, dtype, planes=planes)
+        ref_arr = np.asarray(ref_val, layout.np_dtype(dtype))
+        if dtype == "u64":
+            ref_arr = ref_arr.reshape(1).view(np.uint32)  # (2,) limb pair
+        return _jitted_chunk_decode(codec, w, dtype, planes)(packed, ref_arr)
     raise ValueError(f"unknown codec {codec!r}")
 
 

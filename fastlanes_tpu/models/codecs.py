@@ -178,9 +178,11 @@ class DeltaCodec(Codec):
                        params={"base": base})
 
     def decode(self, enc: Encoded):
-        transposed = dispatch.get("undelta_pack", enc.dtype, enc.width)(
-            enc.payload, enc.params["base"])
-        return dispatch.get("untranspose", enc.dtype, 0)(transposed)
+        from .. import kernels
+
+        # routed original-order fused decode: no standalone untranspose pass
+        return kernels.undelta_pack_orig(enc.payload, enc.params["base"],
+                                         enc.width, enc.dtype)
 
 
 class ZDeltaCodec(Codec):
@@ -207,10 +209,11 @@ class ZDeltaCodec(Codec):
                        params={"base": base})
 
     def decode(self, enc: Encoded):
-        zz = dispatch.get("unpack", enc.dtype, enc.width)(enc.payload)
-        deltas = _unzigzag_device(zz, enc.dtype)
-        transposed = dispatch.get("undelta", enc.dtype, 0)(deltas, enc.params["base"])
-        return dispatch.get("untranspose", enc.dtype, 0)(transposed)
+        from .. import kernels
+
+        # one routed pass: unpack -> unzigzag -> prefix-sum -> original order
+        return kernels.unzdelta_pack_orig(enc.payload, enc.params["base"],
+                                          enc.width, enc.dtype)
 
 
 def _zigzag_device(deltas, dtype):
@@ -297,23 +300,24 @@ class RLECodec(Codec):
                                "run_values": run_values})
 
     def decode(self, enc: Encoded):
+        from .. import kernels
+
         counts = np.asarray(enc.params["counts"])
         run_values = np.asarray(enc.params["run_values"])
-        transposed = dispatch.get("undelta_pack", "u16", 1)(
-            enc.payload, enc.params["base"])
-        idx = dispatch.get("untranspose", "u16", 0)(transposed).astype(jnp.int32)
-        maxc = int(counts.max()) if len(counts) else 1
-        padded = np.zeros((enc.n_blocks, maxc), layout.np_dtype(enc.dtype))
-        offsets = np.cumsum(counts) - counts
-        for b in range(enc.n_blocks):
-            padded[b, : counts[b]] = run_values[offsets[b]: offsets[b] + counts[b]]
+        # per-block run index in original order (fused decode), then ONE
+        # vectorized gather into the flat run-value stream — no per-block
+        # host loop and no padded (B, max_count) staging table (worst-case
+        # 1024x memory when any block is run-dense)
+        idx = kernels.undelta_pack_orig(enc.payload, enc.params["base"],
+                                        1, "u16").astype(jnp.int32)
+        offsets = (np.cumsum(counts) - counts).astype(np.int32)
+        flat_idx = idx + jnp.asarray(offsets)[:, None]
         if eng.is_limb(enc.dtype):
-            rv = jnp.asarray(np.ascontiguousarray(padded).view(np.uint32)
-                             .reshape(enc.n_blocks, maxc, 2))
-            lo = jnp.take_along_axis(rv[..., 0], idx, axis=-1)
-            hi = jnp.take_along_axis(rv[..., 1], idx, axis=-1)
+            rv = np.ascontiguousarray(run_values).view(np.uint32).reshape(-1, 2)
+            lo = jnp.take(jnp.asarray(rv[:, 0]), flat_idx, axis=0)
+            hi = jnp.take(jnp.asarray(rv[:, 1]), flat_idx, axis=0)
             return jnp.stack([lo, hi], axis=-1)
-        return jnp.take_along_axis(jnp.asarray(padded), idx, axis=-1)
+        return jnp.take(jnp.asarray(run_values), flat_idx, axis=0)
 
 
 class ALPCodec(Codec):
