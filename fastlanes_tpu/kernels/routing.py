@@ -98,6 +98,9 @@ _UNMEASURED_DEFAULT = {
     "unzdelta_pack_orig": "od",
 }
 
+#: every execution strategy a table entry may name
+_STRATEGIES = frozenset(("pallas", "ops", "od", "compose"))
+
 
 @functools.lru_cache(maxsize=None)
 def _lookup(op: str, dtype: str, width: int):
@@ -120,7 +123,9 @@ def _lookup(op: str, dtype: str, width: int):
         exact = entries[f"{op}:{dtype}:{nearest}"]
     best, best_v = _UNMEASURED_DEFAULT.get(op, "pallas"), -1.0
     for strat, ips in exact.items():
-        if not isinstance(ips, (int, float)):
+        # entries may carry metadata fields (blocks, K, ...) — only known
+        # strategy names participate in the argmax
+        if strat not in _STRATEGIES or not isinstance(ips, (int, float)):
             continue
         # the Pallas strategy pays the compile-stability discount
         v = ips / _PALLAS_MARGIN if strat == "pallas" else float(ips)

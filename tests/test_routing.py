@@ -105,3 +105,19 @@ def test_warmup_compiles_routed_entries(rng):
     n = kernels.warmup(ops=("pack", "unpack", "undelta_pack", "unfor_pack"),
                        dtypes=("u16", "u64"), widths=(1, 3), n_blocks=4)
     assert n == 2 * 2 * 4
+
+
+def test_metadata_keys_ignored_by_argmax():
+    """Per-entry provenance fields (blocks, K, ...) must not participate in
+    the strategy argmax."""
+    from fastlanes_tpu.kernels import routing
+
+    try:
+        routing.set_table({"unpack:u32:3":
+                           {"ops": 2.0, "pallas": 1.0, "blocks": 131072}})
+        assert routing.best_path("unpack", "u32", 3) == "ops"
+        routing.set_table({"undelta_pack_orig:u32:3":
+                           {"od": 5.0, "compose": 1.0, "blocks": 99}})
+        assert routing.best_path("undelta_pack_orig", "u32", 3) == "od"
+    finally:
+        routing.set_table(None)

@@ -226,7 +226,8 @@ def main():
                     print(f"# {key} {strat} failed: {str(e)[:100]}",
                           file=sys.stderr)
             if rec:
-                entries[key] = rec
+                rec["blocks"] = n_blocks  # per-entry provenance (metadata
+                entries[key] = rec        # keys are ignored by routing)
                 print(json.dumps({key: rec}), flush=True)
             continue
         try:
@@ -246,6 +247,7 @@ def main():
             except Exception as e:  # pragma: no cover
                 print(f"# {key} pallas failed: {str(e)[:100]}", file=sys.stderr)
         if rec:
+            rec["blocks"] = n_blocks
             entries[key] = rec
             print(json.dumps({key: rec}), flush=True)
 
