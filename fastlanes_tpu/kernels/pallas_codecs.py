@@ -27,6 +27,7 @@ kernels in interpreter mode explicitly)."""
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -132,19 +133,19 @@ def _n_words(width, dtype):
 # through relayouts that cost more than the 4x lane-utilization win. Kept
 # (bit-exact, covered by interpret tests when enabled) as the documented
 # experiment; see MOSAIC_NOTES.md.
-_WIDE_DECODE = False
+_WIDE_DECODE = os.environ.get("FASTLANES_WIDE_DECODE", "0") == "1"
 
 # Decode row-plane staging: True routes unpacked rows through VMEM scratch
 # before the hook/assemble stage (historically paired with the word staging);
 # False feeds them straight into assemble. Toggled for measurement; the word
 # staging (the actual Mosaic miscompile fix) is unconditional.
-_STAGE_ROWS = False
+_STAGE_ROWS = os.environ.get("FASTLANES_STAGE_ROWS", "0") == "1"
 
 # Decode word staging: unpack's shift/or chains have at most TWO sources
 # (curr word, next word) — below the >=4 mixed-rotation terms the Mosaic
 # miscompile repro needs (MOSAIC_NOTES.md) — so direct packed-tile slices
 # may be safe for decode. Toggled for measurement; pack always stages.
-_STAGE_WORDS = True
+_STAGE_WORDS = os.environ.get("FASTLANES_STAGE_WORDS", "1") == "1"
 #
 # A (tile_b, LANES) row op uses only LANES of the VPU's 128 lanes (25% for
 # u32, 50% for u16). Every unpack row is the same two-term formula with
