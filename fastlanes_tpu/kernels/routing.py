@@ -96,10 +96,12 @@ _UNMEASURED_DEFAULT = {
     "unpack_orig": "od",
     "undelta_pack_orig": "od",
     "unzdelta_pack_orig": "od",
+    "unpack_wt": "assemble",  # the W=T relayout slot (ops/bitpack.py)
 }
 
 #: every execution strategy a table entry may name
-_STRATEGIES = frozenset(("pallas", "ops", "od", "compose"))
+_STRATEGIES = frozenset(("pallas", "ops", "od", "compose",
+                         "assemble", "gather", "grouptake", "mxu", "mxu8"))
 
 
 @functools.lru_cache(maxsize=None)

@@ -23,6 +23,10 @@ u64 runs on 2x32-bit limbs via the engine (TPUs have no 64-bit vector ints).
 
 from __future__ import annotations
 
+import functools
+
+import numpy as np
+
 from ..core import layout
 from . import _engine as eng
 
@@ -219,12 +223,102 @@ def unpack(packed, width: int, dtype, *, planes: bool = False) -> "jnp.ndarray":
     _check_planes(planes, dtype)
     vec = eng.to_vec(packed, dtype)
     vec, had_batch = eng.promote_shape(vec, dtype)
-    rows = dict(unpack_row_stream(vec, width, dtype))
-    out = assemble_blocks(rows, dtype)
+    t = layout.bit_width(dtype)
+    if width == t:
+        # W == T: no bit math — a pure relayout of LANES-wide word groups
+        # (macros.rs:126-132 is a copy loop). Strategy measured per dtype
+        # (routing key "unpack_wt"); 'assemble' is the classic concat.
+        out = _unpack_wt(vec, dtype, _wt_strategy(dtype))
+    else:
+        rows = dict(unpack_row_stream(vec, width, dtype))
+        out = assemble_blocks(rows, dtype)
     out = eng.squeeze_shape(out, had_batch, dtype)
     if planes:
         return out
     return eng.from_vec(out, dtype, like=packed)
+
+
+# -- W == T relayout strategies (VERDICT r3 item 2) --------------------------
+# At full width the packed image holds the transposed values verbatim, one
+# T-row per LANES-wide word group; unpack is a static permutation of those
+# groups. The concat assemble measured 43.8e9 ints/s u32 on v5e against a
+# ~102e9 copy SoL, so alternative relayout lowerings race for the slot:
+#   assemble   the classic row-stream concat (current default)
+#   gather     one static 1024-lane gather
+#   grouptake  (B, T, LANES) view + take on the group axis
+#   mxu        one-hot group-permutation einsum on 16-bit planes via the
+#              MXU (exact: every output sums exactly one product value*1,
+#              values < 2^16 are exact f32; zeros add exactly)
+#   mxu8       same on 8-bit planes in bf16 (all operands exactly
+#              representable)
+# benchmarks/exp_wt.py races them on hardware WITH on-device bit-exactness
+# gates; tools/tune_routing.py records the winner under "unpack_wt".
+
+
+@functools.lru_cache(maxsize=None)
+def _wt_group_perm(dtype) -> tuple:
+    """Output word-group g of the flat transposed block holds packed word
+    perm[g] (the assemble_blocks piece order)."""
+    t = layout.bit_width(dtype)
+    order = layout.row_order_by_offset(dtype)
+    return tuple(o * 8 + s for s in range(8) for o in order[:t // 8])
+
+
+@functools.lru_cache(maxsize=None)
+def _wt_strategy(dtype) -> str:
+    from ..kernels import routing
+
+    strat = routing.best_path("unpack_wt", dtype, layout.bit_width(dtype))
+    return strat if strat in _WT_IMPLS else "assemble"
+
+
+def _wt_one(x2d, dtype, strategy):
+    import jax.numpy as jnp
+
+    t = layout.bit_width(dtype)
+    nl = layout.lanes(dtype)
+    b = x2d.shape[0]
+    perm = _wt_group_perm(dtype)
+    if strategy == "gather":
+        flat = np.repeat(np.asarray(perm, np.int64) * nl, nl) + \
+            np.tile(np.arange(nl), t)
+        return x2d[:, jnp.asarray(flat)]
+    if strategy == "grouptake":
+        return jnp.take(x2d.reshape(b, t, nl),
+                        jnp.asarray(np.asarray(perm, np.int32)),
+                        axis=1).reshape(b, layout.BLOCK)
+    if strategy in ("mxu", "mxu8"):
+        bits = 8 if strategy == "mxu8" else 16
+        jdt = x2d.dtype
+        P = np.zeros((t, t), np.float32)
+        P[np.arange(t), perm] = 1.0
+        X = x2d.reshape(b, t, nl)
+        elem_bits = np.dtype(str(jdt)).itemsize * 8  # u64 arrives as u32 planes
+        out = None
+        for i in range(max(1, elem_bits // bits)):
+            plane = X if bits >= elem_bits else \
+                ((X >> jdt.type(i * bits)) & jdt.type((1 << bits) - 1))
+            plane = plane.astype(jnp.bfloat16 if bits <= 8 else jnp.float32)
+            Pm = jnp.asarray(P, jnp.bfloat16 if bits <= 8 else jnp.float32)
+            y = jnp.einsum("hg,bgl->bhl", Pm, plane,
+                           preferred_element_type=jnp.float32).astype(jdt)
+            out = y if out is None else out | (y << jdt.type(i * bits))
+        return out.reshape(b, layout.BLOCK)
+    raise ValueError(f"unknown W=T strategy {strategy!r}")
+
+
+_WT_IMPLS = ("assemble", "gather", "grouptake", "mxu", "mxu8")
+
+
+def _unpack_wt(vec, dtype, strategy):
+    if strategy == "assemble":
+        t = layout.bit_width(dtype)
+        rows = dict(unpack_row_stream(vec, t, dtype))
+        return assemble_blocks(rows, dtype)
+    if eng.is_limb(dtype):  # apply the relayout per limb plane
+        return (_wt_one(vec[0], dtype, strategy),
+                _wt_one(vec[1], dtype, strategy))
+    return _wt_one(vec, dtype, strategy)
 
 
 def unpack_planes(packed, width: int, dtype):

@@ -59,3 +59,32 @@ def test_unbatched_and_public_reexports():
     assert np.array_equal(got, ref.pack(vals[None], 3, "u32")[0])
     got = np.asarray(kernels.pack_map(lambda v: v + jnp.uint32(1), vals, 3, "u32"))
     assert np.array_equal(got, ref.pack((vals[None] + 1) & 7, 3, "u32")[0])
+
+
+@pytest.mark.parametrize("dt", ["u8", "u16", "u32", "u64"])
+@pytest.mark.parametrize("strategy", ["assemble", "gather", "grouptake",
+                                      "mxu", "mxu8"])
+def test_wt_strategies_bit_exact(dt, strategy):
+    """Every W=T relayout strategy (VERDICT r3 item 2 candidates) decodes
+    bit-exactly; the routed default stays 'assemble' until measured."""
+    from fastlanes_tpu.kernels import routing
+    from fastlanes_tpu.ops import _engine as eng
+
+    t = layout.bit_width(dt)
+    vals = RNG.integers(0, 1 << min(t, 63), (4, 1024),
+                        dtype=np.uint64).astype(layout.np_dtype(dt))
+    if dt == "u64":
+        vals |= np.uint64(1) << np.uint64(63)
+    packed = ref.pack(vals, t, dt)
+    arg = (np.ascontiguousarray(packed).view(np.uint32).reshape(4, 1024, 2)
+           if dt == "u64" else packed)
+    try:
+        routing.set_table({f"unpack_wt:{dt}:{t}": {strategy: 1.0}})
+        bitpack._wt_strategy.cache_clear()
+        got = np.asarray(bitpack.unpack(arg, t, dt))
+        want = (np.ascontiguousarray(vals).view(np.uint32).reshape(4, 1024, 2)
+                if dt == "u64" else vals)
+        assert np.array_equal(got, want), f"{dt} {strategy}"
+    finally:
+        routing.set_table(None)
+        bitpack._wt_strategy.cache_clear()

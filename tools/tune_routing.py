@@ -57,6 +57,7 @@ def build_configs(quick: bool):
         for w in PACK_WIDTHS[t]:
             configs.append(("pack", dt, w))
             configs.append(("unpack", dt, w))
+        configs.append(("unpack_wt", dt, t))  # W=T relayout strategy race
         if quick:
             continue
         for w in FUSED_WIDTHS[t]:
@@ -213,8 +214,31 @@ def main():
 
     for op, dt, w in configs:
         key = f"{op}:{dt}:{w}"
-        main, rest = make_inputs(op, dt, w)
+        main, rest = make_inputs("unpack" if op == "unpack_wt" else op, dt, w)
         rec = {}
+        if op == "unpack_wt":
+            # race the W=T relayout strategies through the public ops entry
+            # (forced via a table override; ops/bitpack._unpack_wt)
+            from fastlanes_tpu.kernels import routing as _routing
+            for strat in ("assemble", "gather", "grouptake", "mxu", "mxu8"):
+                try:
+                    _routing.set_table({key: {strat: 1.0}})
+                    ops_bitpack._wt_strategy.cache_clear()
+                    t_s = chained(
+                        lambda x, _w=w, _dt=dt: ops_bitpack.unpack(x, _w, _dt),
+                        main)
+                    rec[strat] = round(n_ints / t_s, 1)
+                except Exception as e:  # pragma: no cover
+                    print(f"# {key} {strat} failed: {str(e)[:100]}",
+                          file=sys.stderr)
+                finally:
+                    _routing.set_table(None)
+                    ops_bitpack._wt_strategy.cache_clear()
+            if rec:
+                rec["blocks"] = n_blocks
+                entries[key] = rec
+                print(json.dumps({key: rec}), flush=True)
+            continue
         if op in orig_fns:
             for strat, fn in orig_fns[op].items():
                 try:
