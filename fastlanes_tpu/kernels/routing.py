@@ -96,7 +96,8 @@ _UNMEASURED_DEFAULT = {
     "unpack_orig": "od",
     "undelta_pack_orig": "od",
     "unzdelta_pack_orig": "od",
-    "unpack_wt": "assemble",  # the W=T relayout slot (ops/bitpack.py)
+    "unpack_wt": "assemble",  # the W=T relayout slots (ops/bitpack.py)
+    "pack_wt": "assemble",
 }
 
 #: every execution strategy a table entry may name

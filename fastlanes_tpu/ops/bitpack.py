@@ -166,12 +166,14 @@ def pack(values, width: int, dtype) -> "jnp.ndarray":
     dtype = layout.canon_dtype(dtype)
     vec = eng.to_vec(values, dtype)
     vec, had_batch = eng.promote_shape(vec, dtype)
-    words = pack_words(_row_fn_of(vec, dtype), width, dtype, None)
-    if not words:
+    if width == layout.bit_width(dtype):
+        out = _pack_wt(vec, dtype, _pack_wt_strategy(dtype))
+    elif width == 0:
         b = (vec[0] if eng.is_limb(dtype) else vec).shape[0]
         out = eng.zeros((b, 0), dtype)
     else:
-        out = eng.concat_cols(words, dtype)
+        out = eng.concat_cols(pack_words(_row_fn_of(vec, dtype), width,
+                                         dtype, None), dtype)
     out = eng.squeeze_shape(out, had_batch, dtype)
     return eng.from_vec(out, dtype, like=values)
 
@@ -272,13 +274,13 @@ def _wt_strategy(dtype) -> str:
     return strat if strat in _WT_IMPLS else "assemble"
 
 
-def _wt_one(x2d, dtype, strategy):
+def _wt_one(x2d, dtype, strategy, perm=None):
     import jax.numpy as jnp
 
     t = layout.bit_width(dtype)
     nl = layout.lanes(dtype)
     b = x2d.shape[0]
-    perm = _wt_group_perm(dtype)
+    perm = _wt_group_perm(dtype) if perm is None else perm
     if strategy == "gather":
         flat = np.repeat(np.asarray(perm, np.int64) * nl, nl) + \
             np.tile(np.arange(nl), t)
@@ -319,6 +321,38 @@ def _unpack_wt(vec, dtype, strategy):
         return (_wt_one(vec[0], dtype, strategy),
                 _wt_one(vec[1], dtype, strategy))
     return _wt_one(vec, dtype, strategy)
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_wt_perm(dtype) -> tuple:
+    """Packed word r of the W=T image comes from input word group
+    row_offset(r) // LANES of the flat transposed block (the inverse of
+    _wt_group_perm)."""
+    t = layout.bit_width(dtype)
+    nl = layout.lanes(dtype)
+    return tuple(layout.row_offset(r) // nl for r in range(t))
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_wt_strategy(dtype) -> str:
+    from ..kernels import routing
+
+    strat = routing.best_path("pack_wt", dtype, layout.bit_width(dtype))
+    return strat if strat in _WT_IMPLS else "assemble"
+
+
+def _pack_wt(vec, dtype, strategy):
+    """W == T pack: the inverse group permutation (macros.rs:54-59 is a
+    copy loop) — same strategy set as _unpack_wt, routed via 'pack_wt'."""
+    if strategy == "assemble":
+        words = pack_words(_row_fn_of(vec, dtype), layout.bit_width(dtype),
+                           dtype, None)
+        return eng.concat_cols(words, dtype)
+    perm = _pack_wt_perm(dtype)
+    if eng.is_limb(dtype):
+        return (_wt_one(vec[0], dtype, strategy, perm),
+                _wt_one(vec[1], dtype, strategy, perm))
+    return _wt_one(vec, dtype, strategy, perm)
 
 
 def unpack_planes(packed, width: int, dtype):

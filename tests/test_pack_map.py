@@ -79,12 +79,22 @@ def test_wt_strategies_bit_exact(dt, strategy):
     arg = (np.ascontiguousarray(packed).view(np.uint32).reshape(4, 1024, 2)
            if dt == "u64" else packed)
     try:
-        routing.set_table({f"unpack_wt:{dt}:{t}": {strategy: 1.0}})
+        routing.set_table({f"unpack_wt:{dt}:{t}": {strategy: 1.0},
+                           f"pack_wt:{dt}:{t}": {strategy: 1.0}})
         bitpack._wt_strategy.cache_clear()
+        bitpack._pack_wt_strategy.cache_clear()
         got = np.asarray(bitpack.unpack(arg, t, dt))
         want = (np.ascontiguousarray(vals).view(np.uint32).reshape(4, 1024, 2)
                 if dt == "u64" else vals)
         assert np.array_equal(got, want), f"{dt} {strategy}"
+        # pack dual: strategy-packed bytes identical to the oracle's
+        varg = (np.ascontiguousarray(vals).view(np.uint32).reshape(4, 1024, 2)
+                if dt == "u64" else vals)
+        gp = np.asarray(bitpack.pack(varg, t, dt))
+        wantp = (np.ascontiguousarray(packed).view(np.uint32)
+                 .reshape(4, 1024, 2) if dt == "u64" else packed)
+        assert np.array_equal(gp, wantp), f"pack {dt} {strategy}"
     finally:
         routing.set_table(None)
         bitpack._wt_strategy.cache_clear()
+        bitpack._pack_wt_strategy.cache_clear()

@@ -57,7 +57,8 @@ def build_configs(quick: bool):
         for w in PACK_WIDTHS[t]:
             configs.append(("pack", dt, w))
             configs.append(("unpack", dt, w))
-        configs.append(("unpack_wt", dt, t))  # W=T relayout strategy race
+        configs.append(("unpack_wt", dt, t))  # W=T relayout strategy races
+        configs.append(("pack_wt", dt, t))
         if quick:
             continue
         for w in FUSED_WIDTHS[t]:
@@ -214,18 +215,23 @@ def main():
 
     for op, dt, w in configs:
         key = f"{op}:{dt}:{w}"
-        main, rest = make_inputs("unpack" if op == "unpack_wt" else op, dt, w)
+        _WT_BASE = {"unpack_wt": "unpack", "pack_wt": "pack"}
+        main, rest = make_inputs(_WT_BASE.get(op, op), dt, w)
         rec = {}
-        if op == "unpack_wt":
+        if op in _WT_BASE:
             # race the W=T relayout strategies through the public ops entry
-            # (forced via a table override; ops/bitpack._unpack_wt)
+            # (forced via a table override; ops/bitpack._unpack_wt/_pack_wt)
             from fastlanes_tpu.kernels import routing as _routing
+            base_fn = (ops_bitpack.unpack if op == "unpack_wt"
+                       else ops_bitpack.pack)
+            caches = (ops_bitpack._wt_strategy, ops_bitpack._pack_wt_strategy)
             for strat in ("assemble", "gather", "grouptake", "mxu", "mxu8"):
                 try:
                     _routing.set_table({key: {strat: 1.0}})
-                    ops_bitpack._wt_strategy.cache_clear()
+                    for c in caches:
+                        c.cache_clear()
                     t_s = chained(
-                        lambda x, _w=w, _dt=dt: ops_bitpack.unpack(x, _w, _dt),
+                        lambda x, _w=w, _dt=dt, _f=base_fn: _f(x, _w, _dt),
                         main)
                     rec[strat] = round(n_ints / t_s, 1)
                 except Exception as e:  # pragma: no cover
@@ -233,7 +239,8 @@ def main():
                           file=sys.stderr)
                 finally:
                     _routing.set_table(None)
-                    ops_bitpack._wt_strategy.cache_clear()
+                    for c in caches:
+                        c.cache_clear()
             if rec:
                 rec["blocks"] = n_blocks
                 entries[key] = rec
