@@ -4,6 +4,7 @@ layer; transparently falls back to XLA ops off-TPU."""
 from . import pallas_codecs
 from .pallas_codecs import (
     delta_pack,
+    delta_pack_orig,
     warmup,
     for_pack,
     pack,
@@ -20,5 +21,5 @@ from .pallas_codecs import (
 __all__ = [
     "pallas_codecs", "pack", "pack_map", "unpack", "undelta_pack", "unzdelta_pack", "delta_pack",
     "for_pack", "unfor_pack", "warmup",
-    "unpack_orig", "undelta_pack_orig", "unzdelta_pack_orig",
+    "unpack_orig", "undelta_pack_orig", "unzdelta_pack_orig", "delta_pack_orig",
 ]

@@ -828,6 +828,43 @@ def unzdelta_pack_orig(packed, base, width, dtype, *, strategy=None,
         packed, width, dtype, strategy, interpret, planes)
 
 
+def delta_pack_orig(values, width, dtype, *, zigzag=False, strategy=None,
+                    interpret=None):
+    """ENCODE dual: ORIGINAL-order values -> (packed, base) for the
+    delta/zdelta wire format. 'od' (default) traces transpose + delta
+    (+ zigzag) + pack in one pass with no transposed image (the device
+    encode previously paid a standalone ~22.8e9 ints/s transpose first);
+    'compose' materializes the transpose and uses the routed stages."""
+    dtype = layout.canon_dtype(dtype)
+    op = "zdelta_pack_orig_enc" if zigzag else "delta_pack_orig_enc"
+    if _route_orig(op, width, dtype, strategy) == "od":
+        from ..ops import orig as ops_orig
+
+        return ops_orig.delta_pack_orig(values, width, dtype, zigzag=zigzag)
+    from .. import transforms as _tr
+    from ..ops import delta as ops_delta
+    from ..ops import transpose as transpose_mod
+
+    nl = layout.lanes(dtype)
+    tr = jnp.asarray(transpose_mod.transpose(values, dtype))
+    # slice the POSITION axis: axis 0 when unbatched (or an unbatched u64
+    # limb image, whose trailing axis is the limb pair)
+    pos_axis0 = tr.ndim == 1 or (eng.is_limb(dtype) and tr.ndim == 2
+                                 and tr.dtype == jnp.uint32)
+    base = tr[:nl] if pos_axis0 else tr[:, :nl]
+    if not zigzag:
+        return delta_pack(tr, base, width, dtype, interpret=interpret), base
+    deltas = ops_delta.delta(tr, base, dtype)
+    arr = jnp.asarray(deltas)
+    if eng.is_limb(dtype) and arr.dtype == jnp.uint32:
+        zz = jnp.stack(_tr.zigzag_encode_limb(arr[..., 0], arr[..., 1]), -1)
+    else:
+        t = layout.bit_width(dtype)
+        zz = _tr.zigzag_encode(
+            jax.lax.bitcast_convert_type(arr, jnp.dtype(f"int{t}")))
+    return pack(zz, width, dtype, interpret=interpret), base
+
+
 def for_pack(values, reference, width, dtype, *, tile_b=None, interpret=None):
     use_ops, interp = _route("for_pack", width, dtype, interpret)
     if use_ops:

@@ -98,6 +98,8 @@ _UNMEASURED_DEFAULT = {
     "unzdelta_pack_orig": "od",
     "unpack_wt": "assemble",  # the W=T relayout slots (ops/bitpack.py)
     "pack_wt": "assemble",
+    "delta_pack_orig_enc": "od",  # encode duals (ops/orig.py)
+    "zdelta_pack_orig_enc": "od",
 }
 
 #: every execution strategy a table entry may name

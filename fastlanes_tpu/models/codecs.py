@@ -164,16 +164,17 @@ class DeltaCodec(Codec):
     name = "delta"
 
     def encode(self, values) -> Encoded:
+        from .. import kernels
+        from ..ops import orig as ops_orig
+
         dt = self.dtype
-        transposed = dispatch.get("transpose", dt, 0)(values)
-        nl = layout.lanes(dt)
-        base = _lane_base(transposed, dt, nl)
-        deltas = dispatch.get("delta", dt, 0)(transposed, base)
         if self.width is not None:
             w = self.width
         else:
-            w = min(layout.bit_width(dt), bits_needed(_device_max(deltas, dt)))
-        payload = dispatch.get("pack", dt, w)(deltas)
+            # width probe in the original domain (no transpose materialized)
+            d = ops_orig.deltas_orig(values, dt)
+            w = min(layout.bit_width(dt), bits_needed(_device_max(d, dt)))
+        payload, base = kernels.delta_pack_orig(values, w, dt)
         return Encoded(self.name, dt, w, _n_blocks_of(values, dt), payload,
                        params={"base": base})
 
@@ -195,16 +196,16 @@ class ZDeltaCodec(Codec):
     name = "zdelta"
 
     def encode(self, values) -> Encoded:
+        from .. import kernels
+        from ..ops import orig as ops_orig
+
         dt = self.dtype
-        transposed = dispatch.get("transpose", dt, 0)(values)
-        base = _lane_base(transposed, dt, layout.lanes(dt))
-        deltas = dispatch.get("delta", dt, 0)(transposed, base)
-        zz = _zigzag_device(deltas, dt)
         if self.width is not None:
             w = self.width
         else:
+            zz = ops_orig.deltas_orig(values, dt, zigzag=True)
             w = min(layout.bit_width(dt), bits_needed(_device_max(zz, dt)))
-        payload = dispatch.get("pack", dt, w)(zz)
+        payload, base = kernels.delta_pack_orig(values, w, dt, zigzag=True)
         return Encoded(self.name, dt, w, _n_blocks_of(values, dt), payload,
                        params={"base": base})
 
@@ -414,11 +415,12 @@ def _auto_plan(values, dt):
         "bitpack": min(t, bits_needed(vmax)),
         "ffor": min(t, bits_needed((vmax - vmin) % (1 << t))),
     }
-    transposed = dispatch.get("transpose", dt, 0)(values)
-    base = _lane_base(transposed, dt, nl)
-    deltas = dispatch.get("delta", dt, 0)(transposed, base)
-    widths["delta"] = min(t, bits_needed(_device_max(deltas, dt)))
-    zz = _zigzag_device(deltas, dt)
+    from ..ops import orig as ops_orig
+
+    # delta widths probed in the ORIGINAL domain — no transpose materialized
+    d = ops_orig.deltas_orig(values, dt)
+    widths["delta"] = min(t, bits_needed(_device_max(d, dt)))
+    zz = ops_orig.deltas_orig(values, dt, zigzag=True)
     widths["zdelta"] = min(t, bits_needed(_device_max(zz, dt)))
     widths["rle"] = 1
     base_bytes = n_blocks * nl * elem  # np.asarray(base).nbytes, incl. limbs
@@ -439,7 +441,7 @@ def _auto_plan(values, dt):
         "zdelta": payload_bytes(widths["zdelta"]) + base_bytes,
         "rle": n_blocks * (128 + 128 + 8) + n_runs * elem,
     }
-    return costs, widths, (vmin, base, deltas, zz)
+    return costs, widths, vmin
 
 
 def auto_costs(values, dtype) -> dict:
@@ -459,11 +461,13 @@ def auto_encode(values, dtype) -> Encoded:
     """Pick the smallest-output codec among bitpack/ffor/delta/zdelta.
 
     Deterministic: exact byte costs from one probe pass (see _auto_plan),
-    ties broken toward the simpler decode. The winner's encode REUSES the
-    probe's device intermediates — transpose/delta run exactly once per call
-    regardless of which codec wins."""
+    ties broken toward the simpler decode. The delta-family winner encodes
+    through the fused original-domain entry (kernels.delta_pack_orig) — no
+    transposed image is ever materialized."""
+    from .. import kernels
+
     dt = layout.canon_dtype(dtype)
-    costs, widths, (vmin, base, deltas, zz) = _auto_plan(values, dt)
+    costs, widths, vmin = _auto_plan(values, dt)
     name = min(costs, key=lambda k: (costs[k], _TIE_ORDER[k]))
     w = widths[name]
     n_blocks = _n_blocks_of(values, dt)
@@ -476,6 +480,6 @@ def auto_encode(values, dtype) -> Encoded:
                        params={"reference": vmin})
     if name == "rle":
         return RLECodec(dt).encode(values)  # host-side run detection
-    src = deltas if name == "delta" else zz
-    payload = dispatch.get("pack", dt, w)(src)
+    payload, base = kernels.delta_pack_orig(values, w, dt,
+                                            zigzag=name == "zdelta")
     return Encoded(name, dt, w, n_blocks, payload, params={"base": base})

@@ -26,12 +26,17 @@ using only TPU-friendly vocabulary:
     column slices — whole-chunk moves applied LAST, where XLA can fuse
     them into the producing selects instead of running a standalone pass).
 
-u64 is not expressible here without limb-carry cumsum; callers compose
-the plane decode with untranspose instead (kernels route per measurement).
+u64 runs the same formulations in the (lo, hi) limb-plane domain: shifts
+become vector-amount funnels across the limbs and the delta prefix sum
+propagates carries via a second cumsum of low-limb overflow indicators.
 
-Reference parity: macros.rs:101-174 (unpack) and delta.rs:48-63
-(undelta_pack) composed with transpose.rs:18-22; the output-domain rewrite
-is TPU-first structure with no reference counterpart.
+The module also holds the ENCODE duals (delta_pack_orig / deltas_orig):
+original-order values -> the delta/zdelta wire format in one pass, no
+transposed image materialized.
+
+Reference parity: macros.rs:35-174 (pack/unpack) and delta.rs:25-63
+composed with transpose.rs:11-22; the output/input-domain rewrites are
+TPU-first structure with no reference counterpart.
 """
 
 from __future__ import annotations
@@ -337,3 +342,113 @@ def _base_2d(base, dtype, vec):
             raise ValueError(f"per-block base must be ({b}, {nl}), got {arr.shape}")
         return arr
     raise ValueError(f"base rank {arr.ndim} not supported")
+
+
+# -- encode duals: ORIGINAL-order values -> delta/zdelta wire format ---------
+# The encode path previously materialized the transposed image first (a
+# standalone ~22.8e9 ints/s permute on v5e) before delta+pack. Here the
+# transpose never exists: transposed(r, l) = orig[seg_of_lane[l]*T + r], so
+# a (B, LANES, T) view + ONE static lane-axis take exposes every transposed
+# row as a minor-axis slice, and delta/zigzag/pack trace straight off it
+# (the encode dual of undelta_pack_orig; reference transpose.rs:11-15 +
+# delta.rs:25-33 + macros.rs:35-98 in one pass).
+
+
+@functools.lru_cache(maxsize=None)
+def _seg_of_lane(dtype) -> tuple:
+    """transposed(r, l) = orig[_seg_of_lane[l]*T + r]."""
+    t = layout.bit_width(dtype)
+    return tuple(int(layout.transpose_index(layout.index(0, lane, dtype)) // t)
+                 for lane in range(layout.lanes(dtype)))
+
+
+def _orig_rows_one(x2d, dtype):
+    """(B, 1024) original order -> (B, LANES, T) with [:, l, r] =
+    transposed(r, l): reshape + one static lane-axis take."""
+    import jax.numpy as jnp
+
+    t = layout.bit_width(dtype)
+    nl = layout.lanes(dtype)
+    b = x2d.shape[0]
+    X3 = x2d.reshape(b, nl, t)
+    return X3[:, jnp.asarray(np.asarray(_seg_of_lane(dtype), np.int32)), :]
+
+
+def _orig_rows(vec, dtype):
+    if eng.is_limb(dtype):
+        return _orig_rows_one(vec[0], dtype), _orig_rows_one(vec[1], dtype)
+    return _orig_rows_one(vec, dtype)
+
+
+def _p3_row(P3, r, dtype):
+    if eng.is_limb(dtype):
+        return P3[0][..., r], P3[1][..., r]
+    return P3[..., r]
+
+
+def _zigzag_vec(d, dtype):
+    """Wrapping-unsigned delta -> zigzag code, in-domain (u = (v << 1) ^
+    (v >> T-1 arithmetic); transforms.py formulas restated unsigned)."""
+    import jax.numpy as jnp
+
+    if eng.is_limb(dtype):
+        from .. import transforms
+
+        return transforms.zigzag_encode_limb(d[0], d[1])
+    t = layout.bit_width(dtype)
+    one = d.dtype.type(1)
+    sign = jnp.zeros_like(d) - (d >> d.dtype.type(t - 1))
+    return (d << one) ^ sign
+
+
+def deltas_orig(values, dtype, *, zigzag: bool = False):
+    """The delta image (rows 1..T-1; row 0 vs the per-block base is zero)
+    computed from ORIGINAL-order values without a transpose — order is
+    lane-major, intended for width selection (max), not the wire."""
+    dtype = _check_dtype(dtype)
+    vec = eng.to_vec(values, dtype)
+    vec, _ = eng.promote_shape(vec, dtype)
+    P3 = _orig_rows(vec, dtype)
+    if eng.is_limb(dtype):
+        d = eng.sub((P3[0][..., 1:], P3[1][..., 1:]),
+                    (P3[0][..., :-1], P3[1][..., :-1]), dtype)
+    else:
+        d = eng.sub(P3[..., 1:], P3[..., :-1], dtype)
+    if zigzag:
+        d = _zigzag_vec(d, dtype)
+    return d
+
+
+def delta_pack_orig(values, width, dtype, *, zigzag: bool = False):
+    """ORIGINAL-order values -> (packed, base): transpose + per-lane delta
+    (+ zigzag) + pack in ONE traced pass; the transposed image is never
+    materialized. base is the per-block transposed row 0 ((B, LANES), the
+    fio delta-chunk convention), so delta row 0 is zero."""
+    dtype = _check_dtype(dtype)
+    layout.check_width(dtype, width)
+    t = layout.bit_width(dtype)
+    nl = layout.lanes(dtype)
+    vec = eng.to_vec(values, dtype)
+    vec, had_batch = eng.promote_shape(vec, dtype)
+    P3 = _orig_rows(vec, dtype)
+    base = _p3_row(P3, 0, dtype)
+
+    def row_fn(r):
+        if r == 0:
+            b = (vec[0] if eng.is_limb(dtype) else vec).shape[0]
+            return eng.zeros((b, nl), dtype)
+        d = eng.sub(_p3_row(P3, r, dtype), _p3_row(P3, r - 1, dtype), dtype)
+        return _zigzag_vec(d, dtype) if zigzag else d
+
+    from .bitpack import pack_words
+
+    words = pack_words(row_fn, width, dtype, None)
+    if not words:
+        b = (vec[0] if eng.is_limb(dtype) else vec).shape[0]
+        packed = eng.zeros((b, 0), dtype)
+    else:
+        packed = eng.concat_cols(words, dtype)
+    packed = eng.squeeze_shape(packed, had_batch, dtype)
+    base = eng.squeeze_shape(base, had_batch, dtype)
+    return (eng.from_vec(packed, dtype, like=values),
+            eng.from_vec(base, dtype, like=values))

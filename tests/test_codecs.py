@@ -123,9 +123,10 @@ def test_auto_encode_picks_zdelta_for_noisy_sorted(rng):
         np.asarray(get_codec(enc.codec, "u32").decode(enc)), values)
 
 
-def test_auto_encode_single_device_pass(rng, monkeypatch):
-    """The winner's encode reuses the probe's intermediates: transpose and
-    delta each run exactly once per auto_encode call, whatever codec wins."""
+def test_auto_encode_no_standalone_transpose(rng, monkeypatch):
+    """auto_encode probes widths in the ORIGINAL domain and the delta-family
+    winner encodes via the fused kernels.delta_pack_orig — no standalone
+    transpose/delta dispatch runs at all."""
     from fastlanes_tpu.models import codecs as codecs_mod
     from fastlanes_tpu.ops import dispatch
 
@@ -146,8 +147,8 @@ def test_auto_encode_single_device_pass(rng, monkeypatch):
             calls[k] = 0
         enc = codecs_mod.auto_encode(values, "u32")
         assert enc.codec == want
-        assert calls["transpose"] == 1 and calls["delta"] == 1
-        assert calls["pack"] == (1 if want != "ffor" else 0)
+        assert calls["transpose"] == 0 and calls["delta"] == 0
+        assert calls["pack"] == (1 if want == "bitpack" else 0)
 
 
 @pytest.mark.parametrize("dt", ["u16", "u64"])

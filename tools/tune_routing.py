@@ -66,7 +66,8 @@ def build_configs(quick: bool):
                        "unfor_pack", "delta_pack"):
                 configs.append((op, dt, w))
             for op in ("unpack_orig", "undelta_pack_orig",
-                       "unzdelta_pack_orig"):
+                       "unzdelta_pack_orig", "delta_pack_orig_enc",
+                       "zdelta_pack_orig_enc"):
                 configs.append((op, dt, w))
     return configs
 
@@ -153,7 +154,8 @@ def main():
         np_dt = layout.np_dtype(dt)
         hi = 1 << min(max(w, 1), t)
         values = rng.integers(0, hi, (n_blocks, 1024), dtype=np.uint64).astype(np_dt)
-        if op in ("pack", "delta_pack", "for_pack"):
+        if op in ("pack", "delta_pack", "for_pack",
+                  "delta_pack_orig_enc", "zdelta_pack_orig_enc"):
             main = values
         else:
             main = ref.pack(values, w, dt)
@@ -196,6 +198,17 @@ def main():
     from fastlanes_tpu.ops import orig as ops_orig
 
     orig_fns = {  # the two strategies of the *_orig entries (VERDICT item 1)
+        "delta_pack_orig_enc": {
+            "od": lambda v, w, dt: ops_orig.delta_pack_orig(v, w, dt)[0],
+            "compose": lambda v, w, dt: pk.delta_pack_orig(
+                v, w, dt, strategy="compose")[0],
+        },
+        "zdelta_pack_orig_enc": {
+            "od": lambda v, w, dt: ops_orig.delta_pack_orig(
+                v, w, dt, zigzag=True)[0],
+            "compose": lambda v, w, dt: pk.delta_pack_orig(
+                v, w, dt, zigzag=True, strategy="compose")[0],
+        },
         "unpack_orig": {
             "od": lambda p, w, dt: ops_orig.unpack_orig(p, w, dt),
             "compose": lambda p, w, dt: pk.unpack_orig(p, w, dt,
