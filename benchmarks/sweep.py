@@ -183,6 +183,43 @@ def main():
           "unfused_ints_per_s": n_ints / t_unfused,
           "fusion_speedup": t_unfused / t_fused})
 
+    # the sorted-column FILE-READ decode (VERDICT r3 item 1): routed
+    # original-order fused decode vs decode + standalone untranspose, and
+    # the encode dual vs transpose-then-encode — per dtype at the column's
+    # natural delta width
+    from fastlanes_tpu import kernels as _k
+    from fastlanes_tpu.ref import numpy_ref as _ref
+
+    for dt in dtypes:
+        t = layout.bit_width(dt)
+        nl = layout.lanes(dt)
+        np_dt = layout.np_dtype(dt)
+        col = np.sort(rng.integers(0, 1 << min(t - 2, 62), (n_blocks, 1024),
+                                   dtype=np.uint64).astype(np_dt), axis=1)
+        trc = _ref.transpose(col, dt)
+        base_c = np.ascontiguousarray(trc[:, :nl])
+        deltas_c = _ref.delta(trc, base_c, dt)
+        wd = int(deltas_c.max()).bit_length()
+        packed_c = jnp.asarray(to_jax_form(_ref.pack(deltas_c, wd, dt), dt))
+        base_j = jnp.asarray(to_jax_form(base_c, dt))
+        col_j = jnp.asarray(to_jax_form(col, dt))
+        t_orig = chained_time(
+            lambda p, b, _w=wd, _dt=dt: _k.undelta_pack_orig(p, b, _w, _dt),
+            packed_c, base_j)
+        t_comp = chained_time(
+            lambda p, b, _w=wd, _dt=dt: _k.undelta_pack_orig(
+                p, b, _w, _dt, strategy="compose"), packed_c, base_j)
+        t_enc = chained_time(
+            lambda v, _w=wd, _dt=dt: _k.delta_pack_orig(v, _w, _dt)[0], col_j)
+        t_enc_c = chained_time(
+            lambda v, _w=wd, _dt=dt: _k.delta_pack_orig(
+                v, _w, _dt, strategy="compose")[0], col_j)
+        emit({"bench": "sorted_file_decode", "dtype": dt, "width": wd,
+              "orig_routed_ints_per_s": n_ints / t_orig,
+              "compose_ints_per_s": n_ints / t_comp,
+              "encode_orig_ints_per_s": n_ints / t_enc,
+              "encode_compose_ints_per_s": n_ints / t_enc_c})
+
     # C++ host codec (single-thread). Warm first + median of 5: a cold
     # one-shot call spends most of its time page-faulting the freshly
     # allocated numpy output (67 MB at this batch), not decoding — the
