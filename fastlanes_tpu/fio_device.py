@@ -64,30 +64,7 @@ def _decode_chunk_device(meta: dict, raw: bytes, n_blocks: int, dtype: str,
     plen = layout.packed_len(dtype, w)
 
     if codec == "rle":
-        counts, basev, packed_idx, run_values = fio._split_rle_payload(
-            meta, raw, n_blocks, dtype)
-        pi = jnp.asarray(np.ascontiguousarray(packed_idx))
-        bv = jnp.asarray(np.ascontiguousarray(basev))
-        if mesh is not None:
-            idx_u16 = psh.sharded_undelta_pack(mesh, pi, bv, 1, "u16",
-                                               use_kernels=use_kernels,
-                                               orig=True)
-        else:
-            idx_u16 = pk.undelta_pack_orig(pi, bv, 1, "u16")
-        idx = idx_u16.astype(jnp.int32)
-        # gather: per-block run index + the block's offset into the flat run
-        # value stream = one vectorized device gather. No per-block host
-        # loop, and memory stays at the exact run count (a padded
-        # (n_blocks, max_count) staging table is worst-case 1024x larger
-        # when any block is run-dense).
-        offsets = (np.cumsum(counts) - counts).astype(np.int32)
-        flat_idx = idx + jnp.asarray(offsets)[:, None]
-        rv = _np_to_device_form(np.ascontiguousarray(run_values), dtype)
-        if dtype == "u64":
-            # separate planes out — no interleaving stack (the fast form)
-            return (jnp.take(rv[..., 0], flat_idx, axis=0),
-                    jnp.take(rv[..., 1], flat_idx, axis=0))
-        return jnp.take(rv, flat_idx, axis=0)
+        return _decode_rle_batched([(meta, raw)], dtype, mesh, use_kernels)
 
     if codec == "alprd":
         from . import alp as alp_mod
@@ -212,15 +189,58 @@ def _decode_packed_device(codec, packed, base, w, ref_val, dtype, mesh,
 #: codecs whose payloads batch across chunks (same width) into ONE device
 #: dispatch — each remote call costs ~26ms on a tunneled chip, so a
 #: 64-chunk file decoded chunk-at-a-time is dispatch-bound (VERDICT r2
-#: weak #10). ffor stays per-chunk: its per-chunk scalar reference would
-#: need per-block reference plumbing through the Pallas kernels.
-_BATCHABLE = ("bitpack", "delta", "zdelta")
+#: weak #10). rle always batches (the run-index stream is W=1 by
+#: construction; run values concatenate into one flat gather). ffor stays
+#: per-chunk: its per-chunk scalar reference would need per-block
+#: reference plumbing through the Pallas kernels.
+_BATCHABLE = ("bitpack", "delta", "zdelta", "rle")
 
 
 def _group_sig(meta):
     if meta["codec"] in _BATCHABLE:
         return (meta["codec"], meta["width"])
     return None
+
+
+def _decode_rle_batched(run, dtype, mesh, use_kernels):
+    """All rle chunks of a run decode in ONE index-decode dispatch + ONE
+    gather: per-chunk host payload splits, then concatenated index streams
+    and a flat run-value stream with global offsets."""
+    pis, bvs, all_counts, rvs = [], [], [], []
+    for meta, raw in run:
+        counts, basev, packed_idx, run_values = fio._split_rle_payload(
+            meta, raw, meta["n_blocks"], dtype)
+        pis.append(packed_idx)
+        bvs.append(basev)
+        all_counts.append(counts)
+        rvs.append(run_values)
+    pi = jnp.asarray(np.concatenate([np.ascontiguousarray(p) for p in pis]))
+    bv = jnp.asarray(np.concatenate([np.ascontiguousarray(b) for b in bvs]))
+    counts = np.concatenate(all_counts)
+    run_values = np.concatenate(rvs)
+    return _rle_gather(pi, bv, counts, run_values, dtype, mesh, use_kernels)
+
+
+def _rle_gather(pi, bv, counts, run_values, dtype, mesh, use_kernels):
+    if mesh is not None:
+        idx_u16 = psh.sharded_undelta_pack(mesh, pi, bv, 1, "u16",
+                                           use_kernels=use_kernels, orig=True)
+    else:
+        idx_u16 = pk.undelta_pack_orig(pi, bv, 1, "u16")
+    idx = idx_u16.astype(jnp.int32)
+    # gather: per-block run index + the block's offset into the flat run
+    # value stream = one vectorized device gather. No per-block host loop,
+    # and memory stays at the exact run count (a padded (n_blocks,
+    # max_count) staging table is worst-case 1024x larger when any block
+    # is run-dense).
+    offsets = (np.cumsum(counts) - counts).astype(np.int32)
+    flat_idx = idx + jnp.asarray(offsets)[:, None]
+    rv = _np_to_device_form(np.ascontiguousarray(run_values), dtype)
+    if dtype == "u64":
+        # separate planes out — no interleaving stack (the fast form)
+        return (jnp.take(rv[..., 0], flat_idx, axis=0),
+                jnp.take(rv[..., 1], flat_idx, axis=0))
+    return jnp.take(rv, flat_idx, axis=0)
 
 
 def _decode_chunks_grouped(covering, dtype, mesh, use_kernels):
@@ -248,6 +268,10 @@ def _decode_chunks_grouped(covering, dtype, mesh, use_kernels):
         plen = layout.packed_len(dtype, w)
         run = covering[i:j]
         # concatenate payloads on the HOST, then one transfer + one dispatch
+        if codec == "rle":
+            parts.append(_decode_rle_batched(run, dtype, mesh, use_kernels))
+            i = j
+            continue
         if codec in ("delta", "zdelta"):
             pairs = [_parse_delta_payload(r, m["n_blocks"], dtype, nl, np_dt,
                                           plen) for m, r in run]

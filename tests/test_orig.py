@@ -366,3 +366,38 @@ def test_chunk_batching_mixed_codecs(tmp_path):
     assert len({ch["codec"] for ch in hdr["chunks"]}) >= 2
     got = fio_device.read_file_device(p)
     assert np.array_equal(np.asarray(got).reshape(-1), vals)
+
+
+def test_rle_multichunk_batched(tmp_path, monkeypatch):
+    """Multiple rle chunks decode through ONE index-decode dispatch with a
+    single flat run-value gather across the whole file."""
+    from fastlanes_tpu import fio_device as fd
+
+    calls = []
+    real = fd._rle_gather
+    monkeypatch.setattr(fd, "_rle_gather",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+    rng = np.random.default_rng(5)
+    reps = rng.integers(1, 200, 800)
+    flat = np.repeat(rng.integers(0, 50, 800).astype(np.uint32), reps)
+    flat = flat[:16 * 1024]
+    p = str(tmp_path / "runs.flt")
+    fio.write_file(p, flat, codec="rle", chunk_blocks=4)
+    assert len(fio.read_header(p)["chunks"]) == 4
+    got = fio_device.read_file_device(p)
+    assert np.array_equal(np.asarray(got).reshape(-1), flat)
+    assert len(calls) == 1, f"expected one batched rle dispatch, got {len(calls)}"
+
+
+def test_rle_multichunk_partial_range(tmp_path):
+    rng = np.random.default_rng(6)
+    reps = rng.integers(1, 100, 2000)
+    flat = np.repeat(rng.integers(0, 1 << 40, 2000).astype(np.uint64), reps)
+    flat = flat[:24 * 1024]
+    p = str(tmp_path / "runs64.flt")
+    fio.write_file(p, flat, codec="rle", chunk_blocks=4)
+    want = fio.read_blocks(p, 3, 21)
+    got = fio_device.read_blocks_device(p, 3, 21)
+    got_img = np.asarray(got)
+    assert np.array_equal(
+        np.ascontiguousarray(got_img).view(np.uint64)[..., 0], want)
