@@ -233,3 +233,59 @@ def test_fuzz_fused_kernels_interpret(seed):
             tile_b=4, interpret=True), dt)
         want = transposed
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_fuzz_orig_decode_and_encode_duals(seed):
+    """Differential fuzz for the round-3 original-order paths: od decode ==
+    untranspose(oracle decode); encode dual == oracle transpose+delta(+zz)
+    +pack — random dtypes/widths/shapes/content incl. degenerate blocks."""
+    from fastlanes_tpu.ops import orig as ops_orig
+
+    def as_host(x, _dt):
+        """Plane tuples (u64 od outputs) -> host values like from_jax_form."""
+        if isinstance(x, tuple):
+            img = np.stack([np.asarray(x[0]), np.asarray(x[1])], axis=-1)
+            return np.ascontiguousarray(img).view("<u8")[..., 0]
+        return from_jax_form(x, _dt)
+
+    rng = np.random.default_rng(0x0819 + seed)
+    dt, w, vals = _gen_case(rng)
+    t = layout.bit_width(dt)
+    nl = layout.lanes(dt)
+
+    transposed = ref.transpose(vals, dt)
+    base = np.ascontiguousarray(transposed[:, :nl])
+    deltas = ref.delta(transposed, base, dt)
+    wd = max(1, min(t, int(deltas.max()).bit_length()))
+    dp = ref.pack(deltas, wd, dt)
+    want = ref.untranspose(ref.undelta_pack(dp, base, wd, dt), dt)
+
+    got = ops_orig.undelta_pack_orig(to_jax_form(dp, dt),
+                                     to_jax_form(base, dt), wd, dt)
+    np.testing.assert_array_equal(as_host(got, dt), want)
+
+    # encode dual reproduces the oracle wire bytes
+    packed_enc, base_enc = ops_orig.delta_pack_orig(to_jax_form(vals, dt),
+                                                    wd, dt)
+    np.testing.assert_array_equal(from_jax_form(packed_enc, dt), dp)
+    np.testing.assert_array_equal(from_jax_form(base_enc, dt), base)
+
+    # zdelta round: encode dual -> od decode == original values
+    from fastlanes_tpu import fio as fio_mod
+
+    zz = fio_mod._zigzag_deltas(deltas)
+    wz = max(1, min(t, int(zz.max()).bit_length()))
+    packed_z, _ = ops_orig.delta_pack_orig(to_jax_form(vals, dt), wz, dt,
+                                           zigzag=True)
+    np.testing.assert_array_equal(from_jax_form(packed_z, dt),
+                                  ref.pack(zz, wz, dt))
+    rt = ops_orig.unzdelta_pack_orig(packed_z, to_jax_form(base, dt), wz, dt)
+    np.testing.assert_array_equal(as_host(rt, dt), vals)
+
+    # plain unpack_orig at the case width
+    pv = ref.pack(transposed, w, dt)
+    got_u = ops_orig.unpack_orig(to_jax_form(pv, dt), w, dt)
+    np.testing.assert_array_equal(
+        as_host(got_u, dt),
+        ref.untranspose(ref.unpack(pv, w, dt), dt))
