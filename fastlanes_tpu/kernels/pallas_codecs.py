@@ -768,9 +768,12 @@ def _orig_entry(op, decode_fn, od_fn, packed, width, dtype, strategy,
                 interpret, planes):
     """Shared driver for the *_orig entries: route od/compose; u64 runs in
     the (lo, hi) plane domain either way (planes=False interleaves at the
-    end for the byte-image convention)."""
+    end for the byte-image convention). An explicit `interpret` forces the
+    kernel decode, which only exists on the compose strategy."""
     from ..ops import transpose as transpose_mod
 
+    if interpret is not None and strategy is None:
+        strategy = "compose"
     dtype = layout.canon_dtype(dtype)
     if eng.is_limb(dtype):
         if _route_orig(op, width, dtype, strategy) == "od":

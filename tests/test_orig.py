@@ -401,3 +401,13 @@ def test_rle_multichunk_partial_range(tmp_path):
     got_img = np.asarray(got)
     assert np.array_equal(
         np.ascontiguousarray(got_img).view(np.uint64)[..., 0], want)
+
+
+def test_orig_interpret_forces_compose():
+    """kernels.*_orig with interpret= must take the kernel (compose) path
+    even when routing would pick od."""
+    packed, base, wd, _ = _delta_fixture("u16", 5)
+    want = ref.untranspose(ref.undelta_pack(packed, base, wd, "u16"), "u16")
+    got = np.asarray(kernels.undelta_pack_orig(packed, base, wd, "u16",
+                                               interpret=True))
+    assert np.array_equal(got, want)
