@@ -935,7 +935,22 @@ def warmup(ops=("pack", "unpack"), dtypes=layout.DTYPES, widths=None,
                     jax.block_until_ready(for_pack(vals, 0, w, dt))
                 elif op == "unfor_pack":
                     jax.block_until_ready(unfor_pack(pkd, 0, w, dt))
+                elif op == "unpack_orig":
+                    jax.block_until_ready(_first(unpack_orig(pkd, w, dt)))
+                elif op == "undelta_pack_orig":
+                    jax.block_until_ready(
+                        _first(undelta_pack_orig(pkd, base, w, dt)))
+                elif op == "unzdelta_pack_orig":
+                    jax.block_until_ready(
+                        _first(unzdelta_pack_orig(pkd, base, w, dt)))
+                elif op == "delta_pack_orig":
+                    jax.block_until_ready(delta_pack_orig(vals, w, dt)[0])
                 else:
                     raise ValueError(f"unknown op {op!r}")
                 count += 1
     return count
+
+
+def _first(out):
+    """Warmup helper: plane tuples (u64 orig decodes) -> one array."""
+    return out[0] if isinstance(out, tuple) else out
