@@ -66,6 +66,9 @@ def _decode_chunk_device(meta: dict, raw: bytes, n_blocks: int, dtype: str,
     if codec == "rle":
         return _decode_rle_batched([(meta, raw)], dtype, mesh, use_kernels)
 
+    if codec == "alp":
+        return _decode_alp_batched([(meta, raw)], dtype, mesh, use_kernels)
+
     if codec == "alprd":
         from . import alp as alp_mod
 
@@ -85,26 +88,6 @@ def _decode_chunk_device(meta: dict, raw: bytes, n_blocks: int, dtype: str,
         return alp_mod.rd_decode_device(
             left_idx, rights, np.asarray(meta["dict"], np.uint32),
             meta["width"], np_float, exc_pos, exc_left)
-
-    if codec == "alp":
-        from . import alp as alp_mod
-
-        np_float = fio._VTYPES[meta["vtype"]]
-        packed, exc_pos, exc_val = fio._split_alp_payload(
-            meta, raw, n_blocks, dtype, np_float)
-        packed_dev = _np_to_device_form(np.ascontiguousarray(packed), dtype)
-        if mesh is not None:
-            shifted = psh.sharded_unpack(mesh, packed_dev, w, dtype,
-                                         use_kernels=use_kernels)
-        else:
-            shifted = pk.unpack(packed_dev, w, dtype)
-        # u64 payloads pass through as the (..., 2) uint32 limb image:
-        # decode_device runs the spec's correctly-rounded division in the
-        # limb domain (x64-free; float64 comes back as the f64 bit image
-        # unless jax x64 is enabled)
-        return alp_mod.decode_device(shifted, meta["e"], meta["f"],
-                                     meta["reference"], np_float,
-                                     exc_pos, exc_val)
 
     if codec in ("delta", "zdelta"):
         base_np, packed_np = _parse_delta_payload(raw, n_blocks, dtype, nl,
@@ -199,7 +182,50 @@ _BATCHABLE = ("bitpack", "delta", "zdelta", "rle")
 def _group_sig(meta):
     if meta["codec"] in _BATCHABLE:
         return (meta["codec"], meta["width"])
+    if meta["codec"] == "alp":
+        # alp chunks batch when the whole decode recipe matches; exception
+        # positions are chunk-relative and get block offsets when merged
+        return ("alp", meta["width"], meta["e"], meta["f"],
+                meta["reference"], meta["vtype"])
     return None
+
+
+def _decode_alp_batched(run, dtype, mesh, use_kernels):
+    """One unpack + one scale/scatter pass for a run of alp chunks sharing
+    (width, e, f, reference, vtype)."""
+    from . import alp as alp_mod
+
+    meta0 = run[0][0]
+    w = meta0["width"]
+    np_float = fio._VTYPES[meta0["vtype"]]
+    np_dt = layout.np_dtype(dtype)
+    plen = layout.packed_len(dtype, w)
+    packeds, poss, vals_list = [], [], []
+    block_off = 0
+    for meta, raw in run:
+        packed, exc_pos, exc_val = fio._split_alp_payload(
+            meta, raw, meta["n_blocks"], dtype, np_float)
+        packeds.append(packed)
+        poss.append(np.asarray(exc_pos, np.int64) + block_off * layout.BLOCK)
+        vals_list.append(exc_val)
+        block_off += meta["n_blocks"]
+    packed_dev = _np_to_device_form(
+        np.concatenate(packeds) if len(packeds) > 1
+        else np.ascontiguousarray(packeds[0]), dtype)
+    exc_pos = np.concatenate(poss) if len(poss) > 1 else poss[0]
+    exc_val = np.concatenate(vals_list) if len(vals_list) > 1 else vals_list[0]
+    if mesh is not None:
+        shifted = psh.sharded_unpack(mesh, packed_dev, w, dtype,
+                                     use_kernels=use_kernels)
+    else:
+        shifted = pk.unpack(packed_dev, w, dtype)
+    # u64 payloads pass through as the (..., 2) uint32 limb image:
+    # decode_device runs the spec's correctly-rounded division in the
+    # limb domain (x64-free; float64 comes back as the f64 bit image
+    # unless jax x64 is enabled)
+    return alp_mod.decode_device(shifted, meta0["e"], meta0["f"],
+                                 meta0["reference"], np_float,
+                                 exc_pos, exc_val)
 
 
 def _decode_rle_batched(run, dtype, mesh, use_kernels):
@@ -264,14 +290,19 @@ def _decode_chunks_grouped(covering, dtype, mesh, use_kernels):
                                               use_kernels=use_kernels))
             i = j
             continue
-        codec, w = sig
-        plen = layout.packed_len(dtype, w)
+        codec = sig[0]
         run = covering[i:j]
         # concatenate payloads on the HOST, then one transfer + one dispatch
         if codec == "rle":
             parts.append(_decode_rle_batched(run, dtype, mesh, use_kernels))
             i = j
             continue
+        if codec == "alp":
+            parts.append(_decode_alp_batched(run, dtype, mesh, use_kernels))
+            i = j
+            continue
+        w = sig[1]
+        plen = layout.packed_len(dtype, w)
         if codec in ("delta", "zdelta"):
             pairs = [_parse_delta_payload(r, m["n_blocks"], dtype, nl, np_dt,
                                           plen) for m, r in run]

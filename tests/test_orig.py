@@ -411,3 +411,28 @@ def test_orig_interpret_forces_compose():
     got = np.asarray(kernels.undelta_pack_orig(packed, base, wd, "u16",
                                                interpret=True))
     assert np.array_equal(got, want)
+
+
+def test_alp_multichunk_batched(tmp_path, monkeypatch):
+    """alp chunks sharing (width, e, f, reference) decode in one dispatch;
+    exception positions offset per chunk; bit-exact float round trip."""
+    from fastlanes_tpu import fio_device as fd
+
+    calls = []
+    real = fd._decode_alp_batched
+    monkeypatch.setattr(
+        fd, "_decode_alp_batched",
+        lambda run, *a, **k: calls.append(len(run)) or real(run, *a, **k))
+    rng = np.random.default_rng(9)
+    prices = (rng.integers(0, 1 << 16, 16 * 1024) / 100.0).astype(np.float32)
+    # a few exact-exception values (non-decimal) sprinkled in
+    prices[::1500] = np.float32(np.pi)
+    p = str(tmp_path / "prices.flt")
+    fio.write_file(p, prices, chunk_blocks=4)
+    hdr = fio.read_header(p)
+    assert hdr["chunks"][0]["codec"] == "alp" and len(hdr["chunks"]) == 4
+    got = np.asarray(fio_device.read_file_device(p))
+    assert np.array_equal(got.view(np.uint32), prices.view(np.uint32))
+    sigs = {fd._group_sig(c) for c in hdr["chunks"]}
+    if len(sigs) == 1:
+        assert calls == [4], f"expected one 4-chunk dispatch, got {calls}"
