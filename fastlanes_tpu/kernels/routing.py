@@ -100,11 +100,13 @@ _UNMEASURED_DEFAULT = {
     "pack_wt": "assemble",
     "delta_pack_orig_enc": "od",  # encode duals (ops/orig.py)
     "zdelta_pack_orig_enc": "od",
+    "transpose_st": "permute",    # standalone relayouts (ops/transpose.py)
+    "untranspose_st": "permute",
 }
 
 #: every execution strategy a table entry may name
-_STRATEGIES = frozenset(("pallas", "ops", "od", "compose",
-                         "assemble", "gather", "grouptake", "mxu", "mxu8"))
+_STRATEGIES = frozenset(("pallas", "ops", "od", "compose", "assemble",
+                         "gather", "grouptake", "mxu", "mxu8", "permute"))
 
 
 @functools.lru_cache(maxsize=None)

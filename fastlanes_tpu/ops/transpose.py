@@ -36,11 +36,51 @@ def _untranspose_one(arr2d):
     return x.reshape(b, 1024)
 
 
-def _apply(fn, values, dtype, planes=False):
+# -- standalone relayout strategies (routing keys transpose_st /
+#    untranspose_st). The reshape/permute composite measured 22.8/16.9e9
+#    ints/s u32 on v5e against ~102e9 copy SoL (r2); the one static
+#    1024-gather is the measured alternative (a full one-hot MXU matmul is
+#    flop-bound at ~4096 flops/int — below copy SoL — so the MXU only
+#    helps in the segment form raced by benchmarks/exp_untranspose.py).
+#    NOTE: the hot paths no longer go through these ops at all — decode
+#    fuses the untranspose (ops/orig.py) and encode the transpose
+#    (delta_pack_orig); these standalone entries remain parity API (C11).
+
+
+import functools
+
+
+def _gather_one(perm):
+    idx = jnp.asarray(perm)
+
+    def fn(arr2d):
+        return arr2d[:, idx]
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _st_strategy(op: str) -> str:
+    from ..kernels import routing
+
+    strat = routing.best_path(op, "u32", 0)  # dtype-independent permutation
+    return strat if strat in ("permute", "gather") else "permute"
+
+
+@functools.lru_cache(maxsize=None)
+def _one_fn(kind: str, strategy: str):
+    if strategy == "gather":
+        return _gather_one(layout.transpose_perm() if kind == "transpose"
+                           else layout.untranspose_perm())
+    return _transpose_one if kind == "transpose" else _untranspose_one
+
+
+def _apply(kind, values, dtype, planes=False):
     from .bitpack import _check_planes
 
     dtype = layout.canon_dtype(dtype)
     _check_planes(planes, dtype)
+    fn = _one_fn(kind, _st_strategy(f"{kind}_st"))
     vec = eng.to_vec(values, dtype)
     vec, had_batch = eng.promote_shape(vec, dtype)
     if eng.is_limb(dtype):
@@ -56,10 +96,10 @@ def _apply(fn, values, dtype, planes=False):
 def transpose(values, dtype, *, planes: bool = False):
     """Transpose::transpose: out[i] = in[transpose_index(i)] (transpose.rs:11-15).
     planes=True (u64 only): (lo, hi) uint32 planes in/out."""
-    return _apply(_transpose_one, values, dtype, planes)
+    return _apply("transpose", values, dtype, planes)
 
 
 def untranspose(values, dtype, *, planes: bool = False):
     """Transpose::untranspose: out[transpose_index(i)] = in[i] (transpose.rs:18-22).
     planes=True (u64 only): (lo, hi) uint32 planes in/out."""
-    return _apply(_untranspose_one, values, dtype, planes)
+    return _apply("untranspose", values, dtype, planes)

@@ -98,3 +98,23 @@ def test_wt_strategies_bit_exact(dt, strategy):
         routing.set_table(None)
         bitpack._wt_strategy.cache_clear()
         bitpack._pack_wt_strategy.cache_clear()
+
+
+@pytest.mark.parametrize("kind", ["transpose", "untranspose"])
+@pytest.mark.parametrize("strategy", ["permute", "gather"])
+def test_standalone_relayout_strategies(kind, strategy):
+    from fastlanes_tpu.kernels import routing
+    from fastlanes_tpu.ops import transpose as tr_mod
+
+    vals = RNG.integers(0, 1 << 31, (3, 1024), np.int64).astype(np.uint32)
+    want = (ref.transpose(vals, "u32") if kind == "transpose"
+            else ref.untranspose(vals, "u32"))
+    try:
+        routing.set_table({f"{kind}_st:u32:0": {strategy: 1.0}})
+        tr_mod._st_strategy.cache_clear()
+        fn = tr_mod.transpose if kind == "transpose" else tr_mod.untranspose
+        got = np.asarray(fn(vals, "u32"))
+        assert np.array_equal(got, want), f"{kind} {strategy}"
+    finally:
+        routing.set_table(None)
+        tr_mod._st_strategy.cache_clear()
