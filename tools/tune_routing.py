@@ -69,6 +69,10 @@ def build_configs(quick: bool):
                        "unzdelta_pack_orig", "delta_pack_orig_enc",
                        "zdelta_pack_orig_enc"):
                 configs.append((op, dt, w))
+    if not quick:
+        # dtype-independent standalone relayouts (one entry each, u32:0)
+        configs.append(("transpose_st", "u32", 0))
+        configs.append(("untranspose_st", "u32", 0))
     return configs
 
 
@@ -229,8 +233,34 @@ def main():
     for op, dt, w in configs:
         key = f"{op}:{dt}:{w}"
         _WT_BASE = {"unpack_wt": "unpack", "pack_wt": "pack"}
-        main, rest = make_inputs(_WT_BASE.get(op, op), dt, w)
+        main, rest = make_inputs(
+            "pack" if op in ("transpose_st", "untranspose_st")
+            else _WT_BASE.get(op, op), dt, max(w, 1) if not w else w)
         rec = {}
+        if op in ("transpose_st", "untranspose_st"):
+            from fastlanes_tpu.kernels import routing as _routing
+            from fastlanes_tpu.ops import transpose as _tr
+
+            base_fn = (_tr.transpose if op == "transpose_st"
+                       else _tr.untranspose)
+            for strat in ("permute", "gather"):
+                try:
+                    _routing.set_table({key: {strat: 1.0}})
+                    _tr._st_strategy.cache_clear()
+                    t_s = chained(
+                        lambda x, _dt=dt, _f=base_fn: _f(x, _dt), main)
+                    rec[strat] = round(n_ints / t_s, 1)
+                except Exception as e:  # pragma: no cover
+                    print(f"# {key} {strat} failed: {str(e)[:100]}",
+                          file=sys.stderr)
+                finally:
+                    _routing.set_table(None)
+                    _tr._st_strategy.cache_clear()
+            if rec:
+                rec["blocks"] = n_blocks
+                entries[key] = rec
+                print(json.dumps({key: rec}), flush=True)
+            continue
         if op in _WT_BASE:
             # race the W=T relayout strategies through the public ops entry
             # (forced via a table override; ops/bitpack._unpack_wt/_pack_wt)
