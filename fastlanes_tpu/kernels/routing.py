@@ -29,10 +29,20 @@ _override = None  # test/tuning hook; see set_table()
 
 def set_table(entries) -> None:
     """Override the routing table in-process (None restores the file table).
-    `entries` maps "op:dtype:width" -> {"pallas": ips, "ops": ips}."""
+    `entries` maps "op:dtype:width" -> {strategy: ips, ...}."""
+    import sys
+
     global _override
     _override = entries
     _lookup.cache_clear()
+    # strategy lookups cached in consumer modules must follow the table
+    for mod_name, attr in (
+            ("fastlanes_tpu.ops.bitpack", "_wt_strategy"),
+            ("fastlanes_tpu.ops.bitpack", "_pack_wt_strategy"),
+            ("fastlanes_tpu.ops.transpose", "_st_strategy")):
+        mod = sys.modules.get(mod_name)
+        if mod is not None:
+            getattr(mod, attr).cache_clear()
 
 
 def _entries():
