@@ -85,11 +85,20 @@ def main():
             file_mb = os.path.getsize(path) / 1e6
             t_dev = timed(lambda p=path: fio_device.read_file_device(p))
             t_host = timed(lambda p=path: fio.read_file(p))
+            # A/B: chunk-at-a-time dispatch (the pre-batching behavior)
+            os.environ["FASTLANES_NO_CHUNK_BATCH"] = "1"
+            try:
+                t_unbatched = timed(
+                    lambda p=path: fio_device.read_file_device(p))
+            finally:
+                os.environ.pop("FASTLANES_NO_CHUNK_BATCH", None)
             emit({"bench": "io_read", "codec": codec,
                   "file_MB": round(file_mb, 1), "raw_MB": round(raw_mb, 1),
                   "ratio": round(raw_mb / file_mb, 2),
                   "device_MBps_logical": round(raw_mb / t_dev, 1),
                   "device_ints_per_s": round(n_ints / t_dev, 1),
+                  "device_unbatched_ints_per_s": round(n_ints / t_unbatched, 1),
+                  "batching_speedup": round(t_unbatched / t_dev, 2),
                   "host_MBps_logical": round(raw_mb / t_host, 1)})
 
         # pipelined multi-file reader vs sequential

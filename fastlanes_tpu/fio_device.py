@@ -180,6 +180,10 @@ _BATCHABLE = ("bitpack", "delta", "zdelta", "rle")
 
 
 def _group_sig(meta):
+    import os
+
+    if os.environ.get("FASTLANES_NO_CHUNK_BATCH") == "1":
+        return None  # A/B lever for benchmarks: force chunk-at-a-time
     if meta["codec"] in _BATCHABLE:
         return (meta["codec"], meta["width"])
     if meta["codec"] == "alp":
