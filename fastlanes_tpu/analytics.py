@@ -222,35 +222,95 @@ def _combine_sum(planes, _unused, n_neg, dtype_bits, is_float):
     return total - (int(n_neg) << dtype_bits)
 
 
-def scan_column(path: str, column: Optional[str] = None, mesh=None) -> dict:
-    """Fused sum/min/max/count over a compressed column — the decoded data
-    never materializes in HBM for fusable codecs. Returns python scalars:
-    {sum, min, max, count}."""
-    total = 0
-    mn, mx = None, None
-    count = 0
-    for blocks, cdtype, vtype, valid in _decoded_chunks(path, column, mesh):
+class _StatAcc:
+    """Running sum/min/max/count accumulator fed one decoded chunk at a
+    time — the shared core of scan_column and scan_table."""
+
+    def __init__(self):
+        self.total = 0
+        self.mn = None
+        self.mx = None
+        self.count = 0
+
+    def feed(self, blocks, cdtype, vtype, valid):
         if valid == 0:
-            continue
+            return
         flat = _flatten_logical(blocks, cdtype, vtype)
         if isinstance(flat, tuple):  # u64 integer limb planes (x64-free exact)
             planes, n_neg, kmn, mn_lo, kmx, mx_lo = _stats_kernel_u64(
                 flat[0], flat[1], jnp.int32(valid))
-            total += _combine_sum(np.asarray(planes), None, int(n_neg),
-                                  64, False)
+            self.total += _combine_sum(np.asarray(planes), None, int(n_neg),
+                                       64, False)
             m1 = _i64_of(int(kmn), int(mn_lo))
             m2 = _i64_of(int(kmx), int(mx_lo))
         else:
             planes, _z, n_neg, m1, m2 = _stats_kernel(flat, jnp.int32(valid))
             is_float = np.issubdtype(np.asarray(m1).dtype, np.floating)
-            total += _combine_sum(np.asarray(planes), None, int(n_neg),
-                                  np.asarray(flat).dtype.itemsize * 8
-                                  if not is_float else 0, is_float)
+            self.total += _combine_sum(np.asarray(planes), None, int(n_neg),
+                                       np.asarray(flat).dtype.itemsize * 8
+                                       if not is_float else 0, is_float)
             m1, m2 = m1.item(), m2.item()
-        mn = m1 if mn is None else min(mn, m1)
-        mx = m2 if mx is None else max(mx, m2)
-        count += valid
-    return {"sum": total, "min": mn, "max": mx, "count": count}
+        self.mn = m1 if self.mn is None else min(self.mn, m1)
+        self.mx = m2 if self.mx is None else max(self.mx, m2)
+        self.count += valid
+
+    def result(self) -> dict:
+        return {"sum": self.total, "min": self.mn, "max": self.mx,
+                "count": self.count}
+
+
+def scan_column(path: str, column: Optional[str] = None, mesh=None) -> dict:
+    """Fused sum/min/max/count over a compressed column — the decoded data
+    never materializes in HBM for fusable codecs. Returns python scalars:
+    {sum, min, max, count}."""
+    acc = _StatAcc()
+    for blocks, cdtype, vtype, valid in _decoded_chunks(path, column, mesh):
+        acc.feed(blocks, cdtype, vtype, valid)
+    return acc.result()
+
+
+def scan_table(path: str, columns=None, mesh=None) -> dict:
+    """Single-pass fused stats over several (default: all) columns of an
+    FLTTAB table file: the header parses once and every selected chunk is
+    visited in payload-offset order, so the file is read sequentially
+    exactly once no matter how many columns are scanned — the multi-column
+    analogue of Vortex-style projection pushdown over the reference's block
+    codecs (reference macros.rs:5-9 fusion invariant per chunk). Returns
+    {column_name: {sum, min, max, count}}."""
+    from . import fio_table
+
+    header = fio_table.read_table_header(path)
+    names = list(header["columns"]) if columns is None else list(columns)
+    cols = {name: fio_table._col_meta(header, name) for name in names}
+    base_off = fio.payload_base_of(path, fio_table.MAGIC)
+
+    # Global chunk walk in offset order: one sequential pass over the file.
+    # Within a column, chunks were written in increasing-offset order, so
+    # the per-column valid-tail bookkeeping below stays in stream order.
+    work = []
+    for name, col in cols.items():
+        for meta in col["chunks"]:
+            work.append((meta["offset"], name, meta))
+    work.sort(key=lambda t: t[0])
+
+    accs = {name: _StatAcc() for name in names}
+    seen = {name: 0 for name in names}
+    with open(path, "rb") as f:
+        for offset, name, meta in work:
+            col = cols[name]
+            f.seek(base_off + offset)
+            raw = f.read(meta["nbytes"])
+            blocks = fio_device._decode_chunk_device(
+                meta, raw, meta["n_blocks"], col["dtype"], mesh=mesh)
+            blocks = fio_device._apply_transform_device(
+                blocks, col.get("transform"), col["dtype"])
+            n_here = meta["n_blocks"] * layout.BLOCK
+            valid = n_here
+            if col.get("n_values") is not None:
+                valid = max(0, min(n_here, col["n_values"] - seen[name]))
+            seen[name] += n_here
+            accs[name].feed(blocks, col["dtype"], col.get("vtype"), valid)
+    return {name: accs[name].result() for name in names}
 
 
 @functools.partial(jax.jit, static_argnames=("op",))

@@ -5,6 +5,7 @@
     python -m fastlanes_tpu inspect    column.flt
     python -m fastlanes_tpu get        column.flt BLOCK INDEX
     python -m fastlanes_tpu scan       column.flt [--where gt:100]
+    python -m fastlanes_tpu scan       table.flt              # every column, one pass
 
 The role the `vortex` CLI plays around the Rust crate: compress whole
 columns to disk, decode block ranges, random-access single elements.
@@ -192,6 +193,14 @@ def _cmd_scan(args) -> int:
     filtered count — decoded data never materializes (analytics module)."""
     from . import analytics
 
+    with open(args.input, "rb") as f:
+        is_table = f.read(8).startswith(b"FLTTAB1")
+    if is_table and args.column is None:
+        # no column named: single-pass fused scan of EVERY column
+        if args.where:
+            raise SystemExit("--where on a table file needs --column")
+        print(json.dumps(analytics.scan_table(args.input)))
+        return 0
     stats = analytics.scan_column(args.input, column=args.column)
     if args.where:
         try:

@@ -127,3 +127,32 @@ def test_scan_f64_requires_x64(tmp_path, rng):
         assert stats["max"] == float(values.max())
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_scan_table_multi_column(tmp_path, rng):
+    """scan_table: single-pass fused stats over every column at once,
+    matching per-column scan_column and numpy ground truth — mixed dtypes,
+    signed transform, and a float column in one file."""
+    path = str(tmp_path / "multi.flt")
+    qty = rng.integers(0, 500, 3000).astype(np.uint16)
+    delta = rng.integers(-900, 900, 3000, np.int64).astype(np.int32)
+    price = (rng.integers(0, 1 << 16, 3000) / 100.0).astype(np.float32)
+    big = rng.integers(0, 1 << 40, 3000, np.int64).astype(np.uint64)
+    fio_table.write_table(
+        path, {"qty": qty, "delta": delta, "price": price, "big": big},
+        chunk_blocks=2)
+    stats = analytics.scan_table(path)
+    assert sorted(stats) == ["big", "delta", "price", "qty"]
+    for name, values in (("qty", qty), ("delta", delta), ("big", big)):
+        assert stats[name]["sum"] == int(values.sum()), name
+        assert stats[name]["min"] == int(values.min()), name
+        assert stats[name]["max"] == int(values.max()), name
+        assert stats[name]["count"] == len(values), name
+    assert stats["price"]["min"] == float(price.min())
+    assert stats["price"]["max"] == float(price.max())
+    assert abs(stats["price"]["sum"] - float(price.sum())) < 1.0
+    # column subset + agreement with the one-column entry point
+    sub = analytics.scan_table(path, columns=["qty"])
+    assert sub == {"qty": analytics.scan_column(path, column="qty")}
+    with pytest.raises(KeyError, match="no column"):
+        analytics.scan_table(path, columns=["nope"])

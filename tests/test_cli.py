@@ -167,6 +167,11 @@ def test_cli_scan_table(tmp_path, rng, capsys):
     assert cli.main(["scan", str(path), "--column", "qty"]) == 0
     stats = json.loads(capsys.readouterr().out)
     assert stats["sum"] == int(qty.sum())
-    # missing --column on a table file -> clean error
-    assert cli.main(["scan", str(path)]) == 1
-    assert "column" in capsys.readouterr().err
+    # no --column on a table file -> single-pass scan of every column
+    assert cli.main(["scan", str(path)]) == 0
+    all_stats = json.loads(capsys.readouterr().out)
+    assert all_stats["qty"]["sum"] == int(qty.sum())
+    assert all_stats["qty"]["count"] == 3000
+    # --where still needs a single column
+    with pytest.raises(SystemExit, match="column"):
+        cli.main(["scan", str(path), "--where", "gt:10"])
