@@ -508,18 +508,23 @@ _RD_MAX_DICT = 8  # left dictionary entries (3-bit indices, per the paper)
 def rd_choose_cut(bits: np.ndarray, total_bits: int) -> int:
     """Pick right-part width minimizing estimated bits/value: right_bits +
     index bits + exception overhead. Candidate cuts keep the left part
-    <= 16 bits (dictionary domain)."""
+    <= 32 bits (the dictionary-entry domain; lefts > 16 bits cost 32-bit
+    exception storage on the wire, priced in below). For f64 the floor
+    right_bits >= 32 also keeps the device decode's single cross-limb
+    shift valid (rd_decode_device)."""
     flat = bits.reshape(-1)
     sample = flat[:: max(1, flat.size // 2048)][:2048]
     best = (float("inf"), total_bits - 1)
-    for right_bits in range(max(total_bits - 16, 1), total_bits):
+    for right_bits in range(max(total_bits - 32, 1), total_bits):
+        left_bits = total_bits - right_bits
         lefts, counts = np.unique(sample >> right_bits, return_counts=True)
         order = np.argsort(counts)[::-1]
         in_dict = counts[order[:_RD_MAX_DICT]].sum()
         exc_rate = 1.0 - in_dict / sample.size
         idx_bits = max(1, int(np.ceil(np.log2(min(len(lefts), _RD_MAX_DICT) + 1e-9)))
                        ) if len(lefts) > 1 else 1
-        cost = right_bits + idx_bits + exc_rate * (16 + 32)
+        exc_store = 16 if left_bits <= 16 else 32
+        cost = right_bits + idx_bits + exc_rate * (exc_store + 32)
         if cost < best[0] - 1e-9:
             best = (cost, right_bits)
     return best[1]
@@ -546,7 +551,7 @@ def rd_encode_np(values: np.ndarray) -> dict:
     pos = np.clip(pos, 0, len(dictionary) - 1)
     hit = dictionary[pos] == lefts
     exc_pos = np.flatnonzero(~hit).astype(np.uint32)
-    exc_left = lefts[~hit].astype(np.uint32)  # left <= 16 bits
+    exc_left = lefts[~hit].astype(np.uint32)  # left <= 32 bits
     left_idx = np.where(hit, pos, 0).astype(np.uint16)
     return {
         "right_bits": int(right_bits),

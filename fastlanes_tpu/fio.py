@@ -346,7 +346,9 @@ def _decode_chunk_alp(meta: dict, raw: bytes, n_blocks: int, dtype: str,
 def _encode_chunk_alprd(values_f: np.ndarray, wire_dtype: str):
     """ALP_RD chunk (left/right split for non-decimal floats): payload =
     packed rights (wire dtype, W=right_bits) || packed left indices (u16
-    stream, W=idx_width) || exc_pos (u32) || exc_left (u16)."""
+    stream, W=idx_width) || exc_pos (u32) || exc_left (u16 when the left
+    part is <= 16 bits, u32 for wider lefts — derived from width+vtype,
+    see _alprd_exc_left_dtype)."""
     use_native = native.available()
     enc = alp_mod.rd_encode_np(values_f)
     wr = enc["right_bits"]
@@ -357,14 +359,23 @@ def _encode_chunk_alprd(values_f: np.ndarray, wire_dtype: str):
                 else npref.pack(rights, wr, wire_dtype))
     packed_i = (native.pack(enc["left_idx"], wi, "u16") if use_native
                 else npref.pack(enc["left_idx"], wi, "u16"))
+    vbits = 32 if values_f.dtype == np.float32 else 64
+    exc_dt = "<u2" if vbits - wr <= 16 else "<u4"
     payload = (packed_r.tobytes() + packed_i.tobytes()
                + enc["exc_pos"].astype("<u4").tobytes()
-               + enc["exc_left"].astype("<u2").tobytes())
+               + enc["exc_left"].astype(exc_dt).tobytes())
     meta = {"codec": "alprd", "width": wr, "idx_width": wi,
             "dict": [int(x) for x in dictionary],
             "n_exc": int(len(enc["exc_pos"])),
             "vtype": "f32" if values_f.dtype == np.float32 else "f64"}
     return meta, payload
+
+
+def _alprd_exc_left_dtype(meta: dict) -> str:
+    """Exception lefts are u16 on the wire when the left part fits 16 bits
+    (every pre-wide-left file), u32 for wider lefts."""
+    vbits = 32 if meta["vtype"] == "f32" else 64
+    return "<u2" if vbits - meta["width"] <= 16 else "<u4"
 
 
 def _split_alprd_payload(meta: dict, raw: bytes, n_blocks: int, dtype: str):
@@ -379,7 +390,10 @@ def _split_alprd_payload(meta: dict, raw: bytes, n_blocks: int, dtype: str):
     o += 2 * n_blocks * plen_i
     n_exc = meta.get("n_exc", 0)
     exc_pos = np.frombuffer(raw[o:o + 4 * n_exc], "<u4")
-    exc_left = np.frombuffer(raw[o + 4 * n_exc:o + 4 * n_exc + 2 * n_exc], "<u2")
+    exc_dt = _alprd_exc_left_dtype(meta)
+    exc_sz = np.dtype(exc_dt).itemsize
+    exc_left = np.frombuffer(
+        raw[o + 4 * n_exc:o + 4 * n_exc + exc_sz * n_exc], exc_dt)
     return packed_r, packed_i, exc_pos, exc_left
 
 

@@ -306,3 +306,72 @@ def test_fio_alprd_f64_device_limb_image(tmp_path, rng):
     assert got.dtype == np.uint32 and got.shape[-1] == 2
     np.testing.assert_array_equal(
         np.ascontiguousarray(got).view(np.float64)[..., 0], values)
+
+
+def test_alprd_wide_left_f64(rng):
+    """Lefts wider than 16 bits: doubles whose top 32 bits cluster (<=8
+    patterns differing BELOW the top 16 bits) should cut at right_bits=32,
+    packing rights at half the old floor; rare wide lefts ride the u32
+    exception lane."""
+    common = np.asarray([0x3FF00000 + k * 0x111 for k in range(8)], np.uint64)
+    rare = np.asarray([0x40100000 + k * 0x7 for k in range(4)], np.uint64)
+    n = 4096
+    hi = common[rng.integers(0, len(common), n)]
+    hi[rng.choice(n, 16, replace=False)] = rare[rng.integers(0, len(rare), 16)]
+    bits = (hi << np.uint64(32)) | rng.integers(0, 1 << 32, n, np.int64).astype(np.uint64)
+    values = bits.view(np.float64)
+    enc = alp.rd_encode_np(values)
+    assert enc["right_bits"] == 32  # the wide cut wins
+    assert len(enc["exc_pos"]) == np.isin(hi, rare).sum()
+    out = alp.rd_decode_np(enc["left_idx"], enc["rights"], enc["dict"],
+                           enc["right_bits"], np.float64,
+                           enc["exc_pos"], enc["exc_left"])
+    np.testing.assert_array_equal(out.view(np.uint64), values.view(np.uint64))
+    # wire roundtrip: exc_left stored as u32 (left part is 32 bits)
+    meta, payload = fio._encode_chunk_float(values.reshape(4, 1024), "u64",
+                                            "alprd")
+    assert meta["width"] == 32 and fio._alprd_exc_left_dtype(meta) == "<u4"
+    dec = fio._decode_chunk(meta, payload, 4, "u64")
+    np.testing.assert_array_equal(dec.reshape(-1).view(np.uint64), bits)
+
+
+def test_alprd_wide_left_f64_device(tmp_path, rng):
+    """Device decode of a wide-left f64 ALP_RD file (x64-free limb image)."""
+    from fastlanes_tpu import fio_device
+
+    common = np.asarray([0x40500000 + k * 0x29 for k in range(6)], np.uint64)
+    n = 3000
+    hi = common[rng.integers(0, len(common), n)]
+    bits = (hi << np.uint64(32)) | rng.integers(0, 1 << 32, n, np.int64).astype(np.uint64)
+    values = bits.view(np.float64)
+    path = str(tmp_path / "wide.flt")
+    fio.write_file(path, values, codec="alprd")
+    hdr = fio.read_header(path)
+    assert hdr["chunks"][0]["width"] == 32
+    got = np.asarray(fio_device.read_file_device(path))
+    assert got.dtype == np.uint32 and got.shape[-1] == 2
+    np.testing.assert_array_equal(
+        np.ascontiguousarray(got).view(np.float64)[..., 0], values)
+    np.testing.assert_array_equal(fio.read_file(path).view(np.uint64), bits)
+
+
+def test_alprd_wide_left_f32(rng):
+    """f32 wide lefts (> 16 bits): low-precision floats with 7 random
+    mantissa low bits cut at right_bits=7."""
+    common = (np.arange(8, dtype=np.uint32) * np.uint32(0x9E3)
+              + np.uint32(0x3DCC << 7))
+    n = 2048
+    bits = (common[rng.integers(0, 8, n)] << np.uint32(7)) | \
+        rng.integers(0, 1 << 7, n).astype(np.uint32)
+    values = bits.view(np.float32)
+    enc = alp.rd_encode_np(values)
+    assert enc["right_bits"] == 7
+    out = alp.rd_decode_np(enc["left_idx"], enc["rights"], enc["dict"],
+                           enc["right_bits"], np.float32,
+                           enc["exc_pos"], enc["exc_left"])
+    np.testing.assert_array_equal(out.view(np.uint32), bits)
+    meta, payload = fio._encode_chunk_float(values.reshape(2, 1024), "u32",
+                                            "alprd")
+    assert fio._alprd_exc_left_dtype(meta) == "<u4"
+    dec = fio._decode_chunk(meta, payload, 2, "u32")
+    np.testing.assert_array_equal(dec.reshape(-1).view(np.uint32), bits)
