@@ -120,14 +120,20 @@ def main():
                 last = fio_device.read_file_device(p)
             return last
 
+        def batched():
+            return list(fio_device.read_files_device(paths).values())[-1]
+
         total_mb = 6 * (n_blocks // 4) * 1024 * 4 / 1e6
         t_pipe = timed(pipelined)
         t_seq = timed(sequential)
+        t_batch = timed(batched)
         emit({"bench": "io_multifile", "files": 6,
               "raw_MB": round(total_mb, 1),
               "pipelined_MBps_logical": round(total_mb / t_pipe, 1),
               "sequential_MBps_logical": round(total_mb / t_seq, 1),
-              "pipeline_speedup": round(t_seq / t_pipe, 3)})
+              "pipeline_speedup": round(t_seq / t_pipe, 3),
+              "crossfile_batched_MBps_logical": round(total_mb / t_batch, 1),
+              "crossfile_batch_speedup": round(t_seq / t_batch, 3)})
     finally:
         import shutil
 

@@ -294,35 +294,39 @@ def _decode_chunks_grouped(covering, dtype, mesh, use_kernels):
                                               use_kernels=use_kernels))
             i = j
             continue
-        codec = sig[0]
-        run = covering[i:j]
-        # concatenate payloads on the HOST, then one transfer + one dispatch
-        if codec == "rle":
-            parts.append(_decode_rle_batched(run, dtype, mesh, use_kernels))
-            i = j
-            continue
-        if codec == "alp":
-            parts.append(_decode_alp_batched(run, dtype, mesh, use_kernels))
-            i = j
-            continue
-        w = sig[1]
-        plen = layout.packed_len(dtype, w)
-        if codec in ("delta", "zdelta"):
-            pairs = [_parse_delta_payload(r, m["n_blocks"], dtype, nl, np_dt,
-                                          plen) for m, r in run]
-            base = _np_to_device_form(
-                np.concatenate([p[0] for p in pairs], axis=0), dtype)
-            packed = _np_to_device_form(
-                np.concatenate([p[1] for p in pairs], axis=0), dtype)
-        else:  # bitpack
-            base = None
-            packed = _np_to_device_form(np.concatenate(
-                [np.frombuffer(r, np_dt).reshape(m["n_blocks"], plen)
-                 for m, r in run], axis=0), dtype)
-        parts.append(_decode_packed_device(codec, packed, base, w, None,
-                                           dtype, mesh, use_kernels))
+        parts.append(_decode_run_batched(sig, covering[i:j], dtype, mesh,
+                                         use_kernels))
         i = j
     return parts
+
+
+def _decode_run_batched(sig, run, dtype, mesh, use_kernels):
+    """Decode a run of same-signature (meta, raw) chunks in ONE device
+    dispatch; returns the merged (sum-of-n_blocks, 1024) output."""
+    nl = layout.lanes(dtype)
+    np_dt = layout.np_dtype(dtype)
+    codec = sig[0]
+    # concatenate payloads on the HOST, then one transfer + one dispatch
+    if codec == "rle":
+        return _decode_rle_batched(run, dtype, mesh, use_kernels)
+    if codec == "alp":
+        return _decode_alp_batched(run, dtype, mesh, use_kernels)
+    w = sig[1]
+    plen = layout.packed_len(dtype, w)
+    if codec in ("delta", "zdelta"):
+        pairs = [_parse_delta_payload(r, m["n_blocks"], dtype, nl, np_dt,
+                                      plen) for m, r in run]
+        base = _np_to_device_form(
+            np.concatenate([p[0] for p in pairs], axis=0), dtype)
+        packed = _np_to_device_form(
+            np.concatenate([p[1] for p in pairs], axis=0), dtype)
+    else:  # bitpack
+        base = None
+        packed = _np_to_device_form(np.concatenate(
+            [np.frombuffer(r, np_dt).reshape(m["n_blocks"], plen)
+             for m, r in run], axis=0), dtype)
+    return _decode_packed_device(codec, packed, base, w, None,
+                                 dtype, mesh, use_kernels)
 
 
 def _concat_parts(parts, dtype):
@@ -442,6 +446,87 @@ def read_file_device(path: str, mesh=None, use_kernels="auto"):
     if isinstance(blocks, LimbPlanes):
         blocks = (blocks.lo, blocks.hi)
     return _publish(_trim_flat(blocks, header.get("n_values"), header["dtype"]))
+
+
+def _slice_blocks(blocks, start: int, stop: int):
+    if _is_planes(blocks):
+        lo, hi = blocks if isinstance(blocks, tuple) else (blocks.lo, blocks.hi)
+        return lo[start:stop], hi[start:stop]
+    return blocks[start:stop]
+
+
+def read_files_device(paths, mesh=None, use_kernels="auto") -> dict:
+    """Whole-file device decode of MANY FLT files with CROSS-FILE batched
+    dispatch: every chunk sharing a (dtype, codec, width[, alp recipe])
+    signature — regardless of which file it came from — decodes in ONE
+    device call, then per-file outputs are sliced back out. A 100-shard
+    dataset of same-codec columns costs one decode dispatch + one slice
+    per file instead of >=100 dispatches (each remote call is ~26ms on a
+    tunneled chip; see _BATCHABLE). Returns {path: decoded} with the same
+    per-file semantics as read_file_device (transform applied, flat
+    columns trimmed, u64 integer columns as LimbPlanes).
+
+    The extension of the reference's fused-composition story (macros.rs
+    :5-9) to serving: the batch axis is just more blocks."""
+    paths = list(dict.fromkeys(paths))  # dedupe, keep order
+    headers, file_chunks = {}, {}
+    for path in paths:
+        header = fio.read_header(path)
+        headers[path] = header
+        base = fio._payload_base(path)
+        chunks = []
+        with open(path, "rb") as f:
+            for meta in header["chunks"]:
+                f.seek(base + meta["offset"])
+                chunks.append((meta, f.read(meta["nbytes"])))
+        file_chunks[path] = chunks
+
+    # group every batchable chunk across files by (dtype, signature); slots
+    # keep (path, chunk index) so merged outputs route back in order
+    groups, singles = {}, []
+    for path in paths:
+        dtype = headers[path]["dtype"]
+        for ci, (meta, raw) in enumerate(file_chunks[path]):
+            sig = _group_sig(meta)
+            if sig is None:
+                singles.append((path, ci, meta, raw))
+            else:
+                groups.setdefault((dtype, sig), []).append((path, ci, meta, raw))
+
+    decoded = {}  # (path, ci) -> device part
+    for (dtype, sig), members in groups.items():
+        if len(members) == 1:
+            path, ci, meta, raw = members[0]
+            decoded[(path, ci)] = _decode_chunk_device(
+                meta, raw, meta["n_blocks"], dtype, mesh=mesh,
+                use_kernels=use_kernels)
+            continue
+        merged = _decode_run_batched(sig, [(m, r) for _, _, m, r in members],
+                                     dtype, mesh, use_kernels)
+        # slice per (path, ci); consecutive same-file members merge into one
+        # slice when the file's parts are later concatenated anyway
+        off = 0
+        for path, ci, meta, _ in members:
+            n = meta["n_blocks"]
+            decoded[(path, ci)] = _slice_blocks(merged, off, off + n)
+            off += n
+    for path, ci, meta, raw in singles:
+        decoded[(path, ci)] = _decode_chunk_device(
+            meta, raw, meta["n_blocks"], headers[path]["dtype"], mesh=mesh,
+            use_kernels=use_kernels)
+
+    out = {}
+    for path in paths:
+        header = headers[path]
+        dtype = header["dtype"]
+        parts = [decoded[(path, ci)] for ci in range(len(file_chunks[path]))]
+        blocks = _concat_parts(parts, dtype)
+        blocks = _apply_transform_device(blocks, header.get("transform"), dtype)
+        out[path] = _publish(
+            _trim_flat(blocks if not isinstance(blocks, LimbPlanes)
+                       else (blocks.lo, blocks.hi),
+                       header.get("n_values"), dtype))
+    return out
 
 
 def _read_raw_file(path: str):

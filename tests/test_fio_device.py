@@ -79,3 +79,73 @@ def test_iter_files_device_pipelined(tmp_path, rng):
                                           vals.view(np.uint32))
         else:
             np.testing.assert_array_equal(out, vals)
+
+
+def test_read_files_device_cross_file_batching(tmp_path, rng, monkeypatch):
+    """read_files_device: same-signature chunks across MANY files decode in
+    one dispatch; mixed dtypes/codecs/transforms still come back per-file
+    correct (vs the host reader)."""
+    # three same-signature u32 files (sorted -> delta at one width), plus a
+    # u16 bitpack file, a signed (zigzag) file, and a ragged flat column
+    paths, want = [], {}
+    base = rng.integers(1000, 1 << 20, (3, 8 * 1024), np.int64)
+    for i in range(3):
+        vals = np.sort(base[i].astype(np.uint32)).reshape(8, 1024)
+        p = str(tmp_path / f"s{i}.flt")
+        fio.write_file(p, vals, codec="delta", chunk_blocks=4)
+        paths.append(p)
+        want[p] = vals
+    p16 = str(tmp_path / "w.flt")
+    v16 = rng.integers(0, 1 << 9, (6, 1024), np.int64).astype(np.uint16)
+    fio.write_file(p16, v16, codec="bitpack", chunk_blocks=2)
+    paths.append(p16)
+    want[p16] = v16
+    psg = str(tmp_path / "sg.flt")
+    vsg = rng.integers(-4000, 4000, 5000, np.int64).astype(np.int32)
+    fio.write_file(psg, vsg)
+    paths.append(psg)
+    want[psg] = vsg
+
+    calls = {"runs": [], "singles": 0}
+    real_run = fio_device._decode_run_batched
+    real_one = fio_device._decode_chunk_device
+    monkeypatch.setattr(fio_device, "_decode_run_batched",
+                        lambda sig, run, *a, **k: (calls["runs"].append(len(run)),
+                                                   real_run(sig, run, *a, **k))[1])
+    monkeypatch.setattr(fio_device, "_decode_chunk_device",
+                        lambda *a, **k: (calls.__setitem__("singles", calls["singles"] + 1),
+                                         real_one(*a, **k))[1])
+    out = fio_device.read_files_device(paths)
+    for p in paths:
+        got = np.asarray(out[p])
+        np.testing.assert_array_equal(got, np.asarray(want[p]),
+                                      err_msg=p)
+        np.testing.assert_array_equal(got, np.asarray(fio.read_file(p)),
+                                      err_msg=p)
+    # the 3 delta files (2 chunks each) batched into ONE 6-chunk dispatch
+    assert 6 in calls["runs"], calls
+
+
+def test_read_files_device_mixed_u64_float(tmp_path, rng):
+    """u64 integer (LimbPlanes), f32 ALP and f64 ALP_RD files through the
+    multi-file reader, sharded and unsharded."""
+    pu = str(tmp_path / "u.flt")
+    vu = rng.integers(0, 1 << 40, (4, 1024), np.int64).astype(np.uint64)
+    fio.write_file(pu, vu, codec="bitpack")
+    pf = str(tmp_path / "f.flt")
+    vf = ((rng.integers(0, 1 << 16, 3000)) / 100.0).astype(np.float32)
+    fio.write_file(pf, vf, codec="alp")
+    pd = str(tmp_path / "d.flt")
+    vd = (rng.standard_normal(2100) * 13).astype(np.float64)
+    fio.write_file(pd, vd, codec="alprd")
+    for mesh in (None, pmesh.make_mesh(8)):
+        out = fio_device.read_files_device([pu, pf, pd], mesh=mesh)
+        got_u = np.asarray(out[pu])
+        assert got_u.dtype == np.uint32 and got_u.shape[-1] == 2
+        np.testing.assert_array_equal(
+            np.ascontiguousarray(got_u).view(np.uint64)[..., 0], vu)
+        np.testing.assert_array_equal(np.asarray(out[pf]).view(np.uint32),
+                                      vf.view(np.uint32))
+        got_d = np.asarray(out[pd])
+        np.testing.assert_array_equal(
+            np.ascontiguousarray(got_d).view(np.float64)[..., 0], vd)
