@@ -66,7 +66,8 @@ def _pow10(k: int, np_float) -> np.floating:
 def _encode_ints(values64: np.ndarray, e: int, f: int) -> np.ndarray:
     """round(v * 10^e / 10^f) in float64, as int64 (non-finite/overflow
     positions produce garbage here and are filtered by _ok_mask)."""
-    scaled = values64 * (np.float64(10.0) ** e) * (np.float64(10.0) ** -f)
+    with np.errstate(over="ignore", invalid="ignore"):
+        scaled = values64 * (np.float64(10.0) ** e) * (np.float64(10.0) ** -f)
     scaled = np.where(np.isfinite(scaled), scaled, 0.0)
     scaled = np.clip(scaled, -(2.0 ** 62), 2.0 ** 62)
     return np.round(scaled).astype(np.int64)

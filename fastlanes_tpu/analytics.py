@@ -18,9 +18,13 @@ decode in-graph first) and every dtype incl. signed transforms and floats.
 u64 integer columns reduce x64-FREE in the uint32 limb domain
 (_stats_kernel_u64): sums are exact big-ints via 16-bit plane reduction;
 min/max use int64 semantics (unsigned values >= 2^63 appear negative —
-the same convention as the signed transforms). f64 columns still need x64
-jax for sum/min/max (float reductions without f64 vector math would be
-inexact).
+the same convention as the signed transforms). f64 columns ALSO reduce
+x64-free — and EXACTLY: sums run through an integer superaccumulator in
+the limb domain (_stats_kernel_f64) and come back exactly rounded (each
+f64 contributes its full 2^-1075-granularity value; stronger than float64
+accumulation), min/max through the IEEE total-order key, count_where
+through key comparisons with numpy NaN/-0.0 semantics. The same exact
+path runs when x64 IS enabled, so results never depend on the x64 flag.
 """
 
 from __future__ import annotations
@@ -89,24 +93,26 @@ def _flatten_logical(blocks, cdtype, vtype):
 
     u64 INTEGER columns stay in the (lo, hi) uint32 plane domain (x64-free;
     the limb kernels below reduce them exactly — and the planes arrive
-    straight from the decoder without an interleaving stack). f64 limb
-    images bitcast to float64 when x64 jax is available; float reductions
-    without f64 vector arithmetic would be inexact, so they still raise
-    otherwise."""
+    straight from the decoder without an interleaving stack). f64 columns
+    return the ("f64", lo, hi) marker for the exact limb-domain kernels —
+    float64 arrays (x64 jax) are bitcast back to limbs so the SAME exact
+    path runs regardless of the x64 flag."""
     if isinstance(blocks, tuple) or type(blocks).__name__ == "LimbPlanes":
         lo, hi = blocks if isinstance(blocks, tuple) else (blocks.lo, blocks.hi)
+        if vtype == "f64":
+            return ("f64", lo.reshape(-1), hi.reshape(-1))
         return lo.reshape(-1), hi.reshape(-1)
     arr = blocks
+    if arr.dtype == jnp.float64:  # x64 jax: route through the exact path too
+        bits = jax.lax.bitcast_convert_type(arr.reshape(-1), jnp.uint32)
+        return ("f64", bits[..., 0], bits[..., 1])
     if cdtype == "u64" and arr.ndim >= 2 and arr.shape[-1] == 2 and (
             arr.dtype == jnp.uint32):
         if vtype == "f64":
-            if not jax.config.read("jax_enable_x64"):
-                raise ValueError(
-                    "analytics over f64 columns needs x64 jax "
-                    "(jax.config.update('jax_enable_x64', True)); u64 "
-                    "integer columns reduce x64-free in the limb domain")
-            return jax.lax.bitcast_convert_type(
-                arr.reshape(-1, 2), jnp.float64).reshape(-1)
+            # f64 bit planes, reduced EXACTLY in the limb domain (x64-free:
+            # _stats_kernel_f64 superaccumulator / total-order keys)
+            return ("f64", arr.reshape(-1, 2)[..., 0],
+                    arr.reshape(-1, 2)[..., 1])
         return arr.reshape(-1, 2)[..., 0], arr.reshape(-1, 2)[..., 1]
     return arr.reshape(-1)
 
@@ -200,6 +206,149 @@ def _i64_of(key: int, lo: int) -> int:
     return u - (1 << 64) if u >= (1 << 63) else u
 
 
+# ---------------------------------------------------------------------------
+# Exact f64 analytics in the uint32 limb domain (x64-FREE; TPU has no f64
+# vector math). A float64 is (-1)^s * m * 2^(E'-1075) with E' = max(E, 1)
+# and m the 52-bit fraction plus the implicit bit when E > 0. Writing
+# E' = 16*b + r (bucket b in [0, 128], r in [0, 16)), the EXACT column sum
+# is a SUPERACCUMULATOR:
+#
+#   sum = ( sum_{s,b,k} +-BIN[s,b,k] * 2^(16*(b+k)) ) * 2^-1075
+#
+# where BIN accumulates the k-th 16-bit plane of m << r per sign/bucket —
+# pure uint32 shifts/adds/scatter-adds on device, big-int reassembly on the
+# host and ONE correctly-rounded Fraction->float conversion. The result is
+# the EXACTLY ROUNDED sum (stronger than float64 accumulation, which drifts
+# with length). min/max ride the IEEE total-order key (sign-flip for
+# positives, full complement for negatives); NaN/+-inf are counted apart
+# and resolved on the host with numpy semantics.
+
+_F64_BUCKETS = 129          # E' // 16 for E' in [1, 2046]
+_F64_BINS = 2 * _F64_BUCKETS * 5
+
+
+def _f64_key(lo, hi):
+    """IEEE-754 total-order key: lexicographic uint (key_hi, key_lo)
+    compare == numeric order (with -0.0 < +0.0; NaNs at the extremes —
+    callers mask them)."""
+    neg = (hi >> jnp.uint32(31)) == jnp.uint32(1)
+    key_hi = jnp.where(neg, ~hi, hi ^ jnp.uint32(0x80000000))
+    key_lo = jnp.where(neg, ~lo, lo)
+    return key_hi, key_lo
+
+
+@jax.jit
+def _stats_kernel_f64(lo, hi, v):
+    """Exact limb-domain f64 stats. Returns (bins (P, _F64_BINS) uint32,
+    n_nan, n_pinf, n_ninf, n_key, kmn_hi, kmn_lo, kmx_hi, kmx_lo)."""
+    u32 = jnp.uint32
+    n = lo.shape[0]
+    ok = jnp.arange(n) < v
+    lo = jnp.where(ok, lo, u32(0))
+    hi = jnp.where(ok, hi, u32(0))  # padding = +0.0: zero planes, masked keys
+    sign = hi >> u32(31)
+    E = (hi >> u32(20)) & u32(0x7FF)
+    frac_hi = hi & u32(0xFFFFF)
+    special = E == u32(2047)
+    is_nan = special & ((frac_hi != u32(0)) | (lo != u32(0))) & ok
+    is_inf = special & (frac_hi == u32(0)) & (lo == u32(0)) & ok
+    n_nan = jnp.sum(is_nan.astype(jnp.int32))
+    n_pinf = jnp.sum((is_inf & (sign == u32(0))).astype(jnp.int32))
+    n_ninf = jnp.sum((is_inf & (sign == u32(1))).astype(jnp.int32))
+    # finite superaccumulator contribution: 3-limb m << (E' % 16)
+    fin = ok & ~special
+    Ep = jnp.maximum(E, u32(1))
+    m_lo = jnp.where(fin, lo, u32(0))
+    m_hi = jnp.where(fin, frac_hi | jnp.where(E > u32(0), u32(1 << 20),
+                                              u32(0)), u32(0))
+    r = Ep & u32(15)
+    sh_back = (u32(32) - r) & u32(31)
+    lo_carry = jnp.where(r == u32(0), u32(0), m_lo >> sh_back)
+    hi_carry = jnp.where(r == u32(0), u32(0), m_hi >> sh_back)
+    m0 = m_lo << r
+    m1 = (m_hi << r) | lo_carry
+    m2 = hi_carry                      # m' < 2^68 -> m2 < 2^16
+    planes = (m0 & u32(0xFFFF), m0 >> u32(16),
+              m1 & u32(0xFFFF), m1 >> u32(16), m2)
+    bucket = (Ep >> u32(4)).astype(jnp.int32)
+    base_idx = jnp.where(fin, sign.astype(jnp.int32) * (_F64_BUCKETS * 5)
+                         + bucket * 5, jnp.int32(0))
+    # per-piece scatter-add: each bin gathers <= _PIECE values of < 2^16,
+    # so every partial stays < 2^31 (the same bound as _stats_kernel);
+    # non-finite/padded lanes scatter zeros into bin 0
+    pad = (-n) % _PIECE
+    idx5, pl5 = [], []
+    for k, p in enumerate(planes):
+        idx5.append(base_idx + k)
+        pl5.append(p)
+    idx = jnp.concatenate([jnp.pad(i, (0, pad)) for i in idx5])
+    pl = jnp.concatenate([jnp.pad(p, (0, pad)) for p in pl5])
+    idx = idx.reshape(5, -1, _PIECE).transpose(1, 0, 2).reshape(-1, 5 * _PIECE)
+    pl = pl.reshape(5, -1, _PIECE).transpose(1, 0, 2).reshape(-1, 5 * _PIECE)
+    bins = jax.vmap(lambda i, p: jnp.zeros((_F64_BINS,), u32).at[i].add(p))(
+        idx, pl)
+    # total-order min/max over comparable (non-NaN, in-range) values
+    key_hi, key_lo = _f64_key(lo, hi)
+    kok = ok & ~is_nan
+    n_key = jnp.sum(kok.astype(jnp.int32))
+    ones = u32(0xFFFFFFFF)
+    kh_mn = jnp.min(jnp.where(kok, key_hi, ones))
+    kl_mn = jnp.min(jnp.where(kok & (key_hi == kh_mn), key_lo, ones))
+    kh_mx = jnp.max(jnp.where(kok, key_hi, u32(0)))
+    kl_mx = jnp.max(jnp.where(kok & (key_hi == kh_mx), key_lo, u32(0)))
+    return bins, n_nan, n_pinf, n_ninf, n_key, kh_mn, kl_mn, kh_mx, kl_mx
+
+
+def _f64_of_key(khi: int, klo: int) -> float:
+    """Inverse of _f64_key on host ints -> python float."""
+    import struct
+
+    if khi >> 31:
+        hi, lo = khi ^ 0x80000000, klo
+    else:
+        hi, lo = ~khi & 0xFFFFFFFF, ~klo & 0xFFFFFFFF
+    return struct.unpack("<d", struct.pack("<II", lo, hi))[0]
+
+
+def _f64_bins_to_int(bins_np: np.ndarray) -> int:
+    """(P, _F64_BINS) uint32 partials -> signed big-int numerator (in units
+    of 2^-1075)."""
+    per_bin = bins_np.astype(np.int64).sum(axis=0)
+    num = 0
+    half = _F64_BUCKETS * 5
+    for s, sgn in ((0, 1), (1, -1)):
+        for j in range(half):
+            c = int(per_bin[s * half + j])
+            if c:
+                b, k = divmod(j, 5)
+                num += sgn * (c << (16 * (b + k)))
+    return num
+
+
+@functools.partial(jax.jit, static_argnames=("op",))
+def _count_kernel_f64(lo, hi, v, vkhi, vklo, op):
+    """Filtered count on f64 limbs with numpy comparison semantics: NaN
+    positions match only 'ne'; -0.0 == +0.0 (zeros normalized before the
+    total-order key)."""
+    u32 = jnp.uint32
+    ok = jnp.arange(lo.shape[0]) < v
+    E = (hi >> u32(20)) & u32(0x7FF)
+    frac_hi = hi & u32(0xFFFFF)
+    is_nan = (E == u32(2047)) & ((frac_hi != u32(0)) | (lo != u32(0)))
+    negz = (hi == u32(0x80000000)) & (lo == u32(0))
+    hi_c = jnp.where(negz, u32(0), hi)
+    lo_c = jnp.where(negz, u32(0), lo)
+    key_hi, key_lo = _f64_key(lo_c, hi_c)
+    lt = (key_hi < vkhi) | ((key_hi == vkhi) & (key_lo < vklo))
+    eq = (key_hi == vkhi) & (key_lo == vklo)
+    hit = {"lt": lt, "le": lt | eq, "gt": ~(lt | eq), "ge": ~lt,
+           "eq": eq, "ne": ~eq}[op]
+    base = ok & ~is_nan & hit
+    if op == "ne":
+        base = base | (ok & is_nan)
+    return jnp.sum(base.astype(jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("op",))
 def _count_kernel_u64(lo, hi, v, vkey, vlo, op):
     """Filtered count on u64 limbs: signed-int64 predicate evaluated
@@ -222,6 +371,20 @@ def _combine_sum(planes, _unused, n_neg, dtype_bits, is_float):
     return total - (int(n_neg) << dtype_bits)
 
 
+def _merge_extreme(cur, new, op):
+    """NaN-sticky cross-chunk min/max merge (python min/max with NaN is
+    order-dependent; numpy semantics propagate it)."""
+    import math
+
+    if cur is None:
+        return new
+    if isinstance(cur, float) and math.isnan(cur):
+        return cur
+    if isinstance(new, float) and math.isnan(new):
+        return new
+    return op(cur, new)
+
+
 class _StatAcc:
     """Running sum/min/max/count accumulator fed one decoded chunk at a
     time — the shared core of scan_column and scan_table."""
@@ -231,11 +394,24 @@ class _StatAcc:
         self.mn = None
         self.mx = None
         self.count = 0
+        # exact-f64 state (x64-free columns): big-int superaccumulator
+        # numerator (units of 2^-1075), special counts, total-order keys
+        self.is_f64 = False
+        self.f64_num = 0
+        self.n_nan = 0
+        self.n_pinf = 0
+        self.n_ninf = 0
+        self.kmn = None
+        self.kmx = None
 
     def feed(self, blocks, cdtype, vtype, valid):
         if valid == 0:
             return
         flat = _flatten_logical(blocks, cdtype, vtype)
+        if isinstance(flat, tuple) and len(flat) == 3 and flat[0] == "f64":
+            self._feed_f64(flat[1], flat[2], valid)
+            self.count += valid
+            return
         if isinstance(flat, tuple):  # u64 integer limb planes (x64-free exact)
             planes, n_neg, kmn, mn_lo, kmx, mx_lo = _stats_kernel_u64(
                 flat[0], flat[1], jnp.int32(valid))
@@ -250,13 +426,46 @@ class _StatAcc:
                                        np.asarray(flat).dtype.itemsize * 8
                                        if not is_float else 0, is_float)
             m1, m2 = m1.item(), m2.item()
-        self.mn = m1 if self.mn is None else min(self.mn, m1)
-        self.mx = m2 if self.mx is None else max(self.mx, m2)
+        self.mn = _merge_extreme(self.mn, m1, min)
+        self.mx = _merge_extreme(self.mx, m2, max)
         self.count += valid
 
+    def _feed_f64(self, lo, hi, valid):
+        self.is_f64 = True
+        (bins, n_nan, n_pinf, n_ninf, n_key,
+         kh_mn, kl_mn, kh_mx, kl_mx) = _stats_kernel_f64(
+            lo, hi, jnp.int32(valid))
+        self.f64_num += _f64_bins_to_int(np.asarray(bins))
+        self.n_nan += int(n_nan)
+        self.n_pinf += int(n_pinf)
+        self.n_ninf += int(n_ninf)
+        if int(n_key):  # chunk had comparable values: merge total-order keys
+            kmn = (int(kh_mn), int(kl_mn))
+            kmx = (int(kh_mx), int(kl_mx))
+            self.kmn = kmn if self.kmn is None else min(self.kmn, kmn)
+            self.kmx = kmx if self.kmx is None else max(self.kmx, kmx)
+
     def result(self) -> dict:
-        return {"sum": self.total, "min": self.mn, "max": self.mx,
-                "count": self.count}
+        if not self.is_f64:
+            return {"sum": self.total, "min": self.mn, "max": self.mx,
+                    "count": self.count}
+        from fractions import Fraction
+
+        if self.n_nan or (self.n_pinf and self.n_ninf):
+            total = float("nan")
+        elif self.n_pinf:
+            total = float("inf")
+        elif self.n_ninf:
+            total = float("-inf")
+        else:
+            total = (float(Fraction(self.f64_num, 1 << 1075))
+                     if self.f64_num else 0.0)
+        if self.n_nan:
+            mn = mx = float("nan")
+        else:
+            mn = _f64_of_key(*self.kmn) if self.kmn is not None else None
+            mx = _f64_of_key(*self.kmx) if self.kmx is not None else None
+        return {"sum": total, "min": mn, "max": mx, "count": self.count}
 
 
 def scan_column(path: str, column: Optional[str] = None, mesh=None) -> dict:
@@ -328,11 +537,26 @@ def count_where(path: str, op: str, value, column: Optional[str] = None,
     if op not in _PREDS:
         raise ValueError(f"unknown predicate {op!r}; have {sorted(_PREDS)}")
     total = 0
+    import math
+    import struct
+
     for blocks, cdtype, vtype, valid in _decoded_chunks(path, column, mesh):
         if valid == 0:
             continue
         flat = _flatten_logical(blocks, cdtype, vtype)
-        if isinstance(flat, tuple):  # u64 integer limb planes
+        if isinstance(flat, tuple) and len(flat) == 3 and flat[0] == "f64":
+            v = float(value)
+            if math.isnan(v):  # numpy: NaN matches only 'ne', everywhere
+                total += valid if op == "ne" else 0
+                continue
+            vb = struct.unpack("<Q", struct.pack("<d", 0.0 if v == 0 else v))[0]
+            vlo, vhi = np.uint32(vb & 0xFFFFFFFF), np.uint32(vb >> 32)
+            vkhi, vklo = (int(~vhi & 0xFFFFFFFF), int(~vlo & 0xFFFFFFFF)) \
+                if vb >> 63 else (int(vhi ^ 0x80000000), int(vlo))
+            total += int(_count_kernel_f64(flat[1], flat[2], jnp.int32(valid),
+                                           jnp.uint32(vkhi), jnp.uint32(vklo),
+                                           op))
+        elif isinstance(flat, tuple):  # u64 integer limb planes
             u = int(value) & ((1 << 64) - 1)  # two's-complement bit pattern
             vkey = jnp.uint32(((u >> 32) ^ 0x80000000) & 0xFFFFFFFF)
             vlo = jnp.uint32(u & 0xFFFFFFFF)

@@ -111,22 +111,109 @@ def test_scan_u64_signed_view(tmp_path, rng):
     assert analytics.count_where(path, "lt", 0) == int((values < 0).sum())
 
 
-def test_scan_f64_requires_x64(tmp_path, rng):
-    """f64 columns still need x64 for reductions (no exact float path)."""
+def _exact_f64_sum(values) -> float:
+    """Ground truth: the exactly rounded sum (one rounding at the end)."""
+    from fractions import Fraction
+
+    return float(sum(Fraction(float(v)) for v in values))
+
+
+def test_scan_f64_exact_x64_free(tmp_path, rng):
+    """f64 columns reduce x64-FREE and EXACTLY: the limb-domain
+    superaccumulator returns the exactly rounded sum — stronger than
+    float64 accumulation — plus total-order min/max."""
     import jax
 
+    assert not jax.config.read("jax_enable_x64")
     path = str(tmp_path / "f64.flt")
     values = (rng.integers(0, 1 << 16, 2048) / 100.0).astype(np.float64)
     fio.write_file(path, values)
-    with pytest.raises(ValueError, match="x64"):
-        analytics.scan_column(path)
+    stats = analytics.scan_column(path)
+    assert stats["sum"] == _exact_f64_sum(values)
+    assert stats["min"] == float(values.min())
+    assert stats["max"] == float(values.max())
+    assert stats["count"] == len(values)
+    # x64 ON takes the same exact path — results never depend on the flag
     jax.config.update("jax_enable_x64", True)
     try:
-        stats = analytics.scan_column(path)
-        assert stats["min"] == float(values.min())
-        assert stats["max"] == float(values.max())
+        assert analytics.scan_column(path) == stats
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_scan_f64_superaccumulator_beats_float_accumulation(tmp_path, rng):
+    """Magnitude-spread data where sequential float64 accumulation collapses
+    to 0: the superaccumulator keeps every 2^-1075-granularity bit. Mixes
+    subnormals, -0.0, and 600-orders-of-magnitude spread."""
+    tiny = (rng.standard_normal(3000) * 1e-290).astype(np.float64)
+    values = np.concatenate([
+        np.array([1e300]), tiny, np.array([-1e300]),
+        np.array([5e-324, -0.0, 0.0, 4.9e-324]),
+    ])
+    path = str(tmp_path / "spread.flt")
+    fio.write_file(path, values)
+    np.testing.assert_array_equal(fio.read_file(path).view(np.uint64),
+                                  values.view(np.uint64))
+    stats = analytics.scan_column(path)
+    want = _exact_f64_sum(values)
+    assert stats["sum"] == want
+    # naive accumulation loses the tiny tail entirely
+    assert float(np.sum(values)) != want
+    assert stats["min"] == float(values.min())
+    assert stats["max"] == float(values.max())
+
+
+def test_scan_f64_specials(tmp_path, rng):
+    """NaN/inf columns follow numpy semantics: NaN poisons sum/min/max;
+    +-inf dominates the sum; opposing infs give NaN."""
+    import math
+
+    base = (rng.integers(0, 1000, 2048) / 8.0).astype(np.float64)
+
+    for specials, want_sum in (
+            ([np.nan], None),                      # NaN -> everything NaN
+            ([np.inf], float("inf")),
+            ([-np.inf], float("-inf")),
+            ([np.inf, -np.inf], None),             # opposing infs -> NaN
+    ):
+        values = np.concatenate([base, np.asarray(specials)])
+        path = str(tmp_path / "sp.flt")
+        fio.write_file(path, values)
+        stats = analytics.scan_column(path)
+        if want_sum is None:
+            assert math.isnan(stats["sum"])
+        else:
+            assert stats["sum"] == want_sum
+        if np.isnan(specials).any():
+            assert math.isnan(stats["min"]) and math.isnan(stats["max"])
+        else:
+            assert stats["min"] == float(np.min(values))
+            assert stats["max"] == float(np.max(values))
+
+
+def test_count_where_f64_x64_free(tmp_path, rng):
+    """f64 count_where via total-order key comparison: numpy semantics for
+    every op, NaN positions, -0.0 == +0.0, and a NaN probe value."""
+    import jax
+
+    assert not jax.config.read("jax_enable_x64")
+    values = (rng.standard_normal(4000) * 100).astype(np.float64)
+    values[7] = np.nan
+    values[100] = -0.0
+    values[200] = 0.0
+    values[300] = np.inf
+    path = str(tmp_path / "c64.flt")
+    fio.write_file(path, values)
+    for op, fn in (("lt", np.less), ("le", np.less_equal),
+                   ("gt", np.greater), ("ge", np.greater_equal),
+                   ("eq", np.equal), ("ne", np.not_equal)):
+        for v in (float(np.median(values[~np.isnan(values)])), 0.0, -0.0):
+            want = int(fn(values, v).sum())
+            assert analytics.count_where(path, op, v) == want, (op, v)
+    # NaN probe: numpy counts ne=all, everything else 0
+    assert analytics.count_where(path, "ne", float("nan")) == len(values)
+    assert analytics.count_where(path, "eq", float("nan")) == 0
+    assert analytics.count_where(path, "lt", float("nan")) == 0
 
 
 def test_scan_table_multi_column(tmp_path, rng):
