@@ -18,13 +18,15 @@ decode in-graph first) and every dtype incl. signed transforms and floats.
 u64 integer columns reduce x64-FREE in the uint32 limb domain
 (_stats_kernel_u64): sums are exact big-ints via 16-bit plane reduction;
 min/max use int64 semantics (unsigned values >= 2^63 appear negative —
-the same convention as the signed transforms). f64 columns ALSO reduce
-x64-free — and EXACTLY: sums run through an integer superaccumulator in
-the limb domain (_stats_kernel_f64) and come back exactly rounded (each
-f64 contributes its full 2^-1075-granularity value; stronger than float64
-accumulation), min/max through the IEEE total-order key, count_where
-through key comparisons with numpy NaN/-0.0 semantics. The same exact
-path runs when x64 IS enabled, so results never depend on the x64 flag.
+the same convention as the signed transforms). FLOAT columns (f32 AND
+f64) also reduce x64-free — and EXACTLY: sums run through an integer
+superaccumulator in the limb domain (_stats_kernel_f64/_f32) and come
+back exactly rounded (each value contributes its full
+2^-1075/2^-150-granularity amount; stronger than float accumulation,
+which drifts with column length), min/max through the IEEE total-order
+key, count_where through key comparisons with numpy NaN/-0.0 semantics.
+The same exact path runs when x64 IS enabled, so results never depend on
+the x64 flag.
 """
 
 from __future__ import annotations
@@ -106,6 +108,9 @@ def _flatten_logical(blocks, cdtype, vtype):
     if arr.dtype == jnp.float64:  # x64 jax: route through the exact path too
         bits = jax.lax.bitcast_convert_type(arr.reshape(-1), jnp.uint32)
         return ("f64", bits[..., 0], bits[..., 1])
+    if arr.dtype == jnp.float32:  # exact superaccumulator path (single limb)
+        return ("f32",
+                jax.lax.bitcast_convert_type(arr.reshape(-1), jnp.uint32))
     if cdtype == "u64" and arr.ndim >= 2 and arr.shape[-1] == 2 and (
             arr.dtype == jnp.uint32):
         if vtype == "f64":
@@ -325,6 +330,100 @@ def _f64_bins_to_int(bins_np: np.ndarray) -> int:
     return num
 
 
+# f32 twin: value = (-1)^s * m * 2^(E'-150), m < 2^24, E' = max(E, 1) in
+# [1, 254] -> buckets E'//16 in [0, 15], m << (E'%16) < 2^39 -> 3 planes.
+_F32_BUCKETS = 16
+_F32_BINS = 2 * _F32_BUCKETS * 3
+
+
+@jax.jit
+def _stats_kernel_f32(bits, v):
+    """Exact f32 stats from the raw uint32 bit pattern: superaccumulator
+    bins (exact sum in units of 2^-150) + total-order keys. Returns
+    (bins (P, _F32_BINS), n_nan, n_pinf, n_ninf, n_key, kmn, kmx)."""
+    u32 = jnp.uint32
+    n = bits.shape[0]
+    ok = jnp.arange(n) < v
+    bits = jnp.where(ok, bits, u32(0))
+    sign = bits >> u32(31)
+    E = (bits >> u32(23)) & u32(0xFF)
+    frac = bits & u32(0x7FFFFF)
+    special = E == u32(255)
+    is_nan = special & (frac != u32(0)) & ok
+    is_inf = special & (frac == u32(0)) & ok
+    n_nan = jnp.sum(is_nan.astype(jnp.int32))
+    n_pinf = jnp.sum((is_inf & (sign == u32(0))).astype(jnp.int32))
+    n_ninf = jnp.sum((is_inf & (sign == u32(1))).astype(jnp.int32))
+    fin = ok & ~special
+    Ep = jnp.maximum(E, u32(1))
+    m = jnp.where(fin, frac | jnp.where(E > u32(0), u32(1 << 23), u32(0)),
+                  u32(0))
+    r = Ep & u32(15)
+    m0 = m << r                        # low 32 of m' < 2^39
+    m2 = jnp.where(r == u32(0), u32(0), m >> ((u32(32) - r) & u32(31)))
+    planes = (m0 & u32(0xFFFF), m0 >> u32(16), m2)
+    bucket = (Ep >> u32(4)).astype(jnp.int32)
+    base_idx = jnp.where(fin, sign.astype(jnp.int32) * (_F32_BUCKETS * 3)
+                         + bucket * 3, jnp.int32(0))
+    pad = (-n) % _PIECE
+    idx = jnp.concatenate([jnp.pad(base_idx + k, (0, pad))
+                           for k in range(3)])
+    pl = jnp.concatenate([jnp.pad(p, (0, pad)) for p in planes])
+    idx = idx.reshape(3, -1, _PIECE).transpose(1, 0, 2).reshape(-1, 3 * _PIECE)
+    pl = pl.reshape(3, -1, _PIECE).transpose(1, 0, 2).reshape(-1, 3 * _PIECE)
+    bins = jax.vmap(lambda i, p: jnp.zeros((_F32_BINS,), u32).at[i].add(p))(
+        idx, pl)
+    neg = sign == u32(1)
+    key = jnp.where(neg, ~bits, bits ^ u32(0x80000000))
+    kok = ok & ~is_nan
+    n_key = jnp.sum(kok.astype(jnp.int32))
+    kmn = jnp.min(jnp.where(kok, key, u32(0xFFFFFFFF)))
+    kmx = jnp.max(jnp.where(kok, key, u32(0)))
+    return bins, n_nan, n_pinf, n_ninf, n_key, kmn, kmx
+
+
+def _f32_of_key(k: int) -> float:
+    import struct
+
+    b = (k ^ 0x80000000) if k >> 31 else (~k & 0xFFFFFFFF)
+    return struct.unpack("<f", struct.pack("<I", b))[0]
+
+
+def _f32_bins_to_int(bins_np: np.ndarray) -> int:
+    per_bin = bins_np.astype(np.int64).sum(axis=0)
+    num = 0
+    half = _F32_BUCKETS * 3
+    for s, sgn in ((0, 1), (1, -1)):
+        for j in range(half):
+            c = int(per_bin[s * half + j])
+            if c:
+                b, k = divmod(j, 3)
+                num += sgn * (c << (16 * (b + k)))
+    return num
+
+
+@functools.partial(jax.jit, static_argnames=("op",))
+def _count_kernel_f32(bits, v, vkey, op):
+    """f32 filtered count on total-order keys — integer compares, so
+    subnormals keep numpy semantics (XLA float compares flush them to
+    zero); NaN matches only 'ne', -0.0 == +0.0."""
+    u32 = jnp.uint32
+    ok = jnp.arange(bits.shape[0]) < v
+    E = (bits >> u32(23)) & u32(0xFF)
+    is_nan = (E == u32(255)) & ((bits & u32(0x7FFFFF)) != u32(0))
+    bits_c = jnp.where(bits == u32(0x80000000), u32(0), bits)  # -0.0 -> +0.0
+    neg = (bits_c >> u32(31)) == u32(1)
+    key = jnp.where(neg, ~bits_c, bits_c ^ u32(0x80000000))
+    lt = key < vkey
+    eq = key == vkey
+    hit = {"lt": lt, "le": lt | eq, "gt": ~(lt | eq), "ge": ~lt,
+           "eq": eq, "ne": ~eq}[op]
+    base = ok & ~is_nan & hit
+    if op == "ne":
+        base = base | (ok & is_nan)
+    return jnp.sum(base.astype(jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("op",))
 def _count_kernel_f64(lo, hi, v, vkhi, vklo, op):
     """Filtered count on f64 limbs with numpy comparison semantics: NaN
@@ -394,10 +493,11 @@ class _StatAcc:
         self.mn = None
         self.mx = None
         self.count = 0
-        # exact-f64 state (x64-free columns): big-int superaccumulator
-        # numerator (units of 2^-1075), special counts, total-order keys
-        self.is_f64 = False
-        self.f64_num = 0
+        # exact-float state (f32/f64 columns): big-int superaccumulator
+        # numerator (units of 2^-150 / 2^-1075), special counts, total-order
+        # keys (int tuples — lexicographic compare == numeric order)
+        self.float_kind = None
+        self.float_num = 0
         self.n_nan = 0
         self.n_pinf = 0
         self.n_ninf = 0
@@ -408,8 +508,11 @@ class _StatAcc:
         if valid == 0:
             return
         flat = _flatten_logical(blocks, cdtype, vtype)
-        if isinstance(flat, tuple) and len(flat) == 3 and flat[0] == "f64":
-            self._feed_f64(flat[1], flat[2], valid)
+        if isinstance(flat, tuple) and isinstance(flat[0], str):
+            if flat[0] == "f64":
+                self._feed_f64(flat[1], flat[2], valid)
+            else:
+                self._feed_f32(flat[1], valid)
             self.count += valid
             return
         if isinstance(flat, tuple):  # u64 integer limb planes (x64-free exact)
@@ -431,26 +534,39 @@ class _StatAcc:
         self.count += valid
 
     def _feed_f64(self, lo, hi, valid):
-        self.is_f64 = True
+        self.float_kind = "f64"
         (bins, n_nan, n_pinf, n_ninf, n_key,
          kh_mn, kl_mn, kh_mx, kl_mx) = _stats_kernel_f64(
             lo, hi, jnp.int32(valid))
-        self.f64_num += _f64_bins_to_int(np.asarray(bins))
+        self._merge_float(_f64_bins_to_int(np.asarray(bins)), n_nan, n_pinf,
+                          n_ninf, n_key, (int(kh_mn), int(kl_mn)),
+                          (int(kh_mx), int(kl_mx)))
+
+    def _feed_f32(self, bits, valid):
+        self.float_kind = "f32"
+        bins, n_nan, n_pinf, n_ninf, n_key, kmn, kmx = _stats_kernel_f32(
+            bits, jnp.int32(valid))
+        self._merge_float(_f32_bins_to_int(np.asarray(bins)), n_nan, n_pinf,
+                          n_ninf, n_key, (int(kmn),), (int(kmx),))
+
+    def _merge_float(self, num, n_nan, n_pinf, n_ninf, n_key, kmn, kmx):
+        self.float_num += num
         self.n_nan += int(n_nan)
         self.n_pinf += int(n_pinf)
         self.n_ninf += int(n_ninf)
         if int(n_key):  # chunk had comparable values: merge total-order keys
-            kmn = (int(kh_mn), int(kl_mn))
-            kmx = (int(kh_mx), int(kl_mx))
             self.kmn = kmn if self.kmn is None else min(self.kmn, kmn)
             self.kmx = kmx if self.kmx is None else max(self.kmx, kmx)
 
     def result(self) -> dict:
-        if not self.is_f64:
+        if self.float_kind is None:
             return {"sum": self.total, "min": self.mn, "max": self.mx,
                     "count": self.count}
         from fractions import Fraction
 
+        denom_bits = 1075 if self.float_kind == "f64" else 150
+        of_key = (_f64_of_key if self.float_kind == "f64"
+                  else lambda k: _f32_of_key(k))
         if self.n_nan or (self.n_pinf and self.n_ninf):
             total = float("nan")
         elif self.n_pinf:
@@ -458,13 +574,13 @@ class _StatAcc:
         elif self.n_ninf:
             total = float("-inf")
         else:
-            total = (float(Fraction(self.f64_num, 1 << 1075))
-                     if self.f64_num else 0.0)
+            total = (float(Fraction(self.float_num, 1 << denom_bits))
+                     if self.float_num else 0.0)
         if self.n_nan:
             mn = mx = float("nan")
         else:
-            mn = _f64_of_key(*self.kmn) if self.kmn is not None else None
-            mx = _f64_of_key(*self.kmx) if self.kmx is not None else None
+            mn = of_key(*self.kmn) if self.kmn is not None else None
+            mx = of_key(*self.kmx) if self.kmx is not None else None
         return {"sum": total, "min": mn, "max": mx, "count": self.count}
 
 
@@ -544,7 +660,18 @@ def count_where(path: str, op: str, value, column: Optional[str] = None,
         if valid == 0:
             continue
         flat = _flatten_logical(blocks, cdtype, vtype)
-        if isinstance(flat, tuple) and len(flat) == 3 and flat[0] == "f64":
+        if isinstance(flat, tuple) and isinstance(flat[0], str) and \
+                flat[0] == "f32":
+            v = float(value)
+            if math.isnan(v):
+                total += valid if op == "ne" else 0
+                continue
+            vb = struct.unpack("<I", struct.pack(
+                "<f", 0.0 if v == 0 else np.float32(v)))[0]
+            vkey = (~vb & 0xFFFFFFFF) if vb >> 31 else (vb ^ 0x80000000)
+            total += int(_count_kernel_f32(flat[1], jnp.int32(valid),
+                                           jnp.uint32(vkey), op))
+        elif isinstance(flat, tuple) and len(flat) == 3 and flat[0] == "f64":
             v = float(value)
             if math.isnan(v):  # numpy: NaN matches only 'ne', everywhere
                 total += valid if op == "ne" else 0

@@ -45,6 +45,8 @@ def test_scan_signed_column(tmp_path, rng):
 
 
 def test_scan_float_column(tmp_path, rng):
+    from fractions import Fraction
+
     path = str(tmp_path / "f.flt")
     values = (rng.integers(0, 1 << 16, 3000) / 100.0).astype(np.float32)
     fio.write_file(path, values)
@@ -52,8 +54,8 @@ def test_scan_float_column(tmp_path, rng):
     assert stats["min"] == float(values.min())
     assert stats["max"] == float(values.max())
     assert stats["count"] == 3000
-    # f32 accumulation order differs from numpy's pairwise sum — tolerance
-    assert abs(stats["sum"] - float(values.sum())) < abs(float(values.sum())) * 1e-5 + 1
+    # f32 sums are EXACT (superaccumulator): the exactly rounded real sum
+    assert stats["sum"] == float(sum(Fraction(float(v)) for v in values))
 
 
 def test_scan_table_column(tmp_path, rng):
@@ -243,3 +245,34 @@ def test_scan_table_multi_column(tmp_path, rng):
     assert sub == {"qty": analytics.scan_column(path, column="qty")}
     with pytest.raises(KeyError, match="no column"):
         analytics.scan_table(path, columns=["nope"])
+
+
+def test_scan_f32_exact_and_specials(tmp_path, rng):
+    """f32 superaccumulator: magnitude spread + subnormals + specials, all
+    exact / numpy-semantics; count_where stays exact through float ops."""
+    import math
+    from fractions import Fraction
+
+    values = np.concatenate([
+        np.array([3e38], np.float32),
+        (rng.standard_normal(3000) * 1e-30).astype(np.float32),
+        np.array([-3e38, 1e-45, -0.0, 0.0], np.float32),
+    ])
+    path = str(tmp_path / "f32.flt")
+    fio.write_file(path, values)
+    stats = analytics.scan_column(path)
+    want = float(sum(Fraction(float(v)) for v in values))
+    assert stats["sum"] == want
+    assert float(np.sum(values, dtype=np.float32)) != want  # naive f32 drifts
+    assert stats["min"] == float(values.min())
+    assert stats["max"] == float(values.max())
+    # specials
+    values2 = np.concatenate([values, np.array([np.nan], np.float32)])
+    fio.write_file(path, values2)
+    s2 = analytics.scan_column(path)
+    assert math.isnan(s2["sum"]) and math.isnan(s2["min"])
+    # count_where on the NaN-bearing column: numpy semantics
+    for op, fn in (("gt", np.greater), ("ne", np.not_equal),
+                   ("eq", np.equal)):
+        want_n = int(fn(values2, np.float32(0.0)).sum())
+        assert analytics.count_where(path, op, 0.0) == want_n, op
