@@ -125,11 +125,14 @@ def _flatten_logical(blocks, cdtype, vtype):
 _PIECE = 32768  # piece-sum length: 32768 * (2^16 - 1) < 2^31, no overflow
 
 
-@jax.jit
-def _stats_kernel(x, v):
+def _iota_ok(n, v):
+    return jnp.arange(n) < v
+
+
+def _stats_core(x, ok):
     """Masked sum/min/max, one fused program per input shape/dtype
-    (module-level jit: repeated chunks hit the cache). Tail padding
-    (positions >= v) is excluded via iota masking.
+    (module-level jit entries below: repeated chunks hit the cache). `ok`
+    masks tail padding AND (on the scan_where path) predicate misses.
 
     Integer sums are EXACT WITHOUT x64: the masked values bitcast to the
     unsigned domain and split into 16-bit halves summed per 32768-element
@@ -138,7 +141,6 @@ def _stats_kernel(x, v):
     Returns (lo_sums, hi_sums, n_neg, mn, mx); float dtypes return the
     fused float total in lo_sums[0:1]."""
     n = x.shape[0]
-    ok = jnp.arange(n) < v
     if jnp.issubdtype(x.dtype, jnp.floating):
         big = jnp.asarray(jnp.inf, x.dtype)
         total = jnp.sum(jnp.where(ok, x, jnp.asarray(0, x.dtype)))
@@ -168,9 +170,14 @@ def _stats_kernel(x, v):
     return jnp.stack(planes), jnp.zeros((1,), jnp.uint32), n_neg, mn, mx
 
 
-@jax.jit
-def _stats_kernel_u64(lo, hi, v):
-    """u64 limb-domain twin of _stats_kernel, x64-free and EXACT: four
+_stats_kernel = jax.jit(
+    lambda x, v: _stats_core(x, _iota_ok(x.shape[0], v)))
+_stats_kernel_pred = jax.jit(
+    lambda x, v, pred: _stats_core(x, _iota_ok(x.shape[0], v) & pred))
+
+
+def _stats_core_u64(lo, hi, ok):
+    """u64 limb-domain twin of _stats_core, x64-free and EXACT: four
     16-bit planes summed per piece (big-int reassembly on the host), and
     min/max by signed-int64 order computed lexicographically on
     (sign-flipped hi, lo) — matching the int64 semantics of the x64 path
@@ -178,7 +185,6 @@ def _stats_kernel_u64(lo, hi, v):
     two's-complement reconstruction). Takes separate planes (the decoder's
     native output form — no interleave anywhere on the path)."""
     n = lo.shape[0]
-    ok = jnp.arange(n) < v
     lo = jnp.where(ok, lo, jnp.uint32(0))
     hi = jnp.where(ok, hi, jnp.uint32(0))
     n_neg = jnp.sum(((hi >> 31) & 1).astype(jnp.int32))
@@ -203,6 +209,13 @@ def _stats_kernel_u64(lo, hi, v):
             part = (pieces >> jnp.uint32(16 * k)) & jnp.uint32(0xFFFF)
             planes.append(jnp.sum(part, axis=1, dtype=jnp.uint32))
     return jnp.stack(planes), n_neg, kmn, mn_lo, kmx, mx_lo
+
+
+_stats_kernel_u64 = jax.jit(
+    lambda lo, hi, v: _stats_core_u64(lo, hi, _iota_ok(lo.shape[0], v)))
+_stats_kernel_u64_pred = jax.jit(
+    lambda lo, hi, v, pred: _stats_core_u64(
+        lo, hi, _iota_ok(lo.shape[0], v) & pred))
 
 
 def _i64_of(key: int, lo: int) -> int:
@@ -242,13 +255,11 @@ def _f64_key(lo, hi):
     return key_hi, key_lo
 
 
-@jax.jit
-def _stats_kernel_f64(lo, hi, v):
+def _stats_core_f64(lo, hi, ok):
     """Exact limb-domain f64 stats. Returns (bins (P, _F64_BINS) uint32,
     n_nan, n_pinf, n_ninf, n_key, kmn_hi, kmn_lo, kmx_hi, kmx_lo)."""
     u32 = jnp.uint32
     n = lo.shape[0]
-    ok = jnp.arange(n) < v
     lo = jnp.where(ok, lo, u32(0))
     hi = jnp.where(ok, hi, u32(0))  # padding = +0.0: zero planes, masked keys
     sign = hi >> u32(31)
@@ -304,6 +315,13 @@ def _stats_kernel_f64(lo, hi, v):
     return bins, n_nan, n_pinf, n_ninf, n_key, kh_mn, kl_mn, kh_mx, kl_mx
 
 
+_stats_kernel_f64 = jax.jit(
+    lambda lo, hi, v: _stats_core_f64(lo, hi, _iota_ok(lo.shape[0], v)))
+_stats_kernel_f64_pred = jax.jit(
+    lambda lo, hi, v, pred: _stats_core_f64(
+        lo, hi, _iota_ok(lo.shape[0], v) & pred))
+
+
 def _f64_of_key(khi: int, klo: int) -> float:
     """Inverse of _f64_key on host ints -> python float."""
     import struct
@@ -336,14 +354,12 @@ _F32_BUCKETS = 16
 _F32_BINS = 2 * _F32_BUCKETS * 3
 
 
-@jax.jit
-def _stats_kernel_f32(bits, v):
+def _stats_core_f32(bits, ok):
     """Exact f32 stats from the raw uint32 bit pattern: superaccumulator
     bins (exact sum in units of 2^-150) + total-order keys. Returns
     (bins (P, _F32_BINS), n_nan, n_pinf, n_ninf, n_key, kmn, kmx)."""
     u32 = jnp.uint32
     n = bits.shape[0]
-    ok = jnp.arange(n) < v
     bits = jnp.where(ok, bits, u32(0))
     sign = bits >> u32(31)
     E = (bits >> u32(23)) & u32(0xFF)
@@ -382,6 +398,13 @@ def _stats_kernel_f32(bits, v):
     return bins, n_nan, n_pinf, n_ninf, n_key, kmn, kmx
 
 
+_stats_kernel_f32 = jax.jit(
+    lambda bits, v: _stats_core_f32(bits, _iota_ok(bits.shape[0], v)))
+_stats_kernel_f32_pred = jax.jit(
+    lambda bits, v, pred: _stats_core_f32(
+        bits, _iota_ok(bits.shape[0], v) & pred))
+
+
 def _f32_of_key(k: int) -> float:
     import struct
 
@@ -403,12 +426,11 @@ def _f32_bins_to_int(bins_np: np.ndarray) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("op",))
-def _count_kernel_f32(bits, v, vkey, op):
-    """f32 filtered count on total-order keys — integer compares, so
+def _hit_f32(bits, vkey, op):
+    """f32 predicate mask on total-order keys — integer compares, so
     subnormals keep numpy semantics (XLA float compares flush them to
     zero); NaN matches only 'ne', -0.0 == +0.0."""
     u32 = jnp.uint32
-    ok = jnp.arange(bits.shape[0]) < v
     E = (bits >> u32(23)) & u32(0xFF)
     is_nan = (E == u32(255)) & ((bits & u32(0x7FFFFF)) != u32(0))
     bits_c = jnp.where(bits == u32(0x80000000), u32(0), bits)  # -0.0 -> +0.0
@@ -418,19 +440,15 @@ def _count_kernel_f32(bits, v, vkey, op):
     eq = key == vkey
     hit = {"lt": lt, "le": lt | eq, "gt": ~(lt | eq), "ge": ~lt,
            "eq": eq, "ne": ~eq}[op]
-    base = ok & ~is_nan & hit
-    if op == "ne":
-        base = base | (ok & is_nan)
-    return jnp.sum(base.astype(jnp.int32))
+    return (hit | is_nan) if op == "ne" else (hit & ~is_nan)
 
 
 @functools.partial(jax.jit, static_argnames=("op",))
-def _count_kernel_f64(lo, hi, v, vkhi, vklo, op):
-    """Filtered count on f64 limbs with numpy comparison semantics: NaN
+def _hit_f64(lo, hi, vkhi, vklo, op):
+    """f64 limb predicate mask with numpy comparison semantics: NaN
     positions match only 'ne'; -0.0 == +0.0 (zeros normalized before the
     total-order key)."""
     u32 = jnp.uint32
-    ok = jnp.arange(lo.shape[0]) < v
     E = (hi >> u32(20)) & u32(0x7FF)
     frac_hi = hi & u32(0xFFFFF)
     is_nan = (E == u32(2047)) & ((frac_hi != u32(0)) | (lo != u32(0)))
@@ -442,23 +460,73 @@ def _count_kernel_f64(lo, hi, v, vkhi, vklo, op):
     eq = (key_hi == vkhi) & (key_lo == vklo)
     hit = {"lt": lt, "le": lt | eq, "gt": ~(lt | eq), "ge": ~lt,
            "eq": eq, "ne": ~eq}[op]
-    base = ok & ~is_nan & hit
-    if op == "ne":
-        base = base | (ok & is_nan)
-    return jnp.sum(base.astype(jnp.int32))
+    return (hit | is_nan) if op == "ne" else (hit & ~is_nan)
 
 
 @functools.partial(jax.jit, static_argnames=("op",))
-def _count_kernel_u64(lo, hi, v, vkey, vlo, op):
-    """Filtered count on u64 limbs: signed-int64 predicate evaluated
+def _hit_u64(lo, hi, vkey, vlo, op):
+    """u64 limb predicate mask: signed-int64 compare evaluated
     lexicographically on (sign-flipped hi, lo) without 64-bit ints."""
-    ok = jnp.arange(lo.shape[0]) < v
     key = hi ^ jnp.uint32(0x80000000)
     lt = (key < vkey) | ((key == vkey) & (lo < vlo))
     eq = (key == vkey) & (lo == vlo)
-    hit = {"lt": lt, "le": lt | eq, "gt": ~(lt | eq), "ge": ~lt,
-           "eq": eq, "ne": ~eq}[op]
-    return jnp.sum((ok & hit).astype(jnp.int32))
+    return {"lt": lt, "le": lt | eq, "gt": ~(lt | eq), "ge": ~lt,
+            "eq": eq, "ne": ~eq}[op]
+
+
+@functools.partial(jax.jit, static_argnames=("op",))
+def _hit_int(x, value, op):
+    return _PREDS[op](x, value.astype(x.dtype))
+
+
+def _pred_mask(flat, op, value):
+    """Predicate hit mask (device bool array) over a flattened chunk, any
+    domain — the probe value is key-encoded on the host to match the
+    chunk's comparison domain."""
+    import math
+    import struct
+
+    if isinstance(flat, tuple) and isinstance(flat[0], str):
+        n = flat[1].shape[0]
+        v = float(value)
+        if math.isnan(v):  # numpy: NaN matches only 'ne', everywhere
+            return jnp.full((n,), op == "ne")
+        if flat[0] == "f32":
+            vb = struct.unpack("<I", struct.pack(
+                "<f", 0.0 if v == 0 else np.float32(v)))[0]
+            vkey = (~vb & 0xFFFFFFFF) if vb >> 31 else (vb ^ 0x80000000)
+            return _hit_f32(flat[1], jnp.uint32(vkey), op)
+        vb = struct.unpack("<Q", struct.pack("<d", 0.0 if v == 0 else v))[0]
+        vlo, vhi = vb & 0xFFFFFFFF, vb >> 32
+        vkhi, vklo = ((~vhi & 0xFFFFFFFF, ~vlo & 0xFFFFFFFF) if vb >> 63
+                      else (vhi ^ 0x80000000, vlo))
+        return _hit_f64(flat[1], flat[2], jnp.uint32(vkhi), jnp.uint32(vklo),
+                        op)
+    if isinstance(flat, tuple):  # u64 integer limb planes
+        u = int(value) & ((1 << 64) - 1)  # two's-complement bit pattern
+        vkey = jnp.uint32(((u >> 32) ^ 0x80000000) & 0xFFFFFFFF)
+        vlo = jnp.uint32(u & 0xFFFFFFFF)
+        return _hit_u64(flat[0], flat[1], vkey, vlo, op)
+    # probes outside the column dtype's range fold to constants on the host
+    # (no 64-bit device ints without x64)
+    info = np.iinfo(np.dtype(flat.dtype.name))
+    v = int(value)
+    if v > info.max or v < info.min:
+        every = (v > info.max and op in ("lt", "le", "ne")) or \
+                (v < info.min and op in ("gt", "ge", "ne"))
+        return jnp.full((flat.shape[0],), every)
+    return _hit_int(flat, jnp.asarray(np.dtype(flat.dtype.name).type(value)),
+                    op)
+
+
+_count_masked = jax.jit(lambda mask, v: jnp.sum(
+    (_iota_ok(mask.shape[0], v) & mask).astype(jnp.int32)))
+
+
+def _flat_len(flat) -> int:
+    """Row count of a flattened chunk in any domain (marker tuples carry
+    the array at index 1; (lo, hi) limb pairs are equal length)."""
+    return (flat[1] if isinstance(flat, tuple) else flat).shape[0]
 
 
 def _combine_sum(planes, _unused, n_neg, dtype_bits, is_float):
@@ -504,26 +572,39 @@ class _StatAcc:
         self.kmn = None
         self.kmx = None
 
-    def feed(self, blocks, cdtype, vtype, valid):
+    def feed(self, blocks, cdtype, vtype, valid, pred=None):
+        """Accumulate one decoded chunk; `pred` (device bool array aligned
+        with the flattened chunk) restricts to matching rows — the
+        scan_where path. `count` counts CONTRIBUTING rows."""
         if valid == 0:
             return
         flat = _flatten_logical(blocks, cdtype, vtype)
+        self.feed_flat(flat, valid, pred)
+
+    def feed_flat(self, flat, valid, pred=None):
+        v = jnp.int32(valid)
+        n_ok = valid if pred is None else int(_count_masked(pred, v))
         if isinstance(flat, tuple) and isinstance(flat[0], str):
             if flat[0] == "f64":
-                self._feed_f64(flat[1], flat[2], valid)
+                self._feed_f64(flat[1], flat[2], v, pred)
             else:
-                self._feed_f32(flat[1], valid)
-            self.count += valid
+                self._feed_f32(flat[1], v, pred)
+            self.count += n_ok
+            return
+        if n_ok == 0:  # int domains: nothing contributes, keep neutrals out
             return
         if isinstance(flat, tuple):  # u64 integer limb planes (x64-free exact)
-            planes, n_neg, kmn, mn_lo, kmx, mx_lo = _stats_kernel_u64(
-                flat[0], flat[1], jnp.int32(valid))
+            planes, n_neg, kmn, mn_lo, kmx, mx_lo = (
+                _stats_kernel_u64(flat[0], flat[1], v) if pred is None
+                else _stats_kernel_u64_pred(flat[0], flat[1], v, pred))
             self.total += _combine_sum(np.asarray(planes), None, int(n_neg),
                                        64, False)
             m1 = _i64_of(int(kmn), int(mn_lo))
             m2 = _i64_of(int(kmx), int(mx_lo))
         else:
-            planes, _z, n_neg, m1, m2 = _stats_kernel(flat, jnp.int32(valid))
+            planes, _z, n_neg, m1, m2 = (
+                _stats_kernel(flat, v) if pred is None
+                else _stats_kernel_pred(flat, v, pred))
             is_float = np.issubdtype(np.asarray(m1).dtype, np.floating)
             self.total += _combine_sum(np.asarray(planes), None, int(n_neg),
                                        np.asarray(flat).dtype.itemsize * 8
@@ -531,21 +612,23 @@ class _StatAcc:
             m1, m2 = m1.item(), m2.item()
         self.mn = _merge_extreme(self.mn, m1, min)
         self.mx = _merge_extreme(self.mx, m2, max)
-        self.count += valid
+        self.count += n_ok
 
-    def _feed_f64(self, lo, hi, valid):
+    def _feed_f64(self, lo, hi, v, pred=None):
         self.float_kind = "f64"
         (bins, n_nan, n_pinf, n_ninf, n_key,
-         kh_mn, kl_mn, kh_mx, kl_mx) = _stats_kernel_f64(
-            lo, hi, jnp.int32(valid))
+         kh_mn, kl_mn, kh_mx, kl_mx) = (
+            _stats_kernel_f64(lo, hi, v) if pred is None
+            else _stats_kernel_f64_pred(lo, hi, v, pred))
         self._merge_float(_f64_bins_to_int(np.asarray(bins)), n_nan, n_pinf,
                           n_ninf, n_key, (int(kh_mn), int(kl_mn)),
                           (int(kh_mx), int(kl_mx)))
 
-    def _feed_f32(self, bits, valid):
+    def _feed_f32(self, bits, v, pred=None):
         self.float_kind = "f32"
-        bins, n_nan, n_pinf, n_ninf, n_key, kmn, kmx = _stats_kernel_f32(
-            bits, jnp.int32(valid))
+        bins, n_nan, n_pinf, n_ninf, n_key, kmn, kmx = (
+            _stats_kernel_f32(bits, v) if pred is None
+            else _stats_kernel_f32_pred(bits, v, pred))
         self._merge_float(_f32_bins_to_int(np.asarray(bins)), n_nan, n_pinf,
                           n_ninf, n_key, (int(kmn),), (int(kmx),))
 
@@ -638,14 +721,6 @@ def scan_table(path: str, columns=None, mesh=None) -> dict:
     return {name: accs[name].result() for name in names}
 
 
-@functools.partial(jax.jit, static_argnames=("op",))
-def _count_kernel(x, v, value, op):
-    ok = jnp.arange(x.shape[0]) < v
-    hit = _PREDS[op](x, value.astype(x.dtype))
-    # int32 is enough: per-chunk counts are < 2^31 (chunk <= blocks * 1024)
-    return jnp.sum((ok & hit).astype(jnp.int32))
-
-
 def count_where(path: str, op: str, value, column: Optional[str] = None,
                 mesh=None) -> int:
     """Fused filtered count: predicate evaluated on decoded values
@@ -653,43 +728,54 @@ def count_where(path: str, op: str, value, column: Optional[str] = None,
     if op not in _PREDS:
         raise ValueError(f"unknown predicate {op!r}; have {sorted(_PREDS)}")
     total = 0
-    import math
-    import struct
-
     for blocks, cdtype, vtype, valid in _decoded_chunks(path, column, mesh):
         if valid == 0:
             continue
         flat = _flatten_logical(blocks, cdtype, vtype)
-        if isinstance(flat, tuple) and isinstance(flat[0], str) and \
-                flat[0] == "f32":
-            v = float(value)
-            if math.isnan(v):
-                total += valid if op == "ne" else 0
-                continue
-            vb = struct.unpack("<I", struct.pack(
-                "<f", 0.0 if v == 0 else np.float32(v)))[0]
-            vkey = (~vb & 0xFFFFFFFF) if vb >> 31 else (vb ^ 0x80000000)
-            total += int(_count_kernel_f32(flat[1], jnp.int32(valid),
-                                           jnp.uint32(vkey), op))
-        elif isinstance(flat, tuple) and len(flat) == 3 and flat[0] == "f64":
-            v = float(value)
-            if math.isnan(v):  # numpy: NaN matches only 'ne', everywhere
-                total += valid if op == "ne" else 0
-                continue
-            vb = struct.unpack("<Q", struct.pack("<d", 0.0 if v == 0 else v))[0]
-            vlo, vhi = np.uint32(vb & 0xFFFFFFFF), np.uint32(vb >> 32)
-            vkhi, vklo = (int(~vhi & 0xFFFFFFFF), int(~vlo & 0xFFFFFFFF)) \
-                if vb >> 63 else (int(vhi ^ 0x80000000), int(vlo))
-            total += int(_count_kernel_f64(flat[1], flat[2], jnp.int32(valid),
-                                           jnp.uint32(vkhi), jnp.uint32(vklo),
-                                           op))
-        elif isinstance(flat, tuple):  # u64 integer limb planes
-            u = int(value) & ((1 << 64) - 1)  # two's-complement bit pattern
-            vkey = jnp.uint32(((u >> 32) ^ 0x80000000) & 0xFFFFFFFF)
-            vlo = jnp.uint32(u & 0xFFFFFFFF)
-            total += int(_count_kernel_u64(flat[0], flat[1], jnp.int32(valid),
-                                           vkey, vlo, op))
-        else:
-            total += int(_count_kernel(flat, jnp.int32(valid),
-                                       jnp.asarray(value), op))
+        mask = _pred_mask(flat, op, value)
+        total += int(_count_masked(mask, jnp.int32(valid)))
     return total
+
+
+def scan_where(path: str, op: str, value, column: Optional[str] = None,
+               where: Optional[str] = None, mesh=None) -> dict:
+    """Filtered aggregation — selection + aggregation pushdown in one pass:
+    sum/min/max/count over the rows matching `OP value`, decoded and
+    reduced on device per chunk (sums stay exact: the predicate just masks
+    the superaccumulator / plane reduction). `where` names the predicate
+    column for table files (default: the aggregated column itself); a
+    cross-column predicate requires the two columns to share block layout
+    (equal length and chunking — the writer's default for equal-length
+    columns). Returns {sum, min, max, count} over matching rows."""
+    if op not in _PREDS:
+        raise ValueError(f"unknown predicate {op!r}; have {sorted(_PREDS)}")
+    acc = _StatAcc()
+    if where is None or where == column:
+        for blocks, cdtype, vtype, valid in _decoded_chunks(path, column,
+                                                            mesh):
+            if valid == 0:
+                continue
+            flat = _flatten_logical(blocks, cdtype, vtype)
+            acc.feed_flat(flat, valid, _pred_mask(flat, op, value))
+        return acc.result()
+    # cross-column predicate: walk both chunk streams in lockstep
+    vals = _decoded_chunks(path, column, mesh)
+    preds = _decoded_chunks(path, where, mesh)
+    for (vb, vdt, vvt, v_valid), (wb, wdt, wvt, w_valid) in zip(vals, preds):
+        flat_v = _flatten_logical(vb, vdt, vvt)
+        flat_w = _flatten_logical(wb, wdt, wvt)
+        n_v, n_w = _flat_len(flat_v), _flat_len(flat_w)
+        if n_v != n_w or v_valid != w_valid:
+            raise ValueError(
+                f"columns {column!r} and {where!r} have mismatched chunk "
+                f"layouts ({n_v}/{v_valid} vs {n_w}/{w_valid} values); "
+                "cross-column scan_where needs equal length and chunking")
+        if v_valid == 0:
+            continue
+        acc.feed_flat(flat_v, v_valid, _pred_mask(flat_w, op, value))
+    # unequal chunk counts (zip stops early) count as mismatched layouts
+    if next(vals, None) is not None or next(preds, None) is not None:
+        raise ValueError(
+            f"columns {column!r} and {where!r} have different chunk counts; "
+            "cross-column scan_where needs equal length and chunking")
+    return acc.result()

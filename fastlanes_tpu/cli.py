@@ -205,9 +205,14 @@ def _cmd_scan(args) -> int:
     if args.where:
         try:
             op, _, value = args.where.partition(":")
-            stats[f"count_{op}_{value}"] = analytics.count_where(
-                args.input, op, float(value) if "." in value else int(value),
-                column=args.column)
+            v = float(value) if "." in value else int(value)
+            filtered = analytics.scan_where(args.input, op, v,
+                                            column=args.column,
+                                            where=args.where_column)
+            stats[f"count_{op}_{value}"] = filtered["count"]
+            stats["where"] = dict(op=op, value=v,
+                                  column=args.where_column or args.column,
+                                  **filtered)
         except ValueError as e:
             raise SystemExit(f"bad --where {args.where!r}: {e}")
     print(json.dumps(stats))
@@ -312,8 +317,12 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("input")
     sc.add_argument("--column", default=None, help="table files: column name")
     sc.add_argument("--where", default=None, metavar="OP:VALUE",
-                    help="also count rows matching OP:VALUE "
-                         "(OP in lt/le/gt/ge/eq/ne)")
+                    help="also aggregate rows matching OP:VALUE "
+                         "(OP in lt/le/gt/ge/eq/ne): filtered "
+                         "sum/min/max/count")
+    sc.add_argument("--where-column", default=None,
+                    help="table files: evaluate the predicate on this "
+                         "column instead of the aggregated one")
     sc.set_defaults(fn=_cmd_scan)
 
     b = sub.add_parser("bench",

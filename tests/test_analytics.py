@@ -276,3 +276,77 @@ def test_scan_f32_exact_and_specials(tmp_path, rng):
                    ("eq", np.equal)):
         want_n = int(fn(values2, np.float32(0.0)).sum())
         assert analytics.count_where(path, op, 0.0) == want_n, op
+
+
+def test_scan_where_same_column(tmp_path, rng):
+    """Filtered aggregation on one column: every dtype domain vs numpy
+    boolean-mask ground truth (int exact sums, float exactly rounded)."""
+    from fractions import Fraction
+
+    # u32
+    path = str(tmp_path / "w32.flt")
+    values = rng.integers(0, 10_000, 6000, np.int64).astype(np.uint32)
+    fio.write_file(path, values, chunk_blocks=3)
+    for op, fn in (("gt", np.greater), ("le", np.less_equal)):
+        m = fn(values, 5000)
+        s = analytics.scan_where(path, op, 5000)
+        assert s["sum"] == int(values[m].sum())
+        assert s["min"] == int(values[m].min())
+        assert s["max"] == int(values[m].max())
+        assert s["count"] == int(m.sum())
+    # zero matches: empty-aggregation semantics
+    s = analytics.scan_where(path, "gt", 1 << 31)
+    assert s == {"sum": 0, "min": None, "max": None, "count": 0}
+    # signed i64 (u64 limb domain)
+    path = str(tmp_path / "wi.flt")
+    values = rng.integers(-(1 << 40), 1 << 40, 5000, np.int64)
+    fio.write_file(path, values)
+    m = values < 0
+    s = analytics.scan_where(path, "lt", 0)
+    assert s["sum"] == int(values[m].sum())
+    assert s["min"] == int(values[m].min())
+    assert s["max"] == int(values[m].max())
+    assert s["count"] == int(m.sum())
+    # f64 with NaN in the column: predicate excludes it, sum exact
+    path = str(tmp_path / "wf.flt")
+    fvals = (rng.standard_normal(4000) * 50).astype(np.float64)
+    fvals[11] = np.nan
+    fio.write_file(path, fvals)
+    m = fvals > 0
+    s = analytics.scan_where(path, "gt", 0.0)
+    assert s["sum"] == float(sum(Fraction(float(v)) for v in fvals[m]))
+    assert s["min"] == float(fvals[m].min())
+    assert s["max"] == float(fvals[m].max())
+    assert s["count"] == int(m.sum())
+
+
+def test_scan_where_cross_column(tmp_path, rng):
+    """Table cross-column predicate: aggregate `price` where `qty` matches;
+    mismatched layouts rejected."""
+    from fractions import Fraction
+
+    path = str(tmp_path / "t.flt")
+    qty = rng.integers(0, 100, 5000).astype(np.uint16)
+    price = (rng.integers(0, 1 << 16, 5000) / 100.0).astype(np.float32)
+    big = rng.integers(-(1 << 40), 1 << 40, 5000, np.int64)
+    fio_table.write_table(path, {"qty": qty, "price": price, "big": big},
+                          chunk_blocks=2)
+    m = qty > 50
+    s = analytics.scan_where(path, "gt", 50, column="price", where="qty")
+    assert s["count"] == int(m.sum())
+    assert s["sum"] == float(sum(Fraction(float(v)) for v in price[m]))
+    assert s["min"] == float(price[m].min())
+    assert s["max"] == float(price[m].max())
+    # and the reverse direction: int aggregated under a float predicate
+    m2 = price <= np.float32(100.0)
+    s2 = analytics.scan_where(path, "le", 100.0, column="big", where="price")
+    assert s2["sum"] == int(big[m2].sum())
+    assert s2["count"] == int(m2.sum())
+    # same-column via the `where=` spelling matches the plain call
+    assert analytics.scan_where(path, "gt", 50, column="qty", where="qty") \
+        == analytics.scan_where(path, "gt", 50, column="qty")
+    # mismatched layout: a shorter column
+    path2 = str(tmp_path / "t2.flt")
+    fio_table.write_table(path2, {"a": qty, "b": qty[:3000]}, chunk_blocks=2)
+    with pytest.raises(ValueError, match="mismatch|chunk"):
+        analytics.scan_where(path2, "gt", 0, column="a", where="b")

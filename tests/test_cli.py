@@ -175,3 +175,32 @@ def test_cli_scan_table(tmp_path, rng, capsys):
     # --where still needs a single column
     with pytest.raises(SystemExit, match="column"):
         cli.main(["scan", str(path), "--where", "gt:10"])
+
+
+def test_cli_scan_where_stats(tmp_path, rng, capsys):
+    """--where emits the filtered aggregation; --where-column crosses
+    columns on table files."""
+    from fastlanes_tpu import fio_table
+
+    raw, flt = tmp_path / "w.npy", tmp_path / "w.flt"
+    values = rng.integers(0, 1000, 4000, np.int64).astype(np.uint32)
+    np.save(raw, values)
+    cli.main(["compress", str(raw), str(flt)])
+    capsys.readouterr()
+    assert cli.main(["scan", str(flt), "--where", "ge:500"]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    m = values >= 500
+    assert stats["where"]["sum"] == int(values[m].sum())
+    assert stats["where"]["min"] == int(values[m].min())
+    assert stats["count_ge_500"] == int(m.sum())
+    # cross-column on a table
+    tab = tmp_path / "t.flt"
+    qty = rng.integers(0, 100, 3000).astype(np.uint16)
+    price = rng.integers(0, 10_000, 3000, np.int64).astype(np.uint32)
+    fio_table.write_table(str(tab), {"qty": qty, "price": price})
+    assert cli.main(["scan", str(tab), "--column", "price",
+                     "--where", "gt:50", "--where-column", "qty"]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    m = qty > 50
+    assert stats["where"]["sum"] == int(price[m].sum())
+    assert stats["where"]["count"] == int(m.sum())
