@@ -12,6 +12,10 @@ an FLT file or table column WITHOUT materializing the decoded data in HBM
     stats = analytics.scan_column("col.flt")             # sum/min/max/count
     n = analytics.count_where("col.flt", "gt", 1000)     # filtered count
     stats = analytics.scan_column("table.flt", column="price")
+    all_cols = analytics.scan_table("table.flt")         # one file pass
+    hot = analytics.scan_where("table.flt", "gt", 50,    # filtered agg
+                               column="price", where="qty")
+    per_key = analytics.group_stats("table.flt", "k", "price")  # GROUP BY
 
 Works for every chunk codec (bitpack/ffor fuse fully; delta/zdelta/rle/alp
 decode in-graph first) and every dtype incl. signed transforms and floats.
@@ -779,3 +783,413 @@ def scan_where(path: str, op: str, value, column: Optional[str] = None,
             f"columns {column!r} and {where!r} have different chunk counts; "
             "cross-column scan_where needs equal length and chunking")
     return acc.result()
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY pushdown: per-group sum/min/max/count of a value column grouped
+# by an integer key column, computed on device per chunk (decode -> scatter
+# reduce in one program) with the SAME exactness guarantees as the scans:
+# integer sums are exact big-ints, float sums run per-group
+# superaccumulators. Rows masked out (tail padding) route to a trash slot
+# k (the kernels allocate k+1 groups), so no value masking is needed.
+
+_GROUP_CAP_INT = 65536
+_GROUP_CAP_FLOAT = 1024  # (k+1) * _F64_BINS uint32 bins per piece
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _group_kernel_int(keys, x, v, k):
+    """Per-group stats of an integer value column. Returns
+    (bins (P, (k+1)*planes) u32, counts (k,) i32, n_neg (k,) i32,
+    mn (k,), mx (k,))."""
+    ok = _iota_ok(keys.shape[0], v)
+    kk = jnp.where(ok, keys.astype(jnp.int32), jnp.int32(k))
+    counts = jnp.zeros((k + 1,), jnp.int32).at[kk].add(1)[:k]
+    info = jnp.iinfo(x.dtype)
+    mn = jnp.full((k + 1,), info.max, x.dtype).at[kk].min(x)[:k]
+    mx = jnp.full((k + 1,), info.min, x.dtype).at[kk].max(x)[:k]
+    signed = jnp.issubdtype(x.dtype, jnp.signedinteger)
+    n_neg = (jnp.zeros((k + 1,), jnp.int32).at[kk].add(
+        (x < 0).astype(jnp.int32))[:k] if signed
+        else jnp.zeros((k,), jnp.int32))
+    t = x.dtype.itemsize * 8
+    xu = jax.lax.bitcast_convert_type(x, jnp.dtype(f"uint{t}"))
+    n_planes = max(2, t // 16)
+    bins = _group_scatter_planes(
+        kk, [((xu >> jnp.asarray(16 * p, xu.dtype))
+              & jnp.asarray(0xFFFF, xu.dtype)).astype(jnp.uint32)
+             for p in range(n_planes)], k)
+    return bins, counts, n_neg, mn, mx
+
+
+def _group_scatter_planes(kk, planes, k):
+    """Piece-chunked scatter-add of 16-bit planes into (k+1)*n_planes bins:
+    every partial < _PIECE * 2^16 <= 2^31. Returns (P, (k+1)*n) uint32."""
+    n_planes = len(planes)
+    width = (k + 1) * n_planes
+    n = kk.shape[0]
+    pad = (-n) % _PIECE
+    idx = jnp.concatenate([jnp.pad(kk * n_planes + p, (0, pad),
+                                   constant_values=k * n_planes)
+                           for p in range(n_planes)])
+    pl = jnp.concatenate([jnp.pad(p, (0, pad)) for p in planes])
+    idx = idx.reshape(n_planes, -1, _PIECE).transpose(1, 0, 2).reshape(
+        -1, n_planes * _PIECE)
+    pl = pl.reshape(n_planes, -1, _PIECE).transpose(1, 0, 2).reshape(
+        -1, n_planes * _PIECE)
+    return jax.vmap(lambda i, p: jnp.zeros((width,), jnp.uint32)
+                    .at[i].add(p))(idx, pl)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _group_kernel_u64(keys, lo, hi, v, k):
+    """u64/i64 limb-domain group stats: 4 planes per group + lexicographic
+    (sign-flipped hi, lo) min/max per group. Returns (bins, counts, n_neg,
+    kmn, mn_lo, kmx, mx_lo)."""
+    u32 = jnp.uint32
+    ok = _iota_ok(keys.shape[0], v)
+    kk = jnp.where(ok, keys.astype(jnp.int32), jnp.int32(k))
+    counts = jnp.zeros((k + 1,), jnp.int32).at[kk].add(1)[:k]
+    n_neg = jnp.zeros((k + 1,), jnp.int32).at[kk].add(
+        ((hi >> u32(31)) & u32(1)).astype(jnp.int32))[:k]
+    key = hi ^ u32(0x80000000)
+    kmn = jnp.full((k + 1,), 0xFFFFFFFF, u32).at[kk].min(key)
+    kmx = jnp.zeros((k + 1,), u32).at[kk].max(key)
+    # second lexicographic stage: only rows matching their group's extreme
+    # hi-key compete on lo
+    sel_mn = key == kmn[kk]
+    sel_mx = key == kmx[kk]
+    mn_lo = jnp.full((k + 1,), 0xFFFFFFFF, u32).at[
+        jnp.where(sel_mn, kk, jnp.int32(k))].min(lo)[:k]
+    mx_lo = jnp.zeros((k + 1,), u32).at[
+        jnp.where(sel_mx, kk, jnp.int32(k))].max(lo)[:k]
+    planes = [(src >> u32(16 * p)) & u32(0xFFFF)
+              for src in (lo, hi) for p in range(2)]
+    bins = _group_scatter_planes(kk, planes, k)
+    return bins, counts, n_neg, kmn[:k], mn_lo, kmx[:k], mx_lo
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _group_kernel_f64(keys, lo, hi, v, k):
+    """f64 group stats: per-group superaccumulator (exact sums) + total-
+    order lexicographic min/max + per-group special counts. Returns (bins,
+    counts, n_nan, n_pinf, n_ninf, n_key, kmn_hi, kmn_lo, kmx_hi, kmx_lo)."""
+    u32 = jnp.uint32
+    ok = _iota_ok(keys.shape[0], v)
+    kk = jnp.where(ok, keys.astype(jnp.int32), jnp.int32(k))
+    counts = jnp.zeros((k + 1,), jnp.int32).at[kk].add(1)[:k]
+    sign = hi >> u32(31)
+    E = (hi >> u32(20)) & u32(0x7FF)
+    frac_hi = hi & u32(0xFFFFF)
+    special = E == u32(2047)
+    is_nan = special & ((frac_hi != u32(0)) | (lo != u32(0)))
+    is_inf = special & ~is_nan
+    def gcount(mask):
+        return jnp.zeros((k + 1,), jnp.int32).at[
+            jnp.where(mask, kk, jnp.int32(k))].add(1)[:k]
+    n_nan = gcount(is_nan)
+    n_pinf = gcount(is_inf & (sign == u32(0)))
+    n_ninf = gcount(is_inf & (sign == u32(1)))
+    # finite contribution (non-finite rows route to the trash slot)
+    kfin = jnp.where(special, jnp.int32(k), kk)
+    Ep = jnp.maximum(E, u32(1))
+    m_lo = lo
+    m_hi = frac_hi | jnp.where(E > u32(0), u32(1 << 20), u32(0))
+    r = Ep & u32(15)
+    sh_back = (u32(32) - r) & u32(31)
+    lo_carry = jnp.where(r == u32(0), u32(0), m_lo >> sh_back)
+    hi_carry = jnp.where(r == u32(0), u32(0), m_hi >> sh_back)
+    m0 = m_lo << r
+    m1 = (m_hi << r) | lo_carry
+    m2 = hi_carry
+    vplanes = (m0 & u32(0xFFFF), m0 >> u32(16),
+               m1 & u32(0xFFFF), m1 >> u32(16), m2)
+    bucket = (Ep >> u32(4)).astype(jnp.int32)
+    # bin layout per group: sign*645 + bucket*5 + plane (matches
+    # _f64_bins_to_int); _group_scatter_planes provides the plane stride,
+    # so fold sign/bucket into a pseudo-key of stride 2*129 per group
+    pseudo = kfin * (2 * _F64_BUCKETS) + sign.astype(jnp.int32) * \
+        _F64_BUCKETS + bucket
+    pseudo = jnp.where(kfin == jnp.int32(k), jnp.int32(k * 2 * _F64_BUCKETS),
+                       pseudo)
+    bins = _group_scatter_planes(pseudo, list(vplanes), k * 2 * _F64_BUCKETS)
+    # total-order min/max per group (NaN rows to trash)
+    key_hi, key_lo = _f64_key(lo, hi)
+    kcmp = jnp.where(is_nan, jnp.int32(k), kk)
+    n_key = jnp.zeros((k + 1,), jnp.int32).at[kcmp].add(1)[:k]
+    kh_mn = jnp.full((k + 1,), 0xFFFFFFFF, u32).at[kcmp].min(key_hi)
+    kh_mx = jnp.zeros((k + 1,), u32).at[kcmp].max(key_hi)
+    sel_mn = key_hi == kh_mn[kcmp]
+    sel_mx = key_hi == kh_mx[kcmp]
+    kl_mn = jnp.full((k + 1,), 0xFFFFFFFF, u32).at[
+        jnp.where(sel_mn, kcmp, jnp.int32(k))].min(key_lo)[:k]
+    kl_mx = jnp.zeros((k + 1,), u32).at[
+        jnp.where(sel_mx, kcmp, jnp.int32(k))].max(key_lo)[:k]
+    return (bins, counts, n_nan, n_pinf, n_ninf, n_key,
+            kh_mn[:k], kl_mn, kh_mx[:k], kl_mx)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _group_kernel_f32(keys, bits, v, k):
+    """f32 twin of _group_kernel_f64 (single-limb keys, 3 planes)."""
+    u32 = jnp.uint32
+    ok = _iota_ok(keys.shape[0], v)
+    kk = jnp.where(ok, keys.astype(jnp.int32), jnp.int32(k))
+    counts = jnp.zeros((k + 1,), jnp.int32).at[kk].add(1)[:k]
+    sign = bits >> u32(31)
+    E = (bits >> u32(23)) & u32(0xFF)
+    frac = bits & u32(0x7FFFFF)
+    special = E == u32(255)
+    is_nan = special & (frac != u32(0))
+    is_inf = special & ~is_nan
+    def gcount(mask):
+        return jnp.zeros((k + 1,), jnp.int32).at[
+            jnp.where(mask, kk, jnp.int32(k))].add(1)[:k]
+    n_nan = gcount(is_nan)
+    n_pinf = gcount(is_inf & (sign == u32(0)))
+    n_ninf = gcount(is_inf & (sign == u32(1)))
+    kfin = jnp.where(special, jnp.int32(k), kk)
+    Ep = jnp.maximum(E, u32(1))
+    m = frac | jnp.where(E > u32(0), u32(1 << 23), u32(0))
+    r = Ep & u32(15)
+    m0 = m << r
+    m2 = jnp.where(r == u32(0), u32(0), m >> ((u32(32) - r) & u32(31)))
+    vplanes = (m0 & u32(0xFFFF), m0 >> u32(16), m2)
+    bucket = (Ep >> u32(4)).astype(jnp.int32)
+    pseudo = kfin * (2 * _F32_BUCKETS) + sign.astype(jnp.int32) * \
+        _F32_BUCKETS + bucket
+    pseudo = jnp.where(kfin == jnp.int32(k), jnp.int32(k * 2 * _F32_BUCKETS),
+                       pseudo)
+    bins = _group_scatter_planes(pseudo, list(vplanes), k * 2 * _F32_BUCKETS)
+    neg = sign == u32(1)
+    key = jnp.where(neg, ~bits, bits ^ u32(0x80000000))
+    kcmp = jnp.where(is_nan, jnp.int32(k), kk)
+    n_key = jnp.zeros((k + 1,), jnp.int32).at[kcmp].add(1)[:k]
+    kmn = jnp.full((k + 1,), 0xFFFFFFFF, u32).at[kcmp].min(key)[:k]
+    kmx = jnp.zeros((k + 1,), u32).at[kcmp].max(key)[:k]
+    return bins, counts, n_nan, n_pinf, n_ninf, n_key, kmn, kmx
+
+
+def _nonzero_bigint_rows(bins_np: np.ndarray, n_groups: int, per_group: int,
+                         layout_planes: int):
+    """(P, (k+1)*per_group*layout_planes...) -> accumulate into an int64
+    matrix (k, per_group) summed over pieces, trash slice dropped."""
+    acc = bins_np.astype(np.int64).sum(axis=0)
+    return acc[: n_groups * per_group].reshape(n_groups, per_group)
+
+
+def _bigint_of_row(row: np.ndarray, plane_stride: int) -> int:
+    """Sum of row[j] << (16 * weight(j)) for the standard (bucket, plane)
+    layout where weight = bucket + plane (plane_stride planes per bucket)."""
+    num = 0
+    for j in np.nonzero(row)[0]:
+        b, p = divmod(int(j), plane_stride)
+        num += int(row[j]) << (16 * (b + p))
+    return num
+
+
+class _GroupAcc:
+    """Cross-chunk per-group accumulator (host side: int64 matrices for
+    bins/counts, vectorized lexicographic key merges)."""
+
+    def __init__(self, k: int, kind: str, dtype_bits: int = 0):
+        self.k = k
+        self.kind = kind            # "int" | "u64" | "f32" | "f64"
+        self.dtype_bits = dtype_bits
+        self.bins = None            # int64 (k, per_group_bins)
+        self.counts = np.zeros(k, np.int64)
+        self.n_neg = np.zeros(k, np.int64)
+        self.n_nan = np.zeros(k, np.int64)
+        self.n_pinf = np.zeros(k, np.int64)
+        self.n_ninf = np.zeros(k, np.int64)
+        self.n_key = np.zeros(k, np.int64)
+        self.mn = None              # dtype array (int) or key tuples
+        self.mx = None
+        self.kmn = None             # (hi, lo) uint32 arrays for u64/f64
+        self.kmx = None
+
+    def _add_bins(self, bins):
+        self.bins = bins if self.bins is None else self.bins + bins
+
+    def _merge_keys2(self, cur, new, is_min):
+        """Vectorized lexicographic (hi, lo) merge."""
+        if cur is None:
+            return new
+        ch, cl = cur
+        nh, nl = new
+        better = (nh < ch) | ((nh == ch) & (nl < cl)) if is_min else \
+                 (nh > ch) | ((nh == ch) & (nl > cl))
+        return np.where(better, nh, ch), np.where(better, nl, cl)
+
+    def feed_int(self, out):
+        bins, counts, n_neg, mn, mx = out
+        planes = bins.shape[1] // (self.k + 1)
+        self._add_bins(_nonzero_bigint_rows(np.asarray(bins), self.k, planes, 1))
+        self.counts += np.asarray(counts, np.int64)
+        self.n_neg += np.asarray(n_neg, np.int64)
+        mn, mx = np.asarray(mn), np.asarray(mx)
+        self.mn = mn if self.mn is None else np.minimum(self.mn, mn)
+        self.mx = mx if self.mx is None else np.maximum(self.mx, mx)
+
+    def feed_u64(self, out):
+        bins, counts, n_neg, kmn, mn_lo, kmx, mx_lo = out
+        self._add_bins(_nonzero_bigint_rows(np.asarray(bins), self.k, 4, 1))
+        self.counts += np.asarray(counts, np.int64)
+        self.n_neg += np.asarray(n_neg, np.int64)
+        self.kmn = self._merge_keys2(
+            self.kmn, (np.asarray(kmn), np.asarray(mn_lo)), True)
+        self.kmx = self._merge_keys2(
+            self.kmx, (np.asarray(kmx), np.asarray(mx_lo)), False)
+
+    def feed_f64(self, out):
+        (bins, counts, n_nan, n_pinf, n_ninf, n_key,
+         kh_mn, kl_mn, kh_mx, kl_mx) = out
+        self._add_bins(_nonzero_bigint_rows(np.asarray(bins), self.k,
+                                            _F64_BINS, 1))
+        self.counts += np.asarray(counts, np.int64)
+        self.n_nan += np.asarray(n_nan, np.int64)
+        self.n_pinf += np.asarray(n_pinf, np.int64)
+        self.n_ninf += np.asarray(n_ninf, np.int64)
+        self.n_key += np.asarray(n_key, np.int64)
+        self.kmn = self._merge_keys2(
+            self.kmn, (np.asarray(kh_mn), np.asarray(kl_mn)), True)
+        self.kmx = self._merge_keys2(
+            self.kmx, (np.asarray(kh_mx), np.asarray(kl_mx)), False)
+
+    def feed_f32(self, out):
+        bins, counts, n_nan, n_pinf, n_ninf, n_key, kmn, kmx = out
+        self._add_bins(_nonzero_bigint_rows(np.asarray(bins), self.k,
+                                            _F32_BINS, 1))
+        self.counts += np.asarray(counts, np.int64)
+        self.n_nan += np.asarray(n_nan, np.int64)
+        self.n_pinf += np.asarray(n_pinf, np.int64)
+        self.n_ninf += np.asarray(n_ninf, np.int64)
+        self.n_key += np.asarray(n_key, np.int64)
+        kmn, kmx = np.asarray(kmn), np.asarray(kmx)
+        self.kmn = kmn if self.kmn is None else np.minimum(self.kmn, kmn)
+        self.kmx = kmx if self.kmx is None else np.maximum(self.kmx, kmx)
+
+    def result(self) -> dict:
+        from fractions import Fraction
+
+        out = {}
+        for g in range(self.k):
+            c = int(self.counts[g])
+            if c == 0:
+                continue
+            row = self.bins[g]
+            if self.kind == "int":
+                # flat 16-bit planes: weight of bin j is exactly j
+                total = _bigint_of_row(row, 1)
+                total -= int(self.n_neg[g]) << self.dtype_bits
+                mn, mx = int(self.mn[g]), int(self.mx[g])
+            elif self.kind == "u64":
+                # planes [lo0, lo1, hi0, hi1] -> weights 0,1,2,3 (= j)
+                total = _bigint_of_row(row, 1)
+                total -= int(self.n_neg[g]) << 64
+                mn = _i64_of(int(self.kmn[0][g]), int(self.kmn[1][g]))
+                mx = _i64_of(int(self.kmx[0][g]), int(self.kmx[1][g]))
+            else:
+                denom_bits = 1075 if self.kind == "f64" else 150
+                plane_stride = 5 if self.kind == "f64" else 3
+                if self.n_nan[g] or (self.n_pinf[g] and self.n_ninf[g]):
+                    total = float("nan")
+                elif self.n_pinf[g]:
+                    total = float("inf")
+                elif self.n_ninf[g]:
+                    total = float("-inf")
+                else:
+                    num = 0
+                    half = row.shape[0] // 2
+                    num += _bigint_of_row(row[:half], plane_stride)
+                    num -= _bigint_of_row(row[half:], plane_stride)
+                    total = (float(Fraction(num, 1 << denom_bits))
+                             if num else 0.0)
+                if self.n_nan[g]:
+                    mn = mx = float("nan")
+                elif self.kind == "f64":
+                    mn = _f64_of_key(int(self.kmn[0][g]), int(self.kmn[1][g]))
+                    mx = _f64_of_key(int(self.kmx[0][g]), int(self.kmx[1][g]))
+                else:
+                    mn = _f32_of_key(int(self.kmn[g]))
+                    mx = _f32_of_key(int(self.kmx[g]))
+            out[g] = {"sum": total, "min": mn, "max": mx, "count": c}
+        return out
+
+
+def group_stats(path: str, key: str, value: str, max_groups: int = None,
+                mesh=None) -> dict:
+    """GROUP BY pushdown over a compressed table file: per-group
+    sum/min/max/count of the `value` column grouped by the integer `key`
+    column, decoded and scatter-reduced on device per chunk. Sums carry the
+    scans' exactness guarantees (integer big-ints; float superaccumulators,
+    exactly rounded). Keys must be non-negative integers; the group count
+    is discovered with a fused key scan unless `max_groups` is given
+    (caps: 65536 for integer values, 1024 for float values — per-group
+    superaccumulator bins scale with the cap). The two columns must share
+    block layout (equal length and chunking — the writer's default).
+    Returns {group: {sum, min, max, count}} for non-empty groups."""
+    if max_groups is None:
+        ks = scan_column(path, column=key, mesh=mesh)
+        if ks["count"] == 0:
+            return {}
+        if ks["min"] < 0:
+            raise ValueError(f"group keys must be >= 0; {key!r} has "
+                             f"min {ks['min']}")
+        max_groups = int(ks["max"]) + 1
+    k = int(max_groups)
+
+    kind = None
+    acc = None
+    vals = _decoded_chunks(path, value, mesh)
+    keys_it = _decoded_chunks(path, key, mesh)
+    for (vb, vdt, vvt, v_valid), (kb, kdt, kvt, k_valid) in zip(vals, keys_it):
+        flat_v = _flatten_logical(vb, vdt, vvt)
+        flat_k = _flatten_logical(kb, kdt, kvt)
+        if isinstance(flat_k, tuple):
+            raise ValueError(
+                f"group key column {key!r} must be an integer column of "
+                "width <= 32 (u8/u16/u32 or signed)")
+        if _flat_len(flat_v) != _flat_len(flat_k) or v_valid != k_valid:
+            raise ValueError(
+                f"columns {key!r} and {value!r} have mismatched chunk "
+                "layouts; group_stats needs equal length and chunking")
+        if v_valid == 0:
+            continue
+        v = jnp.int32(v_valid)
+        if isinstance(flat_v, tuple) and isinstance(flat_v[0], str):
+            if flat_v[0] == "f64":
+                if k > _GROUP_CAP_FLOAT:
+                    raise ValueError(
+                        f"group_stats over float columns caps at "
+                        f"{_GROUP_CAP_FLOAT} groups (got {k})")
+                kind = kind or "f64"
+                acc = acc or _GroupAcc(k, "f64")
+                acc.feed_f64(_group_kernel_f64(flat_k, flat_v[1], flat_v[2],
+                                               v, k))
+            else:
+                if k > _GROUP_CAP_FLOAT:
+                    raise ValueError(
+                        f"group_stats over float columns caps at "
+                        f"{_GROUP_CAP_FLOAT} groups (got {k})")
+                kind = kind or "f32"
+                acc = acc or _GroupAcc(k, "f32")
+                acc.feed_f32(_group_kernel_f32(flat_k, flat_v[1], v, k))
+        elif isinstance(flat_v, tuple):
+            kind = kind or "u64"
+            acc = acc or _GroupAcc(k, "u64")
+            acc.feed_u64(_group_kernel_u64(flat_k, flat_v[0], flat_v[1],
+                                           v, k))
+        else:
+            if k > _GROUP_CAP_INT:
+                raise ValueError(f"group_stats caps at {_GROUP_CAP_INT} "
+                                 f"groups (got {k})")
+            kind = kind or "int"
+            acc = acc or _GroupAcc(k, "int",
+                                   np.dtype(flat_v.dtype.name).itemsize * 8)
+            acc.feed_int(_group_kernel_int(flat_k, flat_v, v, k))
+    if next(vals, None) is not None or next(keys_it, None) is not None:
+        raise ValueError(
+            f"columns {key!r} and {value!r} have different chunk counts; "
+            "group_stats needs equal length and chunking")
+    return acc.result() if acc is not None else {}

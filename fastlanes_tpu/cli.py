@@ -195,6 +195,12 @@ def _cmd_scan(args) -> int:
 
     with open(args.input, "rb") as f:
         is_table = f.read(8).startswith(b"FLTTAB1")
+    if args.group_by:
+        if not is_table or args.column is None:
+            raise SystemExit("--group-by needs a table file and --column")
+        groups = analytics.group_stats(args.input, args.group_by, args.column)
+        print(json.dumps({str(g): s for g, s in groups.items()}))
+        return 0
     if is_table and args.column is None:
         # no column named: single-pass fused scan of EVERY column
         if args.where:
@@ -323,6 +329,9 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("--where-column", default=None,
                     help="table files: evaluate the predicate on this "
                          "column instead of the aggregated one")
+    sc.add_argument("--group-by", default=None, metavar="KEY_COLUMN",
+                    help="table files: per-group stats of --column grouped "
+                         "by this integer column")
     sc.set_defaults(fn=_cmd_scan)
 
     b = sub.add_parser("bench",

@@ -350,3 +350,64 @@ def test_scan_where_cross_column(tmp_path, rng):
     fio_table.write_table(path2, {"a": qty, "b": qty[:3000]}, chunk_blocks=2)
     with pytest.raises(ValueError, match="mismatch|chunk"):
         analytics.scan_where(path2, "gt", 0, column="a", where="b")
+
+
+def test_group_stats(tmp_path, rng):
+    """GROUP BY pushdown: per-group sum/min/max/count across all four value
+    domains (u32, i64 limb, f32, f64) vs numpy groupby ground truth, with
+    exactness guarantees intact."""
+    import math
+    from fractions import Fraction
+
+    n = 5000
+    key = rng.integers(0, 7, n).astype(np.uint16)
+    val32 = rng.integers(0, 100000, n, np.int64).astype(np.uint32)
+    sval = rng.integers(-(1 << 40), 1 << 40, n, np.int64)
+    price = (rng.standard_normal(n) * 100).astype(np.float64)
+    price[5] = np.nan  # poisons exactly key[5]'s group
+    pf32 = (rng.standard_normal(n) * 10).astype(np.float32)
+    path = str(tmp_path / "g.flt")
+    fio_table.write_table(path, {"k": key, "v": val32, "s": sval,
+                                 "p": price, "q": pf32}, chunk_blocks=2)
+
+    for col, vals in (("v", val32), ("s", sval), ("p", price), ("q", pf32)):
+        got = analytics.group_stats(path, "k", col)
+        assert sorted(got) == sorted(int(g) for g in np.unique(key))
+        for g in np.unique(key):
+            m = key == g
+            r = got[int(g)]
+            assert r["count"] == int(m.sum())
+            sub = vals[m]
+            if np.issubdtype(vals.dtype, np.integer):
+                assert r["sum"] == int(sub.sum())
+                assert r["min"] == int(sub.min())
+                assert r["max"] == int(sub.max())
+            elif np.isnan(sub).any():
+                assert math.isnan(r["sum"]) and math.isnan(r["min"])
+            else:
+                assert r["sum"] == float(sum(Fraction(float(x))
+                                             for x in sub))
+                assert r["min"] == float(sub.min())
+                assert r["max"] == float(sub.max())
+
+    # explicit max_groups: groups beyond the data are simply absent
+    got = analytics.group_stats(path, "k", "v", max_groups=32)
+    assert sorted(got) == sorted(int(g) for g in np.unique(key))
+    # float key column rejected
+    with pytest.raises(ValueError, match="integer"):
+        analytics.group_stats(path, "p", "v", max_groups=4)
+    # mismatched layouts rejected
+    path2 = str(tmp_path / "g2.flt")
+    fio_table.write_table(path2, {"k": key, "v": val32[:3000]},
+                          chunk_blocks=2)
+    with pytest.raises(ValueError, match="mismatch|chunk"):
+        analytics.group_stats(path2, "k", "v")
+
+
+def test_group_stats_negative_keys_and_empty(tmp_path, rng):
+    key = rng.integers(-3, 3, 2048, np.int64).astype(np.int32)
+    val = rng.integers(0, 100, 2048, np.int64).astype(np.uint16)
+    path = str(tmp_path / "neg.flt")
+    fio_table.write_table(path, {"k": key, "v": val})
+    with pytest.raises(ValueError, match=">= 0"):
+        analytics.group_stats(path, "k", "v")

@@ -204,3 +204,21 @@ def test_cli_scan_where_stats(tmp_path, rng, capsys):
     m = qty > 50
     assert stats["where"]["sum"] == int(price[m].sum())
     assert stats["where"]["count"] == int(m.sum())
+
+
+def test_cli_scan_group_by(tmp_path, rng, capsys):
+    from fastlanes_tpu import fio_table
+
+    tab = tmp_path / "g.flt"
+    key = rng.integers(0, 4, 3000).astype(np.uint16)
+    price = rng.integers(0, 10_000, 3000, np.int64).astype(np.uint32)
+    fio_table.write_table(str(tab), {"k": key, "price": price})
+    assert cli.main(["scan", str(tab), "--column", "price",
+                     "--group-by", "k"]) == 0
+    groups = json.loads(capsys.readouterr().out)
+    for g in np.unique(key):
+        m = key == g
+        assert groups[str(g)]["sum"] == int(price[m].sum())
+        assert groups[str(g)]["count"] == int(m.sum())
+    with pytest.raises(SystemExit, match="table"):
+        cli.main(["scan", str(tab), "--group-by", "k"])
