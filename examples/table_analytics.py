@@ -127,6 +127,25 @@ def main():
     print(f"on-chip decode+filter+aggregate: {dt*1e3:.1f} ms = "
           f"{n/dt/1e6:.0f}M rows/s x 2 columns")
 
+    # The library spellings of the same query (analytics module): filtered
+    # aggregation and GROUP BY run the identical fused decode->reduce
+    # pipeline without the hand-rolled plumbing above.
+    from fastlanes_tpu import analytics
+
+    with tempfile.NamedTemporaryFile(suffix=".flt") as f:
+        tier = (customer % 5).astype(np.uint16)
+        fio_table.write_table(f.name, {"customer": customer, "qty": qty,
+                                       "tier": tier})
+        s = analytics.scan_where(f.name, "eq", target,
+                                 column="qty", where="customer")
+        assert s["count"] == int(mask.sum())
+        assert s["sum"] == int(qty[mask].sum())
+        per_tier = analytics.group_stats(f.name, "tier", "qty")
+        assert per_tier[0]["sum"] == int(qty[tier == 0].sum())
+        print(f"analytics.scan_where one-liner agrees: {s}")
+        print(f"analytics.group_stats('tier', 'qty'): "
+              f"{ {g: r['sum'] for g, r in sorted(per_tier.items())} }")
+
 
 if __name__ == "__main__":
     main()
