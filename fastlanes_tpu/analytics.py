@@ -55,9 +55,14 @@ _PREDS = {
 }
 
 
-def _decoded_chunks(path: str, column: Optional[str], mesh):
-    """Yield (decoded device blocks, header-ish dict) per chunk, already
-    transform-applied — real values in the column's logical domain."""
+def _decoded_chunks(path: str, column: Optional[str], mesh, batch=True):
+    """Yield (decoded device blocks, dtype, vtype, valid) already
+    transform-applied — real values in the column's logical domain. With
+    `batch` (the default), consecutive same-signature chunks decode in ONE
+    device dispatch (fio_device._decode_chunks_grouped) and come back as
+    one merged part; lockstep consumers (cross-column scan_where /
+    group_stats) pass batch=False so both columns' parts align
+    chunk-for-chunk."""
     with open(path, "rb") as f:
         magic = f.read(8)
     if magic.startswith(b"FLTTAB1"):
@@ -78,15 +83,26 @@ def _decoded_chunks(path: str, column: Optional[str], mesh):
         n_values = header.get("n_values")
         base_off = fio._payload_base(path)
 
-    seen_values = 0
     with open(path, "rb") as f:
-        for meta in chunks:
-            f.seek(base_off + meta["offset"])
-            raw = f.read(meta["nbytes"])
-            blocks = fio_device._decode_chunk_device(
-                meta, raw, meta["n_blocks"], cdtype, mesh=mesh)
-            blocks = fio_device._apply_transform_device(blocks, transform, cdtype)
-            n_here = meta["n_blocks"] * layout.BLOCK
+        if batch:
+            covering = []
+            for meta in chunks:
+                f.seek(base_off + meta["offset"])
+                covering.append((meta, f.read(meta["nbytes"])))
+            parts = fio_device._decode_chunks_grouped(covering, cdtype, mesh,
+                                                      "auto")
+        else:
+            parts = (fio_device._decode_chunk_device(
+                meta, (f.seek(base_off + meta["offset"]),
+                       f.read(meta["nbytes"]))[1],
+                meta["n_blocks"], cdtype, mesh=mesh) for meta in chunks)
+
+        seen_values = 0
+        for blocks in parts:
+            n_here = (blocks[0] if isinstance(blocks, tuple)
+                      else blocks).shape[0] * layout.BLOCK
+            blocks = fio_device._apply_transform_device(blocks, transform,
+                                                        cdtype)
             valid = n_here
             if n_values is not None:
                 valid = max(0, min(n_here, n_values - seen_values))
@@ -694,35 +710,20 @@ def scan_table(path: str, columns=None, mesh=None) -> dict:
     header = fio_table.read_table_header(path)
     names = list(header["columns"]) if columns is None else list(columns)
     cols = {name: fio_table._col_meta(header, name) for name in names}
-    base_off = fio.payload_base_of(path, fio_table.MAGIC)
 
-    # Global chunk walk in offset order: one sequential pass over the file.
-    # Within a column, chunks were written in increasing-offset order, so
-    # the per-column valid-tail bookkeeping below stays in stream order.
-    work = []
-    for name, col in cols.items():
-        for meta in col["chunks"]:
-            work.append((meta["offset"], name, meta))
-    work.sort(key=lambda t: t[0])
-
-    accs = {name: _StatAcc() for name in names}
-    seen = {name: 0 for name in names}
-    with open(path, "rb") as f:
-        for offset, name, meta in work:
-            col = cols[name]
-            f.seek(base_off + offset)
-            raw = f.read(meta["nbytes"])
-            blocks = fio_device._decode_chunk_device(
-                meta, raw, meta["n_blocks"], col["dtype"], mesh=mesh)
-            blocks = fio_device._apply_transform_device(
-                blocks, col.get("transform"), col["dtype"])
-            n_here = meta["n_blocks"] * layout.BLOCK
-            valid = n_here
-            if col.get("n_values") is not None:
-                valid = max(0, min(n_here, col["n_values"] - seen[name]))
-            seen[name] += n_here
-            accs[name].feed(blocks, col["dtype"], col.get("vtype"), valid)
-    return {name: accs[name].result() for name in names}
+    # Columns' payloads are laid out sequentially (write_table appends one
+    # column's chunks after another), so scanning columns in first-chunk
+    # offset order IS one sequential pass over the file; within a column
+    # the batched generator merges same-signature chunks into one dispatch.
+    names.sort(key=lambda n: cols[n]["chunks"][0]["offset"]
+               if cols[n]["chunks"] else 0)
+    out = {}
+    for name in names:
+        acc = _StatAcc()
+        for blocks, cdtype, vtype, valid in _decoded_chunks(path, name, mesh):
+            acc.feed(blocks, cdtype, vtype, valid)
+        out[name] = acc.result()
+    return out
 
 
 def count_where(path: str, op: str, value, column: Optional[str] = None,
@@ -763,8 +764,8 @@ def scan_where(path: str, op: str, value, column: Optional[str] = None,
             acc.feed_flat(flat, valid, _pred_mask(flat, op, value))
         return acc.result()
     # cross-column predicate: walk both chunk streams in lockstep
-    vals = _decoded_chunks(path, column, mesh)
-    preds = _decoded_chunks(path, where, mesh)
+    vals = _decoded_chunks(path, column, mesh, batch=False)
+    preds = _decoded_chunks(path, where, mesh, batch=False)
     for (vb, vdt, vvt, v_valid), (wb, wdt, wvt, w_valid) in zip(vals, preds):
         flat_v = _flatten_logical(vb, vdt, vvt)
         flat_w = _flatten_logical(wb, wdt, wvt)
@@ -1141,8 +1142,8 @@ def group_stats(path: str, key: str, value: str, max_groups: int = None,
 
     kind = None
     acc = None
-    vals = _decoded_chunks(path, value, mesh)
-    keys_it = _decoded_chunks(path, key, mesh)
+    vals = _decoded_chunks(path, value, mesh, batch=False)
+    keys_it = _decoded_chunks(path, key, mesh, batch=False)
     for (vb, vdt, vvt, v_valid), (kb, kdt, kvt, k_valid) in zip(vals, keys_it):
         flat_v = _flatten_logical(vb, vdt, vvt)
         flat_k = _flatten_logical(kb, kdt, kvt)
