@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Analytics-surface benchmark: fused decode->reduce throughput over
+compressed FLT files (scan_column / count_where / scan_where / scan_table /
+group_stats).
+
+Unlike the chained kernel benches this INCLUDES disk IO, host staging and
+dispatch — the wall-clock a query engine actually sees per column scan.
+Records logical ints (or floats) per second per query shape.
+
+Usage: python benchmarks/analytics_bench.py [--blocks N] [--out PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+# FASTLANES_TPU_PLATFORM=cpu forces the jax platform BEFORE backend init
+# (a site-installed accelerator plugin beats the JAX_PLATFORMS env var,
+# and a dead remote-TPU tunnel hangs backend setup).
+import os as _os
+
+if _os.environ.get("FASTLANES_TPU_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["FASTLANES_TPU_PLATFORM"])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks", type=int, default=None)
+    ap.add_argument("--out", default="benchmarks/analytics_bench.jsonl")
+    args = ap.parse_args()
+
+    import jax
+
+    from fastlanes_tpu import analytics, fio, fio_table
+    from fastlanes_tpu.core import layout
+
+    platform = jax.devices()[0].platform
+    n_blocks = args.blocks or (16384 if platform == "tpu" else 128)
+    n = n_blocks * layout.BLOCK
+    rng = np.random.default_rng(0)
+    records = []
+
+    def emit(rec):
+        rec.update(platform=platform, n_rows=n)
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    def timed(fn, iters=3):
+        fn()  # warm: jit compiles, page cache fills
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    tmpdir = tempfile.mkdtemp()
+    try:
+        # single-column scans per codec/dtype shape
+        datasets = {
+            "bitpack_u32": rng.integers(0, 1 << 7, (n_blocks, 1024),
+                                        np.int64).astype(np.uint32),
+            "delta_u32": np.sort(rng.integers(0, 1 << 28, (n_blocks, 1024),
+                                              np.int64).astype(np.uint32),
+                                 axis=1),
+            "bitpack_u64": rng.integers(0, 1 << 40, (n_blocks, 1024),
+                                        np.int64).astype(np.uint64),
+            "alp_f32": (rng.integers(0, 1 << 20, (n_blocks, 1024)) / 100.0
+                        ).astype(np.float32),
+            "alp_f64": (rng.integers(0, 1 << 20, (n_blocks, 1024)) / 100.0
+                        ).astype(np.float64),
+        }
+        for name, values in datasets.items():
+            path = os.path.join(tmpdir, f"{name}.flt")
+            codec = name.split("_")[0] if values.dtype.kind == "u" else "auto"
+            fio.write_file(path, values, codec=codec)
+            t_scan = timed(lambda p=path: analytics.scan_column(p))
+            t_cnt = timed(lambda p=path: analytics.count_where(p, "gt", 50))
+            t_filt = timed(lambda p=path: analytics.scan_where(p, "gt", 50))
+            emit({"bench": "analytics_scan", "dataset": name,
+                  "scan_rows_per_s": round(n / t_scan, 1),
+                  "count_where_rows_per_s": round(n / t_cnt, 1),
+                  "scan_where_rows_per_s": round(n / t_filt, 1)})
+
+        # table: multi-column single-pass scan + group-by
+        key = rng.integers(0, 16, n).astype(np.uint16)
+        qty = rng.integers(0, 1000, n, np.int64).astype(np.uint32)
+        price = (rng.integers(0, 1 << 16, n) / 100.0).astype(np.float32)
+        tpath = os.path.join(tmpdir, "t.flt")
+        fio_table.write_table(tpath, {"k": key, "qty": qty, "price": price})
+        t_table = timed(lambda: analytics.scan_table(tpath))
+        t_group = timed(lambda: analytics.group_stats(tpath, "k", "qty",
+                                                      max_groups=16))
+        t_groupf = timed(lambda: analytics.group_stats(tpath, "k", "price",
+                                                       max_groups=16))
+        t_cross = timed(lambda: analytics.scan_where(
+            tpath, "gt", 500, column="price", where="qty"))
+        emit({"bench": "analytics_table", "columns": 3, "groups": 16,
+              "scan_table_rows_per_s": round(3 * n / t_table, 1),
+              "group_by_u32_rows_per_s": round(n / t_group, 1),
+              "group_by_f32_rows_per_s": round(n / t_groupf, 1),
+              "cross_column_scan_where_rows_per_s": round(n / t_cross, 1)})
+    finally:
+        import shutil
+
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+    with open(args.out, "w") as f:
+        for rec in records:
+            f.write(json.dumps(rec) + "\n")
+    print(f"# wrote {len(records)} records to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
