@@ -136,12 +136,20 @@ def _auto_candidates(values: np.ndarray, dtype: str, delta_parts) -> dict:
     # run values at T bits each, averaged over positions
     n_runs = int(np.count_nonzero(values[:, 1:] != values[:, :-1])) + values.shape[0]
     rle_bits = 2.0 + 16.0 / 1024 + n_runs * t / values.size if values.size else t
+    # dict: u16 code stream at bits(n_dict-1) + the dictionary itself,
+    # amortized over the chunk; beyond the 2^16-entry cap it can't encode
+    n_dict = int(np.unique(values).size)
+    if values.size and n_dict <= _DICT_MAX:
+        dict_bits = max(0, n_dict - 1).bit_length() + n_dict * t / values.size
+    else:
+        dict_bits = float("inf")
     return {
         "bitpack": float(vmax.bit_length()),
         "ffor": float((((vmax - vmin) % (1 << t))).bit_length()),
         "delta": _bits_needed_arr(deltas) + 1.0,
         "zdelta": _bits_needed_arr(_zigzag_deltas(deltas)) + 1.0,
         "rle": rle_bits,
+        "dict": dict_bits,
     }
 
 
@@ -191,6 +199,9 @@ def _encode_chunk(values: np.ndarray, dtype: str, codec: str):
     if codec == "rle":
         return _encode_chunk_rle(values, dtype)
 
+    if codec == "dict":
+        return _encode_chunk_dict(values, dtype)
+
     if codec == "bitpack":
         w = min(t, _bits_needed_arr(values))
         payload = (native.pack(values, w, dtype) if use_native
@@ -225,6 +236,63 @@ def _encode_chunk(values: np.ndarray, dtype: str, codec: str):
         return {"codec": codec, "width": w}, base.tobytes() + packed.tobytes()
 
     raise ValueError(f"unknown codec {codec!r}")
+
+
+#: per-chunk dictionary cap — codes ride a u16 stream (like rle's index
+#: stream), so a chunk may hold at most 2^16 distinct values
+_DICT_MAX = 1 << 16
+
+
+def _dict_parts(values: np.ndarray):
+    """(sorted per-chunk dictionary, u16 codes). Sorted dictionary means
+    code order == value order, so predicates push down as code compares."""
+    dictionary, inverse = np.unique(values, return_inverse=True)
+    return dictionary, inverse.reshape(values.shape).astype(np.uint16)
+
+
+def _encode_chunk_dict(values: np.ndarray, dtype: str):
+    """dict chunk (FastLanes-family DICT, VLDB'23; not in the Rust crate):
+    payload = sorted dictionary (n_dict elements of the column dtype) ||
+    packed u16 codes (standard bitpack stream, W = bits for n_dict-1).
+    Decode = one u16 unpack + one gather regardless of column dtype."""
+    use_native = native.available()
+    dictionary, codes = _dict_parts(values)
+    if dictionary.size > _DICT_MAX:
+        raise ValueError(
+            f"dict codec: {dictionary.size} distinct values exceed the "
+            f"{_DICT_MAX}-entry per-chunk dictionary (u16 code stream)")
+    w = int(max(0, int(dictionary.size) - 1).bit_length())
+    packed = (native.pack(codes, w, "u16") if use_native
+              else npref.pack(codes, w, "u16"))
+    payload = dictionary.tobytes() + packed.tobytes()
+    meta = {"codec": "dict", "width": w, "n_dict": int(dictionary.size)}
+    return meta, payload
+
+
+def _split_dict_payload(meta: dict, raw: bytes, n_blocks: int, dtype: str):
+    """-> (dictionary (n_dict,), packed u16 codes (B, plen))."""
+    np_dt = layout.np_dtype(dtype)
+    nd = meta["n_dict"]
+    o = nd * np_dt.itemsize
+    plen = layout.packed_len("u16", meta["width"])
+    if len(raw) < o:
+        raise ValueError(f"truncated dict chunk: {len(raw)} payload bytes "
+                         f"cannot hold the {nd}-entry dictionary")
+    if len(raw) < o + 2 * n_blocks * plen:
+        raise ValueError("truncated dict chunk: short code stream")
+    dictionary = np.frombuffer(raw[:o], np_dt)
+    packed = np.frombuffer(raw[o:o + 2 * n_blocks * plen], np.uint16)
+    return dictionary, packed.reshape(n_blocks, plen)
+
+
+def _decode_chunk_dict(meta: dict, raw: bytes, n_blocks: int, dtype: str):
+    dictionary, packed = _split_dict_payload(meta, raw, n_blocks, dtype)
+    use_native = native.available()
+    codes = (native.unpack(packed, meta["width"], "u16") if use_native
+             else npref.unpack(packed, meta["width"], "u16"))
+    if codes.size and int(codes.max()) >= meta["n_dict"]:
+        raise ValueError("corrupt dict chunk: code beyond dictionary")
+    return dictionary[codes.astype(np.int64)]
 
 
 def _rle_parts(values: np.ndarray):
@@ -449,6 +517,8 @@ def _decode_chunk(meta: dict, raw: bytes, n_blocks: int, dtype: str) -> np.ndarr
                                    _VTYPES[meta["vtype"]])
     if codec == "rle":
         return _decode_chunk_rle(meta, raw, n_blocks, dtype)
+    if codec == "dict":
+        return _decode_chunk_dict(meta, raw, n_blocks, dtype)
 
     if codec == "delta":
         base_bytes = n_blocks * nl * np_dt.itemsize
@@ -664,6 +734,34 @@ def read_single(path: str, block: int, index: int):
 
     if meta["codec"] == "alp":
         return _read_single_alp(path, meta, ci, cb, block, index, dtype, base_off)
+
+    if meta["codec"] == "dict":
+        # one packed u16 code row + one dictionary entry touch disk
+        w = meta["width"]
+        plen = layout.packed_len("u16", w)
+        block_in_chunk = block - ci * cb
+        dict_bytes = meta["n_dict"] * np_dt.itemsize
+        if w == 0:
+            code = 0
+        else:
+            with open(path, "rb") as f:
+                f.seek(base_off + meta["offset"] + dict_bytes
+                       + block_in_chunk * plen * 2)
+                packed = np.frombuffer(f.read(plen * 2), np.uint16).reshape(1, plen)
+            idx_arr = np.array([index], dtype=np.int64)
+            if native.available():
+                code = int(native.unpack_single(packed, w, idx_arr, "u16")[0, 0])
+            else:
+                code = int(npref.unpack_single(packed, w, idx_arr, "u16")[0, 0])
+        if code >= meta["n_dict"]:
+            raise ValueError("corrupt dict chunk: code beyond dictionary")
+        with open(path, "rb") as f:
+            f.seek(base_off + meta["offset"] + code * np_dt.itemsize)
+            val = np.frombuffer(f.read(np_dt.itemsize), np_dt)[0]
+        transform = header.get("transform")
+        if transform is not None:
+            return apply_inverse_transform(np.asarray([val], np_dt), transform)[0]
+        return val
 
     w = meta["width"]
     plen = layout.packed_len(dtype, w)

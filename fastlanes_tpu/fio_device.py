@@ -66,6 +66,9 @@ def _decode_chunk_device(meta: dict, raw: bytes, n_blocks: int, dtype: str,
     if codec == "rle":
         return _decode_rle_batched([(meta, raw)], dtype, mesh, use_kernels)
 
+    if codec == "dict":
+        return _decode_dict_batched([(meta, raw)], dtype, mesh, use_kernels)
+
     if codec == "alp":
         return _decode_alp_batched([(meta, raw)], dtype, mesh, use_kernels)
 
@@ -176,7 +179,7 @@ def _decode_packed_device(codec, packed, base, w, ref_val, dtype, mesh,
 #: construction; run values concatenate into one flat gather). ffor stays
 #: per-chunk: its per-chunk scalar reference would need per-block
 #: reference plumbing through the Pallas kernels.
-_BATCHABLE = ("bitpack", "delta", "zdelta", "rle")
+_BATCHABLE = ("bitpack", "delta", "zdelta", "rle", "dict")
 
 
 def _group_sig(meta):
@@ -230,6 +233,34 @@ def _decode_alp_batched(run, dtype, mesh, use_kernels):
     return alp_mod.decode_device(shifted, meta0["e"], meta0["f"],
                                  meta0["reference"], np_float,
                                  exc_pos, exc_val)
+
+
+def _decode_dict_batched(run, dtype, mesh, use_kernels):
+    """All dict chunks of a run decode in ONE u16 unpack dispatch + ONE
+    gather: concatenated code streams index a flat concatenated dictionary
+    via per-chunk offsets (the rle flat-run-stream trick)."""
+    dicts, packeds, n_blocks_each = [], [], []
+    for meta, raw in run:
+        dictionary, packed = fio._split_dict_payload(
+            meta, raw, meta["n_blocks"], dtype)
+        dicts.append(dictionary)
+        packeds.append(packed)
+        n_blocks_each.append(meta["n_blocks"])
+    pi = jnp.asarray(np.concatenate([np.ascontiguousarray(p) for p in packeds]))
+    w = run[0][0]["width"]
+    if mesh is not None:
+        codes = psh.sharded_unpack(mesh, pi, w, "u16", use_kernels=use_kernels)
+    else:
+        codes = pk.unpack(pi, w, "u16")
+    sizes = np.array([d.size for d in dicts], np.int64)
+    chunk_offsets = np.cumsum(sizes) - sizes
+    block_offsets = np.repeat(chunk_offsets, n_blocks_each).astype(np.int32)
+    flat_idx = codes.astype(jnp.int32) + jnp.asarray(block_offsets)[:, None]
+    dv = _np_to_device_form(np.ascontiguousarray(np.concatenate(dicts)), dtype)
+    if dtype == "u64":
+        return (jnp.take(dv[..., 0], flat_idx, axis=0),
+                jnp.take(dv[..., 1], flat_idx, axis=0))
+    return jnp.take(dv, flat_idx, axis=0)
 
 
 def _decode_rle_batched(run, dtype, mesh, use_kernels):
@@ -309,6 +340,8 @@ def _decode_run_batched(sig, run, dtype, mesh, use_kernels):
     # concatenate payloads on the HOST, then one transfer + one dispatch
     if codec == "rle":
         return _decode_rle_batched(run, dtype, mesh, use_kernels)
+    if codec == "dict":
+        return _decode_dict_batched(run, dtype, mesh, use_kernels)
     if codec == "alp":
         return _decode_alp_batched(run, dtype, mesh, use_kernels)
     w = sig[1]
@@ -594,7 +627,12 @@ def read_column_device(path: str, name: str, start: int = 0,
         blocks = _read_chunks_device(f, col["chunks"], base_off,
                                      col["chunk_blocks"], start, stop, dtype,
                                      mesh, use_kernels)
+        dictionary = (fio_table._load_str_dict(f, base_off, col)
+                      if col.get("vtype") == "str" else None)
     blocks = _apply_transform_device(blocks, col.get("transform"), dtype)
     if full:
-        return _publish(_trim_flat(blocks, col.get("n_values"), dtype))
+        blocks = _trim_flat(blocks, col.get("n_values"), dtype)
+    if dictionary is not None:
+        # codes stay on device; predicates/group-bys run as code compares
+        return fio_table.StringColumn(blocks, dictionary)
     return _publish(blocks)

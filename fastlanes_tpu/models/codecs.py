@@ -34,8 +34,9 @@ def _device_max(values, dtype) -> int:
     if eng.is_limb(dtype):
         lo, hi = vec
         m_hi = int(jnp.max(hi))
-        # max lo among rows achieving max hi
-        m_lo = int(jnp.max(jnp.where(hi == m_hi, lo, 0)))
+        # max lo among rows achieving max hi (m_hi may exceed int32 —
+        # compare against a uint32 scalar, not a weak-typed Python int)
+        m_lo = int(jnp.max(jnp.where(hi == jnp.uint32(m_hi), lo, jnp.uint32(0))))
         return (m_hi << 32) | m_lo
     return int(jnp.max(vec))
 
@@ -45,7 +46,8 @@ def _device_min(values, dtype) -> int:
     if eng.is_limb(dtype):
         lo, hi = vec
         m_hi = int(jnp.min(hi))
-        m_lo = int(jnp.min(jnp.where(hi == m_hi, lo, np.uint32(0xFFFFFFFF))))
+        m_lo = int(jnp.min(jnp.where(hi == jnp.uint32(m_hi), lo,
+                                     np.uint32(0xFFFFFFFF))))
         return (m_hi << 32) | m_lo
     return int(jnp.min(vec))
 
@@ -321,6 +323,53 @@ class RLECodec(Codec):
         return jnp.take(jnp.asarray(run_values), flat_idx, axis=0)
 
 
+class DictCodec(Codec):
+    """Dictionary encoding (FastLanes-family DICT, VLDB'23; not in the Rust
+    crate): sorted per-batch dictionary + u16 codes packed with the standard
+    bitpack machinery (fio's `dict` chunks as a driver). Encode is host-side
+    numpy (np.unique); decode runs on device: routed u16 unpack -> one
+    vectorized gather. Sorted dictionary => code order == value order, so
+    range predicates push down as code compares."""
+
+    name = "dict"
+
+    def __init__(self, dtype, width=None):
+        super().__init__(dtype, None)
+
+    def encode(self, values) -> Encoded:
+        from .. import fio
+
+        dt = self.dtype
+        arr = np.asarray(values)
+        if eng.is_limb(dt) and arr.dtype == np.uint32:
+            arr = np.ascontiguousarray(arr).view(np.uint64)[..., 0]
+        if arr.ndim == 1:
+            arr = arr[None]
+        if arr.ndim != 2 or arr.shape[1] != layout.BLOCK:
+            raise ValueError(f"values must be (B, {layout.BLOCK}), got {arr.shape}")
+        arr = arr.astype(layout.np_dtype(dt), copy=False)
+        dictionary, codes = fio._dict_parts(arr)
+        if dictionary.size > fio._DICT_MAX:
+            raise ValueError(
+                f"dict codec: {dictionary.size} distinct values exceed the "
+                f"{fio._DICT_MAX}-entry dictionary (u16 code stream)")
+        w = int(max(0, int(dictionary.size) - 1).bit_length())
+        payload = dispatch.get("pack", "u16", w)(codes)
+        return Encoded(self.name, dt, w, arr.shape[0], payload,
+                       params={"dictionary": dictionary})
+
+    def decode(self, enc: Encoded):
+        codes = dispatch.get("unpack", "u16", enc.width)(enc.payload)
+        idx = codes.astype(jnp.int32)
+        dictionary = np.asarray(enc.params["dictionary"])
+        if eng.is_limb(enc.dtype):
+            dv = np.ascontiguousarray(dictionary).view(np.uint32).reshape(-1, 2)
+            lo = jnp.take(jnp.asarray(dv[:, 0]), idx, axis=0)
+            hi = jnp.take(jnp.asarray(dv[:, 1]), idx, axis=0)
+            return jnp.stack([lo, hi], axis=-1)
+        return jnp.take(jnp.asarray(dictionary), idx, axis=0)
+
+
 class ALPCodec(Codec):
     """ALP float compression driver (see fastlanes_tpu.alp): host encode
     (float64 scaling + exact-roundtrip exception detection), device decode
@@ -381,7 +430,7 @@ def _n_blocks_of_shape(shape) -> int:
 
 
 _CODECS = {c.name: c for c in (BitPackedCodec, FFoRCodec, DeltaCodec, ZDeltaCodec,
-                               RLECodec, ALPCodec)}
+                               RLECodec, DictCodec, ALPCodec)}
 
 
 def get_codec(name: str, dtype, **kw) -> Codec:
@@ -434,12 +483,30 @@ def _auto_plan(values, dt):
     else:
         step = vec[..., 1:] != vec[..., :-1]
     n_runs = int(jnp.sum(step)) + n_blocks
+    # dict: distinct count via ONE device sort (two-key lexicographic sort
+    # in the u64 limb domain); codes ride a u16 stream, dictionary is raw
+    import jax
+
+    from .. import fio
+
+    if eng.is_limb(dt):
+        lo, hi = vec
+        hs, ls = jax.lax.sort([hi.reshape(-1), lo.reshape(-1)], num_keys=2)
+        distinct = (hs[1:] != hs[:-1]) | (ls[1:] != ls[:-1])
+    else:
+        s = jnp.sort(vec.reshape(-1))
+        distinct = s[1:] != s[:-1]
+    n_dict = int(jnp.sum(distinct)) + 1
+    widths["dict"] = max(0, n_dict - 1).bit_length()
     costs = {
         "bitpack": payload_bytes(widths["bitpack"]),
         "ffor": payload_bytes(widths["ffor"]),
         "delta": payload_bytes(widths["delta"]) + base_bytes,
         "zdelta": payload_bytes(widths["zdelta"]) + base_bytes,
         "rle": n_blocks * (128 + 128 + 8) + n_runs * elem,
+        "dict": (n_dict * elem
+                 + n_blocks * layout.packed_len("u16", widths["dict"]) * 2
+                 if n_dict <= fio._DICT_MAX else float("inf")),
     }
     return costs, widths, vmin
 
@@ -453,8 +520,9 @@ def auto_costs(values, dtype) -> dict:
 
 # tie-break order: prefer the cheapest DECODE on equal bytes (bitpack needs
 # no params, ffor one scalar add, delta a prefix sum, zdelta adds unzigzag,
-# rle adds a gather)
-_TIE_ORDER = {"bitpack": 0, "ffor": 1, "delta": 2, "zdelta": 3, "rle": 4}
+# rle and dict add a gather)
+_TIE_ORDER = {"bitpack": 0, "ffor": 1, "delta": 2, "zdelta": 3, "rle": 4,
+              "dict": 5}
 
 
 def auto_encode(values, dtype) -> Encoded:
@@ -480,6 +548,8 @@ def auto_encode(values, dtype) -> Encoded:
                        params={"reference": vmin})
     if name == "rle":
         return RLECodec(dt).encode(values)  # host-side run detection
+    if name == "dict":
+        return DictCodec(dt).encode(values)  # host-side np.unique
     payload, base = kernels.delta_pack_orig(values, w, dt,
                                             zigzag=name == "zdelta")
     return Encoded(name, dt, w, n_blocks, payload, params={"base": base})
