@@ -110,6 +110,60 @@ def _decoded_chunks(path: str, column: Optional[str], mesh, batch=True):
             yield blocks, cdtype, vtype, valid
 
 
+def _str_dict_of(path: str, column: Optional[str]):
+    """Sorted dictionary of a string table column, else None."""
+    if column is None:
+        return None
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if not magic.startswith(b"FLTTAB1"):
+        return None
+    from . import fio_table
+
+    header = fio_table.read_table_header(path)
+    col = fio_table._col_meta(header, column)
+    if col.get("vtype") != "str":
+        return None
+    with open(path, "rb") as f:
+        return fio_table._load_str_dict(
+            f, fio.payload_base_of(path, fio_table.MAGIC), col)
+
+
+def _str_pred_to_code(dictionary: np.ndarray, op: str, value):
+    """String predicate -> code-domain integer predicate. The dictionary is
+    sorted ascending, so code order == lexicographic order; probes absent
+    from the dictionary fold to the neighbouring threshold (eq/ne on a
+    missing value become never/always: code < 0 / code >= 0)."""
+    value = str(value)
+    lo_idx = int(np.searchsorted(dictionary, value))
+    exact = bool(lo_idx < dictionary.size and dictionary[lo_idx] == value)
+    thr = lo_idx + (1 if exact else 0)
+    if op == "lt":
+        return "lt", lo_idx
+    if op == "le":
+        return "lt", thr
+    if op == "ge":
+        return "ge", lo_idx
+    if op == "gt":
+        return "ge", thr
+    if op == "eq":
+        return ("eq", lo_idx) if exact else ("lt", 0)
+    if op == "ne":
+        return ("ne", lo_idx) if exact else ("ge", 0)
+    raise ValueError(f"unknown predicate {op!r}; have {sorted(_PREDS)}")
+
+
+def _map_str_result(r: dict, dictionary: np.ndarray) -> dict:
+    """Code-domain stats of a string column -> user-facing stats: min/max
+    become the lexicographic extreme strings; a sum of codes is meaningless
+    and reports None."""
+    has = r["count"] > 0
+    return {"sum": None,
+            "min": str(dictionary[int(r["min"])]) if has else None,
+            "max": str(dictionary[int(r["max"])]) if has else None,
+            "count": r["count"], "n_dict": int(dictionary.size)}
+
+
 def _flatten_logical(blocks, cdtype, vtype):
     """Device blocks -> flat logical vector for reductions.
 
@@ -694,7 +748,8 @@ def scan_column(path: str, column: Optional[str] = None, mesh=None) -> dict:
     acc = _StatAcc()
     for blocks, cdtype, vtype, valid in _decoded_chunks(path, column, mesh):
         acc.feed(blocks, cdtype, vtype, valid)
-    return acc.result()
+    d = _str_dict_of(path, column)
+    return _map_str_result(acc.result(), d) if d is not None else acc.result()
 
 
 def scan_table(path: str, columns=None, mesh=None) -> dict:
@@ -722,7 +777,9 @@ def scan_table(path: str, columns=None, mesh=None) -> dict:
         acc = _StatAcc()
         for blocks, cdtype, vtype, valid in _decoded_chunks(path, name, mesh):
             acc.feed(blocks, cdtype, vtype, valid)
-        out[name] = acc.result()
+        d = _str_dict_of(path, name)
+        out[name] = (_map_str_result(acc.result(), d) if d is not None
+                     else acc.result())
     return out
 
 
@@ -732,6 +789,9 @@ def count_where(path: str, op: str, value, column: Optional[str] = None,
     in-graph, only the running count leaves the device."""
     if op not in _PREDS:
         raise ValueError(f"unknown predicate {op!r}; have {sorted(_PREDS)}")
+    d = _str_dict_of(path, column)
+    if d is not None:  # string column: predicate pushes down on codes
+        op, value = _str_pred_to_code(d, op, value)
     total = 0
     for blocks, cdtype, vtype, valid in _decoded_chunks(path, column, mesh):
         if valid == 0:
@@ -754,6 +814,15 @@ def scan_where(path: str, op: str, value, column: Optional[str] = None,
     columns). Returns {sum, min, max, count} over matching rows."""
     if op not in _PREDS:
         raise ValueError(f"unknown predicate {op!r}; have {sorted(_PREDS)}")
+    vdict = _str_dict_of(path, column)
+    wdict = (vdict if where is None or where == column
+             else _str_dict_of(path, where))
+    if wdict is not None:  # string predicate column: compare codes
+        op, value = _str_pred_to_code(wdict, op, value)
+
+    def _finish(r):
+        return _map_str_result(r, vdict) if vdict is not None else r
+
     acc = _StatAcc()
     if where is None or where == column:
         for blocks, cdtype, vtype, valid in _decoded_chunks(path, column,
@@ -762,7 +831,7 @@ def scan_where(path: str, op: str, value, column: Optional[str] = None,
                 continue
             flat = _flatten_logical(blocks, cdtype, vtype)
             acc.feed_flat(flat, valid, _pred_mask(flat, op, value))
-        return acc.result()
+        return _finish(acc.result())
     # cross-column predicate: walk both chunk streams in lockstep
     vals = _decoded_chunks(path, column, mesh, batch=False)
     preds = _decoded_chunks(path, where, mesh, batch=False)
@@ -783,7 +852,7 @@ def scan_where(path: str, op: str, value, column: Optional[str] = None,
         raise ValueError(
             f"columns {column!r} and {where!r} have different chunk counts; "
             "cross-column scan_where needs equal length and chunking")
-    return acc.result()
+    return _finish(acc.result())
 
 
 # ---------------------------------------------------------------------------
@@ -1129,15 +1198,25 @@ def group_stats(path: str, key: str, value: str, max_groups: int = None,
     (caps: 65536 for integer values, 1024 for float values — per-group
     superaccumulator bins scale with the cap). The two columns must share
     block layout (equal length and chunking — the writer's default).
-    Returns {group: {sum, min, max, count}} for non-empty groups."""
+    Returns {group: {sum, min, max, count}} for non-empty groups. A STRING
+    `key` column groups by its dictionary codes and labels the result with
+    the strings; a string `value` column aggregates lexicographic
+    min/max/count (sum is None)."""
+    kdict = _str_dict_of(path, key)
+    vdict = _str_dict_of(path, value)
     if max_groups is None:
-        ks = scan_column(path, column=key, mesh=mesh)
-        if ks["count"] == 0:
-            return {}
-        if ks["min"] < 0:
-            raise ValueError(f"group keys must be >= 0; {key!r} has "
-                             f"min {ks['min']}")
-        max_groups = int(ks["max"]) + 1
+        if kdict is not None:
+            if kdict.size == 0:
+                return {}
+            max_groups = int(kdict.size)
+        else:
+            ks = scan_column(path, column=key, mesh=mesh)
+            if ks["count"] == 0:
+                return {}
+            if ks["min"] < 0:
+                raise ValueError(f"group keys must be >= 0; {key!r} has "
+                                 f"min {ks['min']}")
+            max_groups = int(ks["max"]) + 1
     k = int(max_groups)
 
     kind = None
@@ -1193,4 +1272,9 @@ def group_stats(path: str, key: str, value: str, max_groups: int = None,
         raise ValueError(
             f"columns {key!r} and {value!r} have different chunk counts; "
             "group_stats needs equal length and chunking")
-    return acc.result() if acc is not None else {}
+    out = acc.result() if acc is not None else {}
+    if vdict is not None:  # string value column: codes -> labels
+        out = {g: _map_str_result(s, vdict) for g, s in out.items()}
+    if kdict is not None:  # string key column: label groups
+        out = {str(kdict[g]): s for g, s in out.items()}
+    return out

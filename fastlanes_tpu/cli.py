@@ -211,7 +211,10 @@ def _cmd_scan(args) -> int:
     if args.where:
         try:
             op, _, value = args.where.partition(":")
-            v = float(value) if "." in value else int(value)
+            try:  # numeric probe; anything else is a string probe
+                v = float(value) if "." in value else int(value)
+            except ValueError:
+                v = value
             filtered = analytics.scan_where(args.input, op, v,
                                             column=args.column,
                                             where=args.where_column)
@@ -278,7 +281,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("input")
     c.add_argument("output")
     c.add_argument("--codec", default="auto",
-                   choices=["auto", "bitpack", "ffor", "delta", "zdelta", "rle", "alp", "alprd"])
+                   choices=["auto", "bitpack", "ffor", "delta", "zdelta",
+                            "rle", "dict", "alp", "alprd"])
     c.add_argument("--dtype", default=None, choices=list(layout.DTYPES))
     c.add_argument("--chunk-blocks", type=int, default=1024)
     c.set_defaults(fn=_cmd_compress)
@@ -301,7 +305,7 @@ def build_parser() -> argparse.ArgumentParser:
     ct.add_argument("input")
     ct.add_argument("output")
     ct.add_argument("--codec", default="auto",
-                    choices=["auto", "bitpack", "ffor", "delta", "zdelta", "rle"])
+                    choices=["auto", "bitpack", "ffor", "delta", "zdelta", "rle", "dict"])
     ct.add_argument("--chunk-blocks", type=int, default=1024)
     ct.set_defaults(fn=_cmd_compress_table)
 

@@ -28,6 +28,74 @@ MAGIC = b"FLTTAB1"
 _VERSION = 1
 
 
+class StringColumn:
+    """Device-decoded string column: u32 dictionary codes on the chip plus
+    the sorted host dictionary. The dictionary is sorted ascending, so code
+    order == lexicographic order — string predicates (eq/lt/ge/...) push
+    down as integer code compares without materializing a single string
+    (see analytics.scan_where / group_stats)."""
+
+    def __init__(self, codes, dictionary: np.ndarray):
+        self.codes = codes          # device array, (B, 1024) or flat
+        self.dictionary = dictionary  # np unicode array, sorted ascending
+
+    @property
+    def n_dict(self) -> int:
+        return int(self.dictionary.size)
+
+    def __len__(self) -> int:
+        return int(self.codes.shape[0])
+
+    def code_of(self, value: str) -> int:
+        """Exact-match code of `value`, or -1 if absent."""
+        i = int(np.searchsorted(self.dictionary, value))
+        if i < self.dictionary.size and self.dictionary[i] == value:
+            return i
+        return -1
+
+    def materialize(self) -> np.ndarray:
+        """Gather the strings on the host (one device fetch of the codes)."""
+        return self.dictionary[np.asarray(self.codes).astype(np.int64)]
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return (f"StringColumn(shape={tuple(self.codes.shape)}, "
+                f"n_dict={self.n_dict})")
+
+
+def _encode_str_dict(dictionary: np.ndarray) -> bytes:
+    """Dictionary blob: u32 LE offsets (n_dict+1) || concatenated UTF-8."""
+    encoded = [s.encode("utf-8") for s in dictionary.tolist()]
+    offs = np.zeros(len(encoded) + 1, "<u4")
+    if encoded:
+        np.cumsum([len(b) for b in encoded], out=offs[1:])
+    return offs.tobytes() + b"".join(encoded)
+
+
+def _load_str_dict(f, base_off: int, col: dict) -> np.ndarray:
+    sd = col["str_dict"]
+    f.seek(base_off + sd["offset"])
+    raw = f.read(sd["nbytes"])
+    n = sd["n_dict"]
+    if len(raw) < 4 * (n + 1):
+        raise ValueError("truncated string dictionary blob")
+    offs = np.frombuffer(raw[: 4 * (n + 1)], "<u4").astype(np.int64)
+    data = raw[4 * (n + 1):]
+    if offs.size and offs[-1] > len(data):
+        raise ValueError("truncated string dictionary blob")
+    return np.array([data[offs[i]:offs[i + 1]].decode("utf-8")
+                     for i in range(n)])
+
+
+def _factorize_strings(name: str, arr: np.ndarray):
+    """String column -> (sorted unicode dictionary, flat u32 codes)."""
+    if arr.ndim != 1:
+        raise ValueError(f"string column {name!r} must be 1-D, got {arr.shape}")
+    if arr.dtype.kind == "S":
+        arr = np.char.decode(arr, "utf-8")
+    else:
+        arr = arr.astype(np.str_)
+    dictionary, inverse = np.unique(arr, return_inverse=True)
+    return dictionary, inverse.astype(np.uint32)
 
 
 
@@ -41,7 +109,24 @@ def write_table(path: str, columns: Dict[str, np.ndarray], dtypes=None,
         arr = np.asarray(arr)
         transform = None
         vtype = None
-        if arr.dtype.kind == "f":  # float column -> ALP (see fio.write_file)
+        str_blob = None
+        if arr.dtype.kind in ("U", "S", "O"):
+            # string column: sorted dictionary blob + u32 codes riding the
+            # standard integer chunk machinery (codes of sorted dictionaries
+            # compare like the strings themselves)
+            if name in dtypes:
+                raise ValueError(f"string column {name!r} chooses its own wire dtype")
+            if codec in ("alp", "alprd"):
+                raise ValueError(
+                    f"string column {name!r} cannot use the float codec {codec!r}")
+            dictionary, codes = _factorize_strings(name, arr)
+            str_blob = _encode_str_dict(dictionary)
+            n_dict = int(dictionary.size)
+            vtype = "str"
+            dtype = "u32"
+            blocks, n_values = fio.pad_to_blocks(codes, dtype)
+            encode_one = lambda part, dt=dtype: fio._encode_chunk(part, dt, codec)  # noqa: E731
+        elif arr.dtype.kind == "f":  # float column -> ALP (see fio.write_file)
             if name in dtypes:
                 raise ValueError(f"float column {name!r} chooses its own wire dtype")
             if codec not in ("auto", "alp", "alprd"):
@@ -75,6 +160,11 @@ def write_table(path: str, columns: Dict[str, np.ndarray], dtypes=None,
             col["transform"] = transform
         if vtype is not None:
             col["vtype"] = vtype
+        if str_blob is not None:
+            col["str_dict"] = {"offset": offset, "nbytes": len(str_blob),
+                               "n_dict": n_dict}
+            payloads.append(str_blob)
+            offset += len(str_blob)
         cols_meta[name] = col
 
     header = {"version": _VERSION, "columns": cols_meta}
@@ -115,7 +205,12 @@ def _read_column(f, col: dict, base_off: int, start: int,
                                   col["chunk_blocks"], start, stop, dtype)
     blocks = fio.apply_inverse_transform(blocks, col.get("transform"))
     if full and "n_values" in col:
-        return blocks.reshape(-1)[:col["n_values"]]
+        blocks = blocks.reshape(-1)[:col["n_values"]]
+    if col.get("vtype") == "str":
+        dictionary = _load_str_dict(f, base_off, col)
+        if blocks.size and int(blocks.max()) >= dictionary.size:
+            raise ValueError("corrupt string column: code beyond dictionary")
+        return dictionary[blocks.astype(np.int64)]
     return blocks
 
 
