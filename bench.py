@@ -54,6 +54,25 @@ if _os.environ.get("FASTLANES_TPU_PLATFORM"):
     import jax as _jax
 
     _jax.config.update("jax_platforms", _os.environ["FASTLANES_TPU_PLATFORM"])
+else:
+    # Dead-tunnel guard: a hung remote-TPU plugin blocks backend init
+    # forever, which would leave the bench with NO output at all. Probe
+    # device enumeration in a subprocess with a timeout; on failure fall
+    # back to CPU (the JSON records platform, so a CPU number is clearly
+    # labeled rather than silently absent).
+    import subprocess as _sp
+    import sys as _sys
+
+    try:
+        _sp.run([_sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=180, check=True,
+                stdout=_sp.DEVNULL, stderr=_sp.DEVNULL)
+    except Exception:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+        print("bench.py: accelerator backend init failed/hung; "
+              "falling back to platform=cpu", file=_sys.stderr)
 
 
 def main():
