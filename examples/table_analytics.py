@@ -134,8 +134,10 @@ def main():
 
     with tempfile.NamedTemporaryFile(suffix=".flt") as f:
         tier = (customer % 5).astype(np.uint16)
+        cats = np.array(["EUR", "GBP", "JPY", "USD"])
+        currency = cats[customer % 4]  # STRING column: dictionary-encoded
         fio_table.write_table(f.name, {"customer": customer, "qty": qty,
-                                       "tier": tier})
+                                       "tier": tier, "currency": currency})
         s = analytics.scan_where(f.name, "eq", target,
                                  column="qty", where="customer")
         assert s["count"] == int(mask.sum())
@@ -145,6 +147,15 @@ def main():
         print(f"analytics.scan_where one-liner agrees: {s}")
         print(f"analytics.group_stats('tier', 'qty'): "
               f"{ {g: r['sum'] for g, r in sorted(per_tier.items())} }")
+        # string predicates and group-bys run as integer code compares
+        # (sorted dictionary: code order == lexicographic order)
+        eur = analytics.scan_where(f.name, "eq", "EUR",
+                                   column="qty", where="currency")
+        assert eur["sum"] == int(qty[currency == "EUR"].sum())
+        per_cur = analytics.group_stats(f.name, "currency", "qty")
+        assert set(per_cur) == set(cats)
+        print(f"analytics.group_stats('currency', 'qty') [string key]: "
+              f"{ {g: r['sum'] for g, r in sorted(per_cur.items())} }")
 
 
 if __name__ == "__main__":

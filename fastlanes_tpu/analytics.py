@@ -55,14 +55,9 @@ _PREDS = {
 }
 
 
-def _decoded_chunks(path: str, column: Optional[str], mesh, batch=True):
-    """Yield (decoded device blocks, dtype, vtype, valid) already
-    transform-applied — real values in the column's logical domain. With
-    `batch` (the default), consecutive same-signature chunks decode in ONE
-    device dispatch (fio_device._decode_chunks_grouped) and come back as
-    one merged part; lockstep consumers (cross-column scan_where /
-    group_stats) pass batch=False so both columns' parts align
-    chunk-for-chunk."""
+def _column_layout(path: str, column: Optional[str]):
+    """Chunk metadata of a column (FLT file or FLTTAB table column):
+    (chunks, cdtype, transform, vtype, n_values, base_off)."""
     with open(path, "rb") as f:
         magic = f.read(8)
     if magic.startswith(b"FLTTAB1"):
@@ -72,16 +67,25 @@ def _decoded_chunks(path: str, column: Optional[str], mesh, batch=True):
             raise ValueError("table file: pass column=<name>")
         header = fio_table.read_table_header(path)
         col = fio_table._col_meta(header, column)
-        base_off = fio.payload_base_of(path, fio_table.MAGIC)
-        chunks, cdtype = col["chunks"], col["dtype"]
-        transform, vtype = col.get("transform"), col.get("vtype")
-        n_values = col.get("n_values")
-    else:
-        header = fio.read_header(path)
-        chunks, cdtype = header["chunks"], header["dtype"]
-        transform, vtype = header.get("transform"), header.get("vtype")
-        n_values = header.get("n_values")
-        base_off = fio._payload_base(path)
+        return (col["chunks"], col["dtype"], col.get("transform"),
+                col.get("vtype"), col.get("n_values"),
+                fio.payload_base_of(path, fio_table.MAGIC))
+    header = fio.read_header(path)
+    return (header["chunks"], header["dtype"], header.get("transform"),
+            header.get("vtype"), header.get("n_values"),
+            fio._payload_base(path))
+
+
+def _decoded_chunks(path: str, column: Optional[str], mesh, batch=True):
+    """Yield (decoded device blocks, dtype, vtype, valid) already
+    transform-applied — real values in the column's logical domain. With
+    `batch` (the default), consecutive same-signature chunks decode in ONE
+    device dispatch (fio_device._decode_chunks_grouped) and come back as
+    one merged part; lockstep consumers (cross-column scan_where /
+    group_stats) pass batch=False so both columns' parts align
+    chunk-for-chunk."""
+    chunks, cdtype, transform, vtype, n_values, base_off = _column_layout(
+        path, column)
 
     with open(path, "rb") as f:
         if batch:
@@ -1185,6 +1189,195 @@ class _GroupAcc:
                     mx = _f32_of_key(int(self.kmx[g]))
             out[g] = {"sum": total, "min": mn, "max": mx, "count": c}
         return out
+
+
+# ---------------------------------------------------------------------------
+# distinct / value_counts / top_k: the remaining SQL-ish pushdowns.
+# distinct is metadata-only for dict/rle/string chunks (their payloads
+# already carry the value sets); value_counts scatter-counts dictionary
+# codes on device; top_k runs per-chunk device top-k in the total-order
+# key domain and merges k-candidates on the host.
+
+
+def distinct(path: str, column: Optional[str] = None) -> np.ndarray:
+    """Sorted distinct values of a compressed column. dict chunks read only
+    their dictionaries and rle chunks only their run values (no decode at
+    all); string columns return their sorted dictionary outright; other
+    codecs decode chunk-by-chunk on the host and merge. Tail padding of
+    flat-written columns repeats the final value, so it never adds a
+    distinct value."""
+    d = _str_dict_of(path, column)
+    if d is not None:
+        return d.copy()  # built from the data: every entry occurs
+    chunks, cdtype, transform, vtype, _n_values, base_off = _column_layout(
+        path, column)
+    parts = []
+    with open(path, "rb") as f:
+        for meta in chunks:
+            f.seek(base_off + meta["offset"])
+            raw = f.read(meta["nbytes"])
+            if meta["codec"] == "dict":
+                vals, _ = fio._split_dict_payload(meta, raw,
+                                                  meta["n_blocks"], cdtype)
+            elif meta["codec"] == "rle":
+                _c, _b, _p, rv = fio._split_rle_payload(
+                    meta, raw, meta["n_blocks"], cdtype)
+                vals = np.unique(rv)
+            else:
+                vals = np.unique(fio._decode_chunk(
+                    meta, raw, meta["n_blocks"], cdtype).reshape(-1))
+            parts.append(np.asarray(vals))
+    if not parts:
+        return np.empty(0, layout.np_dtype(cdtype))
+    merged = np.unique(np.concatenate(parts))
+    if transform is not None:  # transforms reorder the wire domain
+        merged = np.unique(fio.apply_inverse_transform(merged, transform))
+    return merged
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _count_codes_kernel(codes, v, k):
+    ok = _iota_ok(codes.shape[0], v)
+    kk = jnp.where(ok, codes.astype(jnp.int32), jnp.int32(k))
+    return jnp.zeros((k + 1,), jnp.int32).at[kk].add(1)[:k]
+
+
+_VALUE_COUNTS_CAP = 65536
+
+
+def value_counts(path: str, column: Optional[str] = None,
+                 max_values: int = _VALUE_COUNTS_CAP, mesh=None) -> dict:
+    """{value: count} over a compressed column, exact. The distinct set
+    (see `distinct`) becomes a device dictionary; each chunk decodes and
+    scatter-counts its searchsorted codes in one fused program. String
+    columns count their dictionary codes directly. Capped at `max_values`
+    distinct values; float and u64 columns raise (use group_stats or
+    top_k — bucketing floats by exact bit pattern is rarely what a query
+    means)."""
+    d = _str_dict_of(path, column)
+    if d is None:
+        vals = distinct(path, column)
+        if vals.dtype.kind == "f":
+            raise ValueError("value_counts over float columns is "
+                             "ill-defined; use group_stats or top_k")
+        if vals.dtype.itemsize * 8 == 64:
+            raise ValueError("value_counts over 64-bit columns is not "
+                             "supported without x64; use group_stats")
+        if vals.size > max_values:
+            raise ValueError(f"{vals.size} distinct values exceed "
+                             f"max_values={max_values}")
+    else:
+        vals = d
+    kcap = int(vals.size)
+    if kcap == 0:
+        return {}
+    dict_dev = None if d is not None else jnp.asarray(vals)
+    counts = np.zeros(kcap, np.int64)
+    for blocks, cdtype, vtype, valid in _decoded_chunks(path, column, mesh):
+        if valid == 0:
+            continue
+        flat = _flatten_logical(blocks, cdtype, vtype)
+        codes = flat if d is not None else jnp.searchsorted(dict_dev, flat)
+        counts += np.asarray(_count_codes_kernel(codes, jnp.int32(valid),
+                                                 kcap), np.int64)
+    if d is not None:
+        return {str(vals[i]): int(counts[i]) for i in range(kcap)
+                if counts[i]}
+    return {int(vals[i]): int(counts[i]) for i in range(kcap) if counts[i]}
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "k", "largest"))
+def _topk_chunk1(x, kind, k, largest):
+    """Per-chunk top-k in a single-limb total-order key domain."""
+    if kind == "f32":
+        bits = x
+        key = jnp.where((bits >> jnp.uint32(31)) == jnp.uint32(1), ~bits,
+                        bits ^ jnp.uint32(0x80000000))
+    elif kind == "i":
+        t = x.dtype.itemsize * 8
+        ux = jax.lax.bitcast_convert_type(x, jnp.dtype(f"uint{t}"))
+        key = (ux ^ jnp.asarray(1 << (t - 1), ux.dtype)).astype(jnp.uint32)
+    else:  # unsigned <= 32 bits (incl. string dictionary codes)
+        key = x.astype(jnp.uint32)
+    key = key if largest else ~key
+    top, _ = jax.lax.top_k(key, k)
+    return top if largest else ~top
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "k", "largest"))
+def _topk_chunk2(lo, hi, kind, k, largest):
+    """Two-limb (u64 / f64) per-chunk top-k: lexicographic two-key sort;
+    ~ on both limbs reverses lexicographic order for the smallest-k case."""
+    if kind == "f64":
+        khi, klo = _f64_key(lo, hi)
+    else:  # u64 -> signed-int64 order (the scans' convention)
+        khi, klo = hi ^ jnp.uint32(0x80000000), lo
+    if not largest:
+        khi, klo = ~khi, ~klo
+    hs, ls = jax.lax.sort([khi, klo], num_keys=2)
+    hs, ls = hs[-k:][::-1], ls[-k:][::-1]
+    if not largest:
+        hs, ls = ~hs, ~ls
+    return hs, ls
+
+
+def top_k(path: str, column: Optional[str] = None, k: int = 10,
+          largest: bool = True, mesh=None) -> list:
+    """The k largest (or smallest) values of a compressed column,
+    duplicates included, sorted best-first. Each chunk reduces to k
+    candidates on device in its total-order key domain (ints by value —
+    u64 with the scans' int64 semantics; floats by IEEE total order, so
+    NaN ranks above +inf and -NaN below -inf; strings lexicographically
+    via dictionary codes); only k values per chunk reach the host merge."""
+    if k <= 0:
+        return []
+    d = _str_dict_of(path, column)
+    cands = []
+    kind = None
+    int_bits = 32
+    signed = False
+    for blocks, cdtype, vtype, valid in _decoded_chunks(path, column, mesh):
+        if valid == 0:
+            continue
+        flat = _flatten_logical(blocks, cdtype, vtype)
+        if isinstance(flat, tuple) and isinstance(flat[0], str):
+            kind = flat[0]
+            if kind == "f64":
+                hs, ls = _topk_chunk2(flat[1][:valid], flat[2][:valid],
+                                      "f64", min(k, valid), largest)
+                cands += [(int(a), int(b))
+                          for a, b in zip(np.asarray(hs), np.asarray(ls))]
+            else:
+                top = _topk_chunk1(flat[1][:valid], "f32",
+                                   min(k, valid), largest)
+                cands += [(int(t),) for t in np.asarray(top)]
+        elif isinstance(flat, tuple):
+            kind = "u64"
+            hs, ls = _topk_chunk2(flat[0][:valid], flat[1][:valid], "u64",
+                                  min(k, valid), largest)
+            cands += [(int(a), int(b))
+                      for a, b in zip(np.asarray(hs), np.asarray(ls))]
+        else:
+            npdt = np.dtype(flat.dtype.name)
+            signed = npdt.kind == "i"
+            int_bits = npdt.itemsize * 8
+            kind = "i" if signed else "u"
+            top = _topk_chunk1(flat[:valid], kind, min(k, valid), largest)
+            cands += [(int(t),) for t in np.asarray(top)]
+    best = sorted(cands, reverse=largest)[:k]
+    if kind is None:
+        return []
+    if d is not None:
+        return [str(d[key[0]]) for key in best]
+    if kind == "u":
+        return [int(key[0]) for key in best]
+    if kind == "i":
+        return [int(key[0]) - (1 << (int_bits - 1)) for key in best]
+    if kind == "f32":
+        return [_f32_of_key(key[0]) for key in best]
+    if kind == "f64":
+        return [_f64_of_key(*key) for key in best]
+    return [_i64_of(*key) for key in best]  # u64 (int64 semantics)
 
 
 def group_stats(path: str, key: str, value: str, max_groups: int = None,

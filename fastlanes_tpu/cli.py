@@ -117,10 +117,13 @@ def _cmd_compress_table(args) -> int:
     for name in data.files:
         arr = data[name]
         if not (np.issubdtype(arr.dtype, np.integer)
-                or np.issubdtype(arr.dtype, np.floating)):
+                or np.issubdtype(arr.dtype, np.floating)
+                or arr.dtype.kind in ("U", "S")):
             raise SystemExit(f"column {name!r} is {arr.dtype}; FastLanes "
-                             "compresses integers and floats")
-        columns[name] = arr  # signed -> zigzag/viewu transform, float -> ALP
+                             "compresses integers, floats and strings")
+        # signed -> zigzag/viewu transform, float -> ALP, strings ->
+        # sorted-dictionary codes
+        columns[name] = arr
     header = fio_table.write_table(args.output, columns, codec=args.codec,
                                    chunk_blocks=args.chunk_blocks)
     import os
@@ -208,6 +211,24 @@ def _cmd_scan(args) -> int:
         print(json.dumps(analytics.scan_table(args.input)))
         return 0
     stats = analytics.scan_column(args.input, column=args.column)
+    if args.top:
+        stats["top"] = analytics.top_k(args.input, column=args.column,
+                                       k=args.top)
+    if args.bottom:
+        stats["bottom"] = analytics.top_k(args.input, column=args.column,
+                                          k=args.bottom, largest=False)
+    if args.distinct:
+        vals = analytics.distinct(args.input, column=args.column)
+        stats["n_distinct"] = int(vals.size)
+        if vals.size <= 64:
+            stats["distinct"] = [v.item() if hasattr(v, "item") else v
+                                 for v in vals]
+    if args.value_counts:
+        try:
+            stats["value_counts"] = analytics.value_counts(
+                args.input, column=args.column)
+        except ValueError as e:
+            raise SystemExit(f"--value-counts: {e}")
     if args.where:
         try:
             op, _, value = args.where.partition(":")
@@ -335,7 +356,17 @@ def build_parser() -> argparse.ArgumentParser:
                          "column instead of the aggregated one")
     sc.add_argument("--group-by", default=None, metavar="KEY_COLUMN",
                     help="table files: per-group stats of --column grouped "
-                         "by this integer column")
+                         "by this integer or string column")
+    sc.add_argument("--top", type=int, default=0, metavar="K",
+                    help="also report the K largest values")
+    sc.add_argument("--bottom", type=int, default=0, metavar="K",
+                    help="also report the K smallest values")
+    sc.add_argument("--distinct", action="store_true",
+                    help="also report the distinct-value count (and the "
+                         "values themselves when there are <= 64)")
+    sc.add_argument("--value-counts", action="store_true",
+                    help="also report exact {value: count} (low-cardinality "
+                         "integer/string columns)")
     sc.set_defaults(fn=_cmd_scan)
 
     b = sub.add_parser("bench",
