@@ -57,7 +57,7 @@ _PREDS = {
 
 def _column_layout(path: str, column: Optional[str]):
     """Chunk metadata of a column (FLT file or FLTTAB table column):
-    (chunks, cdtype, transform, vtype, n_values, base_off)."""
+    (chunks, cdtype, transform, vtype, n_values, base_off, nulls_meta)."""
     with open(path, "rb") as f:
         magic = f.read(8)
     if magic.startswith(b"FLTTAB1"):
@@ -69,23 +69,26 @@ def _column_layout(path: str, column: Optional[str]):
         col = fio_table._col_meta(header, column)
         return (col["chunks"], col["dtype"], col.get("transform"),
                 col.get("vtype"), col.get("n_values"),
-                fio.payload_base_of(path, fio_table.MAGIC))
+                fio.payload_base_of(path, fio_table.MAGIC),
+                col.get("nulls"))
     header = fio.read_header(path)
     return (header["chunks"], header["dtype"], header.get("transform"),
             header.get("vtype"), header.get("n_values"),
-            fio._payload_base(path))
+            fio._payload_base(path), header.get("nulls"))
 
 
 def _decoded_chunks(path: str, column: Optional[str], mesh, batch=True):
-    """Yield (decoded device blocks, dtype, vtype, valid) already
-    transform-applied — real values in the column's logical domain. With
-    `batch` (the default), consecutive same-signature chunks decode in ONE
-    device dispatch (fio_device._decode_chunks_grouped) and come back as
-    one merged part; lockstep consumers (cross-column scan_where /
-    group_stats) pass batch=False so both columns' parts align
-    chunk-for-chunk."""
-    chunks, cdtype, transform, vtype, n_values, base_off = _column_layout(
-        path, column)
+    """Yield (decoded device blocks, dtype, vtype, valid, vmask) already
+    transform-applied — real values in the column's logical domain. `vmask`
+    is the part's flat device validity mask for nullable columns (True =
+    present; null fillers are real neighbour values and must not
+    contribute), else None. With `batch` (the default), consecutive
+    same-signature chunks decode in ONE device dispatch
+    (fio_device._decode_chunks_grouped) and come back as one merged part;
+    lockstep consumers (cross-column scan_where / group_stats) pass
+    batch=False so both columns' parts align chunk-for-chunk."""
+    chunks, cdtype, transform, vtype, n_values, base_off, nulls_meta = \
+        _column_layout(path, column)
 
     with open(path, "rb") as f:
         if batch:
@@ -102,16 +105,24 @@ def _decoded_chunks(path: str, column: Optional[str], mesh, batch=True):
                 meta["n_blocks"], cdtype, mesh=mesh) for meta in chunks)
 
         seen_values = 0
+        seen_blocks = 0
         for blocks in parts:
-            n_here = (blocks[0] if isinstance(blocks, tuple)
-                      else blocks).shape[0] * layout.BLOCK
+            n_blocks_here = (blocks[0] if isinstance(blocks, tuple)
+                             else blocks).shape[0]
+            n_here = n_blocks_here * layout.BLOCK
             blocks = fio_device._apply_transform_device(blocks, transform,
                                                         cdtype)
             valid = n_here
             if n_values is not None:
                 valid = max(0, min(n_here, n_values - seen_values))
             seen_values += n_here
-            yield blocks, cdtype, vtype, valid
+            vmask = None
+            if nulls_meta is not None:
+                vmask = jnp.asarray(fio.read_validity_range(
+                    path, nulls_meta, base_off, seen_blocks,
+                    seen_blocks + n_blocks_here).reshape(-1))
+            seen_blocks += n_blocks_here
+            yield blocks, cdtype, vtype, valid, vmask
 
 
 def _str_dict_of(path: str, column: Optional[str]):
@@ -750,10 +761,15 @@ def scan_column(path: str, column: Optional[str] = None, mesh=None) -> dict:
     never materializes in HBM for fusable codecs. Returns python scalars:
     {sum, min, max, count}."""
     acc = _StatAcc()
-    for blocks, cdtype, vtype, valid in _decoded_chunks(path, column, mesh):
-        acc.feed(blocks, cdtype, vtype, valid)
+    for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(path, column,
+                                                               mesh):
+        acc.feed(blocks, cdtype, vtype, valid, pred=vmask)
     d = _str_dict_of(path, column)
-    return _map_str_result(acc.result(), d) if d is not None else acc.result()
+    r = _map_str_result(acc.result(), d) if d is not None else acc.result()
+    nulls_meta = _column_layout(path, column)[6]
+    if nulls_meta is not None:
+        r["n_null"] = int(nulls_meta["n_null"])
+    return r
 
 
 def scan_table(path: str, columns=None, mesh=None) -> dict:
@@ -779,11 +795,16 @@ def scan_table(path: str, columns=None, mesh=None) -> dict:
     out = {}
     for name in names:
         acc = _StatAcc()
-        for blocks, cdtype, vtype, valid in _decoded_chunks(path, name, mesh):
-            acc.feed(blocks, cdtype, vtype, valid)
+        for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(path, name,
+                                                                   mesh):
+            acc.feed(blocks, cdtype, vtype, valid, pred=vmask)
         d = _str_dict_of(path, name)
-        out[name] = (_map_str_result(acc.result(), d) if d is not None
-                     else acc.result())
+        r = (_map_str_result(acc.result(), d) if d is not None
+             else acc.result())
+        nulls_meta = cols[name].get("nulls")
+        if nulls_meta is not None:
+            r["n_null"] = int(nulls_meta["n_null"])
+        out[name] = r
     return out
 
 
@@ -797,11 +818,14 @@ def count_where(path: str, op: str, value, column: Optional[str] = None,
     if d is not None:  # string column: predicate pushes down on codes
         op, value = _str_pred_to_code(d, op, value)
     total = 0
-    for blocks, cdtype, vtype, valid in _decoded_chunks(path, column, mesh):
+    for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(path, column,
+                                                               mesh):
         if valid == 0:
             continue
         flat = _flatten_logical(blocks, cdtype, vtype)
         mask = _pred_mask(flat, op, value)
+        if vmask is not None:  # nulls match no predicate (not even 'ne')
+            mask = mask & vmask
         total += int(_count_masked(mask, jnp.int32(valid)))
     return total
 
@@ -829,17 +853,21 @@ def scan_where(path: str, op: str, value, column: Optional[str] = None,
 
     acc = _StatAcc()
     if where is None or where == column:
-        for blocks, cdtype, vtype, valid in _decoded_chunks(path, column,
-                                                            mesh):
+        for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(
+                path, column, mesh):
             if valid == 0:
                 continue
             flat = _flatten_logical(blocks, cdtype, vtype)
-            acc.feed_flat(flat, valid, _pred_mask(flat, op, value))
+            pred = _pred_mask(flat, op, value)
+            if vmask is not None:  # null rows neither match nor aggregate
+                pred = pred & vmask
+            acc.feed_flat(flat, valid, pred)
         return _finish(acc.result())
     # cross-column predicate: walk both chunk streams in lockstep
     vals = _decoded_chunks(path, column, mesh, batch=False)
     preds = _decoded_chunks(path, where, mesh, batch=False)
-    for (vb, vdt, vvt, v_valid), (wb, wdt, wvt, w_valid) in zip(vals, preds):
+    for (vb, vdt, vvt, v_valid, v_mask), (wb, wdt, wvt, w_valid, w_mask) in \
+            zip(vals, preds):
         flat_v = _flatten_logical(vb, vdt, vvt)
         flat_w = _flatten_logical(wb, wdt, wvt)
         n_v, n_w = _flat_len(flat_v), _flat_len(flat_w)
@@ -850,7 +878,12 @@ def scan_where(path: str, op: str, value, column: Optional[str] = None,
                 "cross-column scan_where needs equal length and chunking")
         if v_valid == 0:
             continue
-        acc.feed_flat(flat_v, v_valid, _pred_mask(flat_w, op, value))
+        pred = _pred_mask(flat_w, op, value)
+        if w_mask is not None:  # null predicate rows match nothing
+            pred = pred & w_mask
+        if v_mask is not None:  # null values don't aggregate (SQL SUM(col))
+            pred = pred & v_mask
+        acc.feed_flat(flat_v, v_valid, pred)
     # unequal chunk counts (zip stops early) count as mismatched layouts
     if next(vals, None) is not None or next(preds, None) is not None:
         raise ValueError(
@@ -869,6 +902,14 @@ def scan_where(path: str, op: str, value, column: Optional[str] = None,
 
 _GROUP_CAP_INT = 65536
 _GROUP_CAP_FLOAT = 1024  # (k+1) * _F64_BINS uint32 bins per piece
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _mask_keys_kernel(keys, m, k):
+    """Route null rows (key or value) to the trash slot k: every group
+    kernel already drops slot k, so masked rows vanish from counts, sums,
+    extremes and special tallies alike."""
+    return jnp.where(m, keys.astype(jnp.int32), jnp.int32(k))
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -1206,11 +1247,20 @@ def distinct(path: str, column: Optional[str] = None) -> np.ndarray:
     codecs decode chunk-by-chunk on the host and merge. Tail padding of
     flat-written columns repeats the final value, so it never adds a
     distinct value."""
+    (chunks, cdtype, transform, vtype, n_values, base_off,
+     nulls_meta) = _column_layout(path, column)
+    if nulls_meta is not None:
+        total = (n_values if n_values is not None
+                 else sum(c["n_blocks"] for c in chunks) * layout.BLOCK)
+        if nulls_meta["n_null"] >= total:  # all null: fillers are synthetic
+            d = _str_dict_of(path, column)
+            return (np.empty(0, d.dtype if d is not None
+                             else layout.np_dtype(cdtype)))
+        # otherwise every filler copies a value that also occurs non-null
+        # (forward-fill), so the distinct set is unaffected
     d = _str_dict_of(path, column)
     if d is not None:
         return d.copy()  # built from the data: every entry occurs
-    chunks, cdtype, transform, vtype, _n_values, base_off = _column_layout(
-        path, column)
     parts = []
     with open(path, "rb") as f:
         for meta in chunks:
@@ -1238,6 +1288,13 @@ def distinct(path: str, column: Optional[str] = None) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("k",))
 def _count_codes_kernel(codes, v, k):
     ok = _iota_ok(codes.shape[0], v)
+    kk = jnp.where(ok, codes.astype(jnp.int32), jnp.int32(k))
+    return jnp.zeros((k + 1,), jnp.int32).at[kk].add(1)[:k]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _count_codes_kernel_m(codes, m, v, k):
+    ok = _iota_ok(codes.shape[0], v) & m
     kk = jnp.where(ok, codes.astype(jnp.int32), jnp.int32(k))
     return jnp.zeros((k + 1,), jnp.int32).at[kk].add(1)[:k]
 
@@ -1273,13 +1330,16 @@ def value_counts(path: str, column: Optional[str] = None,
         return {}
     dict_dev = None if d is not None else jnp.asarray(vals)
     counts = np.zeros(kcap, np.int64)
-    for blocks, cdtype, vtype, valid in _decoded_chunks(path, column, mesh):
+    for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(path, column,
+                                                               mesh):
         if valid == 0:
             continue
         flat = _flatten_logical(blocks, cdtype, vtype)
         codes = flat if d is not None else jnp.searchsorted(dict_dev, flat)
-        counts += np.asarray(_count_codes_kernel(codes, jnp.int32(valid),
-                                                 kcap), np.int64)
+        got = (_count_codes_kernel(codes, jnp.int32(valid), kcap)
+               if vmask is None else
+               _count_codes_kernel_m(codes, vmask, jnp.int32(valid), kcap))
+        counts += np.asarray(got, np.int64)
     if d is not None:
         return {str(vals[i]): int(counts[i]) for i in range(kcap)
                 if counts[i]}
@@ -1287,8 +1347,11 @@ def value_counts(path: str, column: Optional[str] = None,
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "k", "largest"))
-def _topk_chunk1(x, kind, k, largest):
-    """Per-chunk top-k in a single-limb total-order key domain."""
+def _topk_chunk1(x, m, kind, k, largest):
+    """Per-chunk top-k in a single-limb total-order key domain. `m` masks
+    null rows to the worst key; output is best-first, so a caller keeping
+    only the first n_valid candidates never sees a masked row (a masked
+    row can only tie a real row with the identical key -> same value)."""
     if kind == "f32":
         bits = x
         key = jnp.where((bits >> jnp.uint32(31)) == jnp.uint32(1), ~bits,
@@ -1300,12 +1363,13 @@ def _topk_chunk1(x, kind, k, largest):
     else:  # unsigned <= 32 bits (incl. string dictionary codes)
         key = x.astype(jnp.uint32)
     key = key if largest else ~key
+    key = jnp.where(m, key, jnp.uint32(0))  # worst in bigger-is-better space
     top, _ = jax.lax.top_k(key, k)
     return top if largest else ~top
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "k", "largest"))
-def _topk_chunk2(lo, hi, kind, k, largest):
+def _topk_chunk2(lo, hi, m, kind, k, largest):
     """Two-limb (u64 / f64) per-chunk top-k: lexicographic two-key sort;
     ~ on both limbs reverses lexicographic order for the smallest-k case."""
     if kind == "f64":
@@ -1314,6 +1378,8 @@ def _topk_chunk2(lo, hi, kind, k, largest):
         khi, klo = hi ^ jnp.uint32(0x80000000), lo
     if not largest:
         khi, klo = ~khi, ~klo
+    khi = jnp.where(m, khi, jnp.uint32(0))
+    klo = jnp.where(m, klo, jnp.uint32(0))
     hs, ls = jax.lax.sort([khi, klo], num_keys=2)
     hs, ls = hs[-k:][::-1], ls[-k:][::-1]
     if not largest:
@@ -1335,35 +1401,43 @@ def top_k(path: str, column: Optional[str] = None, k: int = 10,
     cands = []
     kind = None
     int_bits = 32
-    signed = False
-    for blocks, cdtype, vtype, valid in _decoded_chunks(path, column, mesh):
+    for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(path, column,
+                                                               mesh):
         if valid == 0:
             continue
+        if vmask is None:
+            m = jnp.ones((valid,), bool)
+            n_ok = valid
+        else:
+            m = vmask[:valid]
+            n_ok = int(_count_masked(vmask, jnp.int32(valid)))
+            if n_ok == 0:
+                continue
+        kk = min(k, valid)
         flat = _flatten_logical(blocks, cdtype, vtype)
         if isinstance(flat, tuple) and isinstance(flat[0], str):
             kind = flat[0]
             if kind == "f64":
-                hs, ls = _topk_chunk2(flat[1][:valid], flat[2][:valid],
-                                      "f64", min(k, valid), largest)
-                cands += [(int(a), int(b))
-                          for a, b in zip(np.asarray(hs), np.asarray(ls))]
+                hs, ls = _topk_chunk2(flat[1][:valid], flat[2][:valid], m,
+                                      "f64", kk, largest)
+                new = [(int(a), int(b))
+                       for a, b in zip(np.asarray(hs), np.asarray(ls))]
             else:
-                top = _topk_chunk1(flat[1][:valid], "f32",
-                                   min(k, valid), largest)
-                cands += [(int(t),) for t in np.asarray(top)]
+                top = _topk_chunk1(flat[1][:valid], m, "f32", kk, largest)
+                new = [(int(t),) for t in np.asarray(top)]
         elif isinstance(flat, tuple):
             kind = "u64"
-            hs, ls = _topk_chunk2(flat[0][:valid], flat[1][:valid], "u64",
-                                  min(k, valid), largest)
-            cands += [(int(a), int(b))
-                      for a, b in zip(np.asarray(hs), np.asarray(ls))]
+            hs, ls = _topk_chunk2(flat[0][:valid], flat[1][:valid], m,
+                                  "u64", kk, largest)
+            new = [(int(a), int(b))
+                   for a, b in zip(np.asarray(hs), np.asarray(ls))]
         else:
             npdt = np.dtype(flat.dtype.name)
-            signed = npdt.kind == "i"
             int_bits = npdt.itemsize * 8
-            kind = "i" if signed else "u"
-            top = _topk_chunk1(flat[:valid], kind, min(k, valid), largest)
-            cands += [(int(t),) for t in np.asarray(top)]
+            kind = "i" if npdt.kind == "i" else "u"
+            top = _topk_chunk1(flat[:valid], m, kind, kk, largest)
+            new = [(int(t),) for t in np.asarray(top)]
+        cands += new[:n_ok]  # best-first: drop masked-row fillers
     best = sorted(cands, reverse=largest)[:k]
     if kind is None:
         return []
@@ -1416,7 +1490,8 @@ def group_stats(path: str, key: str, value: str, max_groups: int = None,
     acc = None
     vals = _decoded_chunks(path, value, mesh, batch=False)
     keys_it = _decoded_chunks(path, key, mesh, batch=False)
-    for (vb, vdt, vvt, v_valid), (kb, kdt, kvt, k_valid) in zip(vals, keys_it):
+    for (vb, vdt, vvt, v_valid, v_mask), (kb, kdt, kvt, k_valid, k_mask) in \
+            zip(vals, keys_it):
         flat_v = _flatten_logical(vb, vdt, vvt)
         flat_k = _flatten_logical(kb, kdt, kvt)
         if isinstance(flat_k, tuple):
@@ -1429,6 +1504,11 @@ def group_stats(path: str, key: str, value: str, max_groups: int = None,
                 "layouts; group_stats needs equal length and chunking")
         if v_valid == 0:
             continue
+        mask = k_mask
+        if v_mask is not None:
+            mask = v_mask if mask is None else mask & v_mask
+        if mask is not None:  # null key OR null value: row leaves the group
+            flat_k = _mask_keys_kernel(flat_k, mask, k)
         v = jnp.int32(v_valid)
         if isinstance(flat_v, tuple) and isinstance(flat_v[0], str):
             if flat_v[0] == "f64":

@@ -72,6 +72,11 @@ def _from_device(arr, header) -> np.ndarray:
     u64 columns come back as (..., 2) uint32 limb images; rejoin the limbs
     and restore signedness for transformed (originally signed) columns.
     f64 ALP_RD columns come back as the limb image of the float64 bits."""
+    from .fio_device import NullableColumn
+
+    if isinstance(arr, NullableColumn):
+        values = _from_device(arr.values, header)
+        return np.ma.MaskedArray(values, mask=~np.asarray(arr.valid))
     out = np.asarray(arr)
     if header["dtype"] == "u64" and out.dtype != np.float64:
         wide = np.ascontiguousarray(out).view(np.uint64)[..., 0]
@@ -99,9 +104,16 @@ def _cmd_decompress(args) -> int:
         out = fio.read_file(args.input)  # flat columns come back trimmed
     else:
         out = fio.read_blocks(args.input, args.start, args.stop)
+    extra = {}
+    if isinstance(out, np.ma.MaskedArray):
+        # .npy cannot hold a mask: values here, validity alongside
+        valid_path = args.output + ".valid.npy"
+        np.save(valid_path, ~np.ma.getmaskarray(out))
+        extra["valid_file"] = valid_path
+        out = np.asarray(np.ma.getdata(out))
     np.save(args.output, out)
     print(json.dumps({"file": args.output, "shape": list(out.shape),
-                      "dtype": str(out.dtype)}))
+                      "dtype": str(out.dtype), **extra}))
     return 0
 
 
@@ -113,16 +125,22 @@ def _cmd_compress_table(args) -> int:
         raise SystemExit(
             f"{args.input} is a single array; compress-table needs an .npz "
             "of named columns (use plain 'compress' for one column)")
+    valid_of = {name[: -len("__valid")]: data[name] for name in data.files
+                if name.endswith("__valid")}
     columns = {}
     for name in data.files:
+        if name.endswith("__valid"):
+            continue  # companion validity mask (npz cannot hold np.ma masks)
         arr = data[name]
         if not (np.issubdtype(arr.dtype, np.integer)
                 or np.issubdtype(arr.dtype, np.floating)
                 or arr.dtype.kind in ("U", "S")):
             raise SystemExit(f"column {name!r} is {arr.dtype}; FastLanes "
                              "compresses integers, floats and strings")
+        if name in valid_of:
+            arr = np.ma.MaskedArray(arr, mask=~valid_of[name].astype(bool))
         # signed -> zigzag/viewu transform, float -> ALP, strings ->
-        # sorted-dictionary codes
+        # sorted-dictionary codes, X + X__valid -> nullable column
         columns[name] = arr
     header = fio_table.write_table(args.output, columns, codec=args.codec,
                                    chunk_blocks=args.chunk_blocks)
@@ -142,10 +160,18 @@ def _cmd_decompress_table(args) -> int:
     names = ([c.strip() for c in args.columns.split(",") if c.strip()]
              if args.columns else None)
     table = fio_table.read_table(args.input, names=names)
+    out = {}
+    for k, v in table.items():
+        if isinstance(v, np.ma.MaskedArray):
+            # npz cannot hold masks: values + companion X__valid column
+            out[k] = np.asarray(np.ma.getdata(v))
+            out[f"{k}__valid"] = ~np.ma.getmaskarray(v)
+        else:
+            out[k] = v
     out_path = args.output if args.output.endswith(".npz") else args.output + ".npz"
-    np.savez(out_path, **table)  # savez appends .npz itself; report the real name
+    np.savez(out_path, **out)  # savez appends .npz itself; report the real name
     print(json.dumps({"file": out_path,
-                      "columns": {k: list(v.shape) for k, v in table.items()}}))
+                      "columns": {k: list(v.shape) for k, v in out.items()}}))
     return 0
 
 
@@ -161,6 +187,8 @@ def _cmd_inspect(args) -> int:
             "columns": {name: {"dtype": c["dtype"], "n_blocks": c["n_blocks"],
                                **({"n_values": c["n_values"]} if "n_values" in c else {}),
                                **({"vtype": c["vtype"]} if "vtype" in c else {}),
+                               **({"n_null": c["nulls"]["n_null"]}
+                                  if "nulls" in c else {}),
                                "codecs": sorted({ch["codec"] for ch in c["chunks"]})}
                         for name, c in header["columns"].items()},
         }, indent=2))

@@ -71,6 +71,77 @@ def _pad_to_blocks_float(arr: np.ndarray):
     return arr, n_values
 
 
+# ---------------------------------------------------------------------------
+# Nullable columns: a per-block validity bitmap (1 bit/value, little-endian
+# within bytes => 128 bytes per 1024-value block) stored as one raw blob in
+# the payload area; null positions' underlying values are forward-filled
+# before encoding so delta/rle/dict widths stay tight (null compression).
+# Header/column meta key `nulls` = {offset, nbytes, n_null} — optional, so
+# old readers see the filled values and ignore the mask.
+
+
+def extract_null_mask(arr):
+    """(plain values array, null mask bool array or None). Accepts
+    np.ma.MaskedArray (any dtype) and object arrays holding None (string
+    columns)."""
+    if isinstance(arr, np.ma.MaskedArray):
+        mask = np.ma.getmaskarray(arr)
+        return np.asarray(arr.data), (mask.copy() if mask.any() else None)
+    arr = np.asarray(arr)
+    if arr.dtype == object:
+        mask = np.frompyfunc(lambda x: x is None, 1, 1)(arr).astype(bool)
+        if mask.any():
+            return arr, mask
+    return arr, None
+
+
+def fill_nulls(values: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Forward-fill null positions with the previous valid value (leading
+    nulls take the first valid value; an all-null column fills with
+    zero/''). Keeps runs/deltas tight — the mask, not the filler, is the
+    source of truth."""
+    flat = values.reshape(-1)
+    m = mask.reshape(-1)
+    if m.all():
+        fill = "" if values.dtype.kind in ("O", "U", "S") else 0
+        return np.full(values.shape, fill, values.dtype)
+    idx = np.where(~m, np.arange(m.size), -1)
+    np.maximum.accumulate(idx, out=idx)
+    idx[idx < 0] = int(np.argmax(~m))
+    return flat[idx].reshape(values.shape)
+
+
+def encode_validity(mask: np.ndarray, n_blocks: int) -> bytes:
+    """Null mask (flat or (B, 1024), True = null) -> validity blob: bit i of
+    block b is 1 when the value is PRESENT; tail padding counts as present
+    (n_values trims it, like the values themselves)."""
+    valid = ~np.asarray(mask, bool).reshape(-1)
+    pad = n_blocks * layout.BLOCK - valid.size
+    if pad:
+        valid = np.concatenate([valid, np.ones(pad, bool)])
+    return np.packbits(valid.reshape(n_blocks, layout.BLOCK), axis=1,
+                       bitorder="little").tobytes()
+
+
+def decode_validity(raw: bytes, n_blocks: int) -> np.ndarray:
+    """Validity blob -> (B, 1024) bool, True = value present."""
+    if len(raw) < n_blocks * 128:
+        raise ValueError("truncated validity bitmap")
+    bits = np.frombuffer(raw[: n_blocks * 128], np.uint8)
+    return np.unpackbits(bits.reshape(n_blocks, 128), axis=1,
+                         bitorder="little").astype(bool)
+
+
+def read_validity_range(path: str, nulls_meta: dict, base_off: int,
+                        start: int, stop: int) -> np.ndarray:
+    """Validity bits of blocks [start, stop) — touches only those 128-byte
+    rows of the bitmap blob."""
+    with open(path, "rb") as f:
+        f.seek(base_off + nulls_meta["offset"] + start * 128)
+        raw = f.read((stop - start) * 128)
+    return decode_validity(raw, stop - start)
+
+
 def payload_base_of(path: str, magic: bytes) -> int:
     """Absolute offset of the payload area (after magic + header)."""
     with open(path, "rb") as f:
@@ -567,7 +638,14 @@ def write_file(path: str, values, dtype=None, codec: str = "auto",
 
     FLOAT input (float32/float64, dtype must be None) compresses via the
     ALP codec: scaled-integer FFoR+bitpack with exact-roundtrip exceptions;
-    reads come back as the original float dtype, bit-exact."""
+    reads come back as the original float dtype, bit-exact.
+
+    NULLABLE input (np.ma.MaskedArray) stores a per-block validity bitmap
+    (1 bit/value) alongside forward-filled values; reads come back as
+    masked arrays."""
+    values, null_mask = extract_null_mask(values)
+    if null_mask is not None:
+        values = fill_nulls(values, null_mask)
     arr = np.ascontiguousarray(values)
     transform = None
     vtype = None
@@ -612,6 +690,12 @@ def write_file(path: str, values, dtype=None, codec: str = "auto",
         header["transform"] = transform
     if vtype is not None:
         header["vtype"] = vtype
+    if null_mask is not None:
+        blob = encode_validity(null_mask, int(arr.shape[0]))
+        header["nulls"] = {"offset": offset, "nbytes": len(blob),
+                           "n_null": int(null_mask.sum())}
+        payloads.append(blob)
+        offset += len(blob)
     hdr = json.dumps(header).encode()
     with open(path, "wb") as f:
         f.write(MAGIC)
@@ -660,7 +744,12 @@ def read_blocks(path: str, start: int = 0, stop: Optional[int] = None) -> np.nda
                                   header["chunk_blocks"], start, stop, dtype)
     if "vtype" in header and blocks.size == 0:
         return np.empty((0, layout.BLOCK), _VTYPES[header["vtype"]])
-    return apply_inverse_transform(blocks, header.get("transform"))
+    blocks = apply_inverse_transform(blocks, header.get("transform"))
+    if "nulls" in header and blocks.size:
+        valid = read_validity_range(path, header["nulls"],
+                                    _payload_base(path), start, stop)
+        blocks = np.ma.MaskedArray(blocks, mask=~valid)
+    return blocks
 
 
 def read_file(path: str) -> np.ndarray:
@@ -727,6 +816,15 @@ def read_single(path: str, block: int, index: int):
     meta = header["chunks"][ci]
     np_dt = layout.np_dtype(dtype)
     base_off = _payload_base(path)
+
+    if "nulls" in header:
+        # one byte of the validity bitmap decides before any decode
+        with open(path, "rb") as f:
+            f.seek(base_off + header["nulls"]["offset"]
+                   + block * 128 + index // 8)
+            byte = f.read(1)[0]
+        if not (byte >> (index % 8)) & 1:
+            return np.ma.masked
 
     if meta["codec"] in ("delta", "zdelta", "rle", "alprd"):
         blocks = read_blocks(path, block, block + 1)  # applies any transform

@@ -30,6 +30,34 @@ from .limbs import LimbPlanes
 from .parallel import shard as psh
 
 
+class NullableColumn:
+    """Device-decoded nullable column: decoded values (array, LimbPlanes or
+    StringColumn) plus a device validity mask (True = present). The filler
+    values at null positions are real neighbours (fio null compression) —
+    consumers must gate on `valid`."""
+
+    def __init__(self, values, valid):
+        self.values = values
+        self.valid = valid
+
+    @property
+    def n_null(self) -> int:
+        return int(self.valid.size - int(jnp.sum(self.valid)))
+
+    def materialize(self) -> np.ma.MaskedArray:
+        """Host masked array (one device fetch of values + mask)."""
+        from . import fio_table
+
+        mask = ~np.asarray(self.valid)
+        if isinstance(self.values, fio_table.StringColumn):
+            return np.ma.MaskedArray(self.values.materialize(), mask=mask)
+        return np.ma.MaskedArray(np.asarray(self.values), mask=mask)
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return (f"NullableColumn(valid_shape={tuple(self.valid.shape)}, "
+                f"n_null={self.n_null})")
+
+
 def _np_to_device_form(arr: np.ndarray, dtype: str):
     """Host buffer -> engine-friendly array: u64 becomes (..., 2) uint32."""
     if dtype == "u64":
@@ -449,6 +477,16 @@ def _publish(blocks):
     return blocks
 
 
+def _wrap_column_nulls(result, path, base_off, nulls_meta, start, stop,
+                       n_values):
+    """Attach the device validity mask for blocks [start, stop); `n_values`
+    trims the mask like the values (full flat reads)."""
+    valid = fio.read_validity_range(path, nulls_meta, base_off, start, stop)
+    if n_values is not None:
+        valid = valid.reshape(-1)[:n_values]
+    return NullableColumn(result, jnp.asarray(valid))
+
+
 def read_blocks_device(path: str, start: int = 0, stop: Optional[int] = None,
                        mesh=None, use_kernels="auto"):
     """Decode blocks [start, stop) of an FLT file on the accelerator.
@@ -467,7 +505,11 @@ def read_blocks_device(path: str, start: int = 0, stop: Optional[int] = None,
         blocks = _read_chunks_device(f, header["chunks"], fio._payload_base(path),
                                      header["chunk_blocks"], start, stop, dtype,
                                      mesh, use_kernels)
-    return _publish(_apply_transform_device(blocks, header.get("transform"), dtype))
+    out = _publish(_apply_transform_device(blocks, header.get("transform"), dtype))
+    if "nulls" in header and stop > start:
+        return _wrap_column_nulls(out, path, fio._payload_base(path),
+                                  header["nulls"], start, stop, None)
+    return out
 
 
 def read_file_device(path: str, mesh=None, use_kernels="auto"):
@@ -476,9 +518,18 @@ def read_file_device(path: str, mesh=None, use_kernels="auto"):
     integer columns return `limbs.LimbPlanes`."""
     header = fio.read_header(path)
     blocks = read_blocks_device(path, mesh=mesh, use_kernels=use_kernels)
+    valid = None
+    if isinstance(blocks, NullableColumn):
+        valid, blocks = blocks.valid, blocks.values
     if isinstance(blocks, LimbPlanes):
         blocks = (blocks.lo, blocks.hi)
-    return _publish(_trim_flat(blocks, header.get("n_values"), header["dtype"]))
+    out = _publish(_trim_flat(blocks, header.get("n_values"), header["dtype"]))
+    if valid is not None:
+        nv = header.get("n_values")
+        if nv is not None:
+            valid = valid.reshape(-1)[:nv]
+        return NullableColumn(out, valid)
+    return out
 
 
 def _slice_blocks(blocks, start: int, stop: int):
@@ -555,10 +606,15 @@ def read_files_device(paths, mesh=None, use_kernels="auto") -> dict:
         parts = [decoded[(path, ci)] for ci in range(len(file_chunks[path]))]
         blocks = _concat_parts(parts, dtype)
         blocks = _apply_transform_device(blocks, header.get("transform"), dtype)
-        out[path] = _publish(
+        result = _publish(
             _trim_flat(blocks if not isinstance(blocks, LimbPlanes)
                        else (blocks.lo, blocks.hi),
                        header.get("n_values"), dtype))
+        if "nulls" in header:
+            result = _wrap_column_nulls(
+                result, path, fio._payload_base(path), header["nulls"],
+                0, header["n_blocks"], header.get("n_values"))
+        out[path] = result
     return out
 
 
@@ -603,7 +659,12 @@ def iter_files_device(paths, mesh=None, use_kernels="auto", prefetch: int = 2):
                                            dtype, mesh, use_kernels)
             blocks = _concat_parts(parts, dtype)
             blocks = _apply_transform_device(blocks, header.get("transform"), dtype)
-            yield path, _publish(_trim_flat(blocks, header.get("n_values"), dtype))
+            result = _publish(_trim_flat(blocks, header.get("n_values"), dtype))
+            if "nulls" in header:
+                result = _wrap_column_nulls(
+                    result, path, fio._payload_base(path), header["nulls"],
+                    0, header["n_blocks"], header.get("n_values"))
+            yield path, result
 
 
 def read_column_device(path: str, name: str, start: int = 0,
@@ -634,5 +695,11 @@ def read_column_device(path: str, name: str, start: int = 0,
         blocks = _trim_flat(blocks, col.get("n_values"), dtype)
     if dictionary is not None:
         # codes stay on device; predicates/group-bys run as code compares
-        return fio_table.StringColumn(blocks, dictionary)
-    return _publish(blocks)
+        out = fio_table.StringColumn(blocks, dictionary)
+    else:
+        out = _publish(blocks)
+    if "nulls" in col and stop > start:
+        return _wrap_column_nulls(
+            out, path, base_off, col["nulls"], start, stop,
+            col.get("n_values") if full else None)
+    return out

@@ -106,6 +106,12 @@ def write_table(path: str, columns: Dict[str, np.ndarray], dtypes=None,
     dtypes = dtypes or {}
     cols_meta, payloads, offset = {}, [], 0
     for name, arr in columns.items():
+        # nullable input: np.ma masked arrays (any dtype) or object arrays
+        # holding None (strings) — values forward-fill, the mask becomes a
+        # per-block validity bitmap blob
+        arr, null_mask = fio.extract_null_mask(arr)
+        if null_mask is not None:
+            arr = fio.fill_nulls(arr, null_mask)
         arr = np.asarray(arr)
         transform = None
         vtype = None
@@ -165,6 +171,12 @@ def write_table(path: str, columns: Dict[str, np.ndarray], dtypes=None,
                                "n_dict": n_dict}
             payloads.append(str_blob)
             offset += len(str_blob)
+        if null_mask is not None:
+            nblob = fio.encode_validity(null_mask, int(blocks.shape[0]))
+            col["nulls"] = {"offset": offset, "nbytes": len(nblob),
+                            "n_null": int(null_mask.sum())}
+            payloads.append(nblob)
+            offset += len(nblob)
         cols_meta[name] = col
 
     header = {"version": _VERSION, "columns": cols_meta}
@@ -204,13 +216,22 @@ def _read_column(f, col: dict, base_off: int, start: int,
     blocks = fio.read_chunk_range(f, col["chunks"], base_off,
                                   col["chunk_blocks"], start, stop, dtype)
     blocks = fio.apply_inverse_transform(blocks, col.get("transform"))
+    if "nulls" in col and blocks.size:
+        f.seek(base_off + col["nulls"]["offset"] + start * 128)
+        valid = fio.decode_validity(f.read((stop - start) * 128),
+                                    stop - start)
+        blocks = np.ma.MaskedArray(blocks, mask=~valid)
     if full and "n_values" in col:
         blocks = blocks.reshape(-1)[:col["n_values"]]
     if col.get("vtype") == "str":
         dictionary = _load_str_dict(f, base_off, col)
-        if blocks.size and int(blocks.max()) >= dictionary.size:
+        codes = np.ma.getdata(blocks)
+        if codes.size and int(codes.max()) >= dictionary.size:
             raise ValueError("corrupt string column: code beyond dictionary")
-        return dictionary[blocks.astype(np.int64)]
+        out = dictionary[codes.astype(np.int64)]
+        if isinstance(blocks, np.ma.MaskedArray):
+            return np.ma.MaskedArray(out, mask=np.ma.getmaskarray(blocks))
+        return out
     return blocks
 
 
