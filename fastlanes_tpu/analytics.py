@@ -1233,6 +1233,182 @@ class _GroupAcc:
 
 
 # ---------------------------------------------------------------------------
+# multi-predicate filtering: several ANDed (column, op, value) predicates
+# evaluated in lockstep over the chunk streams — the WHERE clause of a
+# SQL-ish query. scan_where_multi aggregates through the same exact
+# kernels; select() materializes the matching rows of chosen columns.
+
+
+def _lockstep_chunks(path: str, names, mesh):
+    """Walk several columns' chunk streams in lockstep (batch=False so
+    parts align chunk-for-chunk). Yields {name: (blocks, cdtype, vtype,
+    valid, vmask)} per chunk; raises on mismatched layouts."""
+    iters = {n: _decoded_chunks(path, n, mesh, batch=False) for n in names}
+    while True:
+        rows = {}
+        done = 0
+        for n, it in iters.items():
+            nxt = next(it, None)
+            if nxt is None:
+                done += 1
+            rows[n] = nxt
+        if done:
+            if done != len(iters):
+                raise ValueError(
+                    f"columns {sorted(names)} have different chunk counts; "
+                    "lockstep scans need equal length and chunking")
+            return
+        valids = {r[3] for r in rows.values()}
+        if len(valids) != 1:
+            raise ValueError(
+                f"columns {sorted(names)} have mismatched chunk layouts; "
+                "lockstep scans need equal length and chunking")
+        yield rows
+
+
+def _normalize_preds(path: str, preds):
+    """[(column, op, value)] -> same with string predicates translated to
+    the code domain and ops validated."""
+    out = []
+    for pcol, op, value in preds:
+        if op not in _PREDS:
+            raise ValueError(f"unknown predicate {op!r}; have {sorted(_PREDS)}")
+        wdict = _str_dict_of(path, pcol)
+        if wdict is not None:
+            op, value = _str_pred_to_code(wdict, op, value)
+        out.append((pcol, op, value))
+    return out
+
+
+def _chunk_row_mask(rows, preds):
+    """AND of every predicate's hit mask for one lockstep chunk; null
+    predicate rows match nothing."""
+    mask = None
+    for pcol, op, value in preds:
+        blocks, cdtype, vtype, _valid, vmask = rows[pcol]
+        flat = _flatten_logical(blocks, cdtype, vtype)
+        m = _pred_mask(flat, op, value)
+        if vmask is not None:
+            m = m & vmask
+        mask = m if mask is None else mask & m
+    return mask
+
+
+def scan_where_multi(path: str, preds, column: Optional[str] = None,
+                     mesh=None) -> dict:
+    """Filtered aggregation with several ANDed predicates — the WHERE
+    clause `p1 AND p2 AND ...` pushed down in one pass: each predicate is
+    (column, op, value) (string probes compare as dictionary codes; null
+    rows never match), and sum/min/max/count aggregate `column` over the
+    surviving rows with the scans' exactness guarantees."""
+    preds = _normalize_preds(path, preds)
+    names = list(dict.fromkeys([p[0] for p in preds] + [column]))
+    if None in names and len(names) > 1:
+        raise ValueError("single-column files take column=None predicates "
+                         "only; name table columns explicitly")
+    vdict = _str_dict_of(path, column)
+    acc = _StatAcc()
+    for rows in _lockstep_chunks(path, names, mesh):
+        blocks, cdtype, vtype, valid, vmask = rows[column]
+        if valid == 0:
+            continue
+        mask = _chunk_row_mask(rows, preds)
+        if vmask is not None:  # null values don't aggregate
+            mask = vmask if mask is None else mask & vmask
+        flat = _flatten_logical(blocks, cdtype, vtype)
+        acc.feed_flat(flat, valid, mask)
+    r = acc.result()
+    return _map_str_result(r, vdict) if vdict is not None else r
+
+
+def _host_chunk_values(blocks, cdtype, vtype, transform_signed, str_dict,
+                       idx):
+    """Rows `idx` of one decoded chunk -> host values in the user-facing
+    domain. The gather runs on device, so only matching rows cross to the
+    host."""
+    flat = _flatten_logical(blocks, cdtype, vtype)
+    di = jnp.asarray(idx, jnp.int32)
+
+    def take(a):
+        return np.asarray(jnp.take(a, di, axis=0))
+
+    if isinstance(flat, tuple) and isinstance(flat[0], str):
+        if flat[0] == "f64":
+            lo = take(flat[1]).astype(np.uint64)
+            hi = take(flat[2]).astype(np.uint64)
+            return ((hi << np.uint64(32)) | lo).view(np.float64)
+        return take(flat[1]).view(np.float32)
+    if isinstance(flat, tuple):  # u64 limbs
+        lo = take(flat[0]).astype(np.uint64)
+        hi = take(flat[1]).astype(np.uint64)
+        wide = (hi << np.uint64(32)) | lo
+        return wide.view(np.int64) if transform_signed else wide
+    vals = take(flat)
+    if str_dict is not None:
+        return str_dict[vals.astype(np.int64)]
+    return vals
+
+
+def select(path: str, columns=None, preds=(), limit: Optional[int] = None,
+           mesh=None) -> dict:
+    """Materialize the rows matching every predicate — projection +
+    selection pushdown: only the requested columns decode, predicate
+    evaluation happens on device, and only matching rows reach the host.
+    `preds` is a list of (column, op, value); `columns` defaults to every
+    table column. Returns {name: np array} with nullable columns as masked
+    arrays and string columns as unicode arrays; `limit` stops the file
+    walk early once enough rows matched."""
+    from . import fio_table
+
+    with open(path, "rb") as f:
+        if not f.read(8).startswith(b"FLTTAB1"):
+            raise ValueError("select() takes an FLTTAB table file")
+    header = fio_table.read_table_header(path)
+    if columns is None:
+        columns = list(header["columns"])
+    preds = _normalize_preds(path, list(preds))
+    names = list(dict.fromkeys([p[0] for p in preds] + list(columns)))
+    meta = {n: (fio_table._col_meta(header, n).get("transform") in
+                ("zigzag", "viewu"),
+                _str_dict_of(path, n)) for n in names}
+    out = {n: [] for n in columns}
+    taken = 0
+    for rows in _lockstep_chunks(path, names, mesh):
+        valid = rows[columns[0]][3] if columns else rows[names[0]][3]
+        if valid == 0:
+            continue
+        mask = _chunk_row_mask(rows, preds)
+        if mask is None:
+            keep = np.ones(valid, bool)
+        else:
+            keep = np.asarray(mask)[:valid]
+        idx = np.flatnonzero(keep)
+        if limit is not None and taken + idx.size > limit:
+            idx = idx[: limit - taken]
+        taken += idx.size
+        for n in columns:
+            blocks, cdtype, vtype, _v, vmask = rows[n]
+            vals = _host_chunk_values(blocks, cdtype, vtype, *meta[n], idx)
+            if vmask is not None:
+                vals = np.ma.MaskedArray(
+                    vals, mask=~np.asarray(vmask)[:valid][idx]
+                    if idx.size else np.zeros(0, bool))
+            out[n].append(vals)
+        if limit is not None and taken >= limit:
+            break
+    result = {}
+    for n in columns:
+        parts = out[n]
+        if not parts:
+            result[n] = np.empty(0)
+        elif any(isinstance(p, np.ma.MaskedArray) for p in parts):
+            result[n] = np.ma.concatenate(parts)
+        else:
+            result[n] = np.concatenate(parts)
+    return result
+
+
+# ---------------------------------------------------------------------------
 # distinct / value_counts / top_k: the remaining SQL-ish pushdowns.
 # distinct is metadata-only for dict/rle/string chunks (their payloads
 # already carry the value sets); value_counts scatter-counts dictionary

@@ -260,10 +260,7 @@ def _cmd_scan(args) -> int:
     if args.where:
         try:
             op, _, value = args.where.partition(":")
-            try:  # numeric probe; anything else is a string probe
-                v = float(value) if "." in value else int(value)
-            except ValueError:
-                v = value
+            v = _parse_where_value(value)
             filtered = analytics.scan_where(args.input, op, v,
                                             column=args.column,
                                             where=args.where_column)
@@ -274,6 +271,48 @@ def _cmd_scan(args) -> int:
         except ValueError as e:
             raise SystemExit(f"bad --where {args.where!r}: {e}")
     print(json.dumps(stats))
+    return 0
+
+
+def _parse_where_value(value: str):
+    try:  # numeric probe; anything else is a string probe
+        return float(value) if "." in value else int(value)
+    except ValueError:
+        return value
+
+
+def _cmd_select(args) -> int:
+    """SELECT columns FROM table WHERE p1 AND p2 ... [LIMIT n] -> .npz
+    (projection + selection pushdown; analytics.select)."""
+    from . import analytics
+
+    preds = []
+    for w in args.where or []:
+        parts = w.split(":", 2)
+        if len(parts) != 3:
+            raise SystemExit(f"--where takes COLUMN:OP:VALUE, got {w!r}")
+        preds.append((parts[0], parts[1], _parse_where_value(parts[2])))
+    columns = ([c.strip() for c in args.columns.split(",") if c.strip()]
+               if args.columns else None)
+    try:
+        rows = analytics.select(args.input, columns=columns, preds=preds,
+                                limit=args.limit)
+    except (ValueError, KeyError) as e:
+        raise SystemExit(f"error: {e}")
+    out = {}
+    n_rows = 0
+    for k, v in rows.items():
+        n_rows = len(v)
+        if isinstance(v, np.ma.MaskedArray):
+            out[k] = np.asarray(np.ma.getdata(v))
+            out[f"{k}__valid"] = ~np.ma.getmaskarray(v)
+        else:
+            out[k] = v
+    out_path = (args.output if args.output.endswith(".npz")
+                else args.output + ".npz")
+    np.savez(out_path, **out)
+    print(json.dumps({"file": out_path, "rows": n_rows,
+                      "columns": sorted(rows)}))
     return 0
 
 
@@ -396,6 +435,19 @@ def build_parser() -> argparse.ArgumentParser:
                     help="also report exact {value: count} (low-cardinality "
                          "integer/string columns)")
     sc.set_defaults(fn=_cmd_scan)
+
+    se = sub.add_parser("select",
+                        help="materialize rows matching ANDed predicates "
+                             "to .npz (projection + selection pushdown)")
+    se.add_argument("input")
+    se.add_argument("output")
+    se.add_argument("--where", action="append", metavar="COLUMN:OP:VALUE",
+                    help="repeatable; OP in lt/le/gt/ge/eq/ne; string "
+                         "values compare lexicographically")
+    se.add_argument("--columns", default=None,
+                    help="comma-separated projection (default: all)")
+    se.add_argument("--limit", type=int, default=None)
+    se.set_defaults(fn=_cmd_select)
 
     b = sub.add_parser("bench",
                        help="single-block (1024-value) host latency micro-bench")

@@ -1,0 +1,138 @@
+"""Multi-predicate WHERE pushdown (scan_where_multi) and row
+materialization (select): projection + selection over compressed tables,
+string/null aware — the SQL-ish query surface on top of the chunk codecs."""
+
+import json
+
+import numpy as np
+import pytest
+
+from fastlanes_tpu import analytics, cli, fio, fio_table
+
+
+def _tbl(tmp_path, rng, n=5000, nulls=False):
+    path = str(tmp_path / "t.flt")
+    cur = np.array(["EUR", "GBP", "JPY", "USD"])[rng.integers(0, 4, n)]
+    qty = rng.integers(0, 1000, n).astype(np.uint32)
+    price = rng.normal(100.0, 10.0, n).astype(np.float64)
+    sid = rng.integers(-500, 500, n).astype(np.int32)
+    cols = {"cur": cur, "qty": qty, "price": price, "sid": sid}
+    if nulls:
+        qmask = rng.random(n) < 0.2
+        cols["qty"] = np.ma.MaskedArray(qty, mask=qmask)
+        return path, dict(cur=cur, qty=qty, price=price, sid=sid,
+                          qmask=qmask), fio_table.write_table(path, cols)
+    fio_table.write_table(path, cols)
+    return path, dict(cur=cur, qty=qty, price=price, sid=sid, qmask=None), None
+
+
+def test_scan_where_multi(tmp_path, rng):
+    path, c, _ = _tbl(tmp_path, rng)
+    got = analytics.scan_where_multi(
+        path, [("cur", "eq", "EUR"), ("qty", "gt", 500)], column="price")
+    mask = (c["cur"] == "EUR") & (c["qty"] > 500)
+    assert got["count"] == int(mask.sum())
+    assert got["min"] == float(c["price"][mask].min())
+    # three predicates incl. a signed column
+    got = analytics.scan_where_multi(
+        path, [("cur", "ne", "JPY"), ("qty", "le", 800), ("sid", "ge", 0)],
+        column="qty")
+    mask = (c["cur"] != "JPY") & (c["qty"] <= 800) & (c["sid"] >= 0)
+    assert got["count"] == int(mask.sum())
+    assert got["sum"] == int(c["qty"][mask].sum())
+
+
+def test_scan_where_multi_single_file(tmp_path, rng):
+    path = str(tmp_path / "c.flt")
+    vals = rng.integers(0, 100, 3000).astype(np.uint32)
+    fio.write_file(path, vals)
+    got = analytics.scan_where_multi(
+        path, [(None, "gt", 10), (None, "lt", 90)])
+    mask = (vals > 10) & (vals < 90)
+    assert got["count"] == int(mask.sum())
+    assert got["sum"] == int(vals[mask].sum())
+
+
+def test_select_basic(tmp_path, rng):
+    path, c, _ = _tbl(tmp_path, rng)
+    rows = analytics.select(path, columns=["qty", "cur", "price", "sid"],
+                            preds=[("cur", "eq", "GBP"),
+                                   ("qty", "ge", 900)])
+    mask = (c["cur"] == "GBP") & (c["qty"] >= 900)
+    np.testing.assert_array_equal(rows["qty"], c["qty"][mask])
+    np.testing.assert_array_equal(rows["cur"], c["cur"][mask])
+    np.testing.assert_array_equal(rows["price"], c["price"][mask])
+    np.testing.assert_array_equal(rows["sid"], c["sid"][mask])
+
+
+def test_select_limit_and_projection(tmp_path, rng):
+    path, c, _ = _tbl(tmp_path, rng)
+    rows = analytics.select(path, columns=["qty"],
+                            preds=[("qty", "lt", 500)], limit=7)
+    want = c["qty"][c["qty"] < 500][:7]
+    np.testing.assert_array_equal(rows["qty"], want)
+    assert set(rows) == {"qty"}
+    # no predicates: first `limit` rows
+    rows = analytics.select(path, columns=["cur"], limit=3)
+    np.testing.assert_array_equal(rows["cur"], c["cur"][:3])
+
+
+def test_select_nullable(tmp_path, rng):
+    path, c, _ = _tbl(tmp_path, rng, nulls=True)
+    # predicate on the NULLABLE column: null rows never match
+    rows = analytics.select(path, columns=["qty", "cur"],
+                            preds=[("qty", "gt", 500)])
+    mask = (c["qty"] > 500) & ~c["qmask"]
+    np.testing.assert_array_equal(np.ma.getdata(rows["qty"]), c["qty"][mask])
+    assert not np.ma.getmaskarray(rows["qty"]).any()
+    np.testing.assert_array_equal(rows["cur"], c["cur"][mask])
+    # predicate elsewhere: selected nullable column keeps its mask
+    rows = analytics.select(path, columns=["qty"],
+                            preds=[("cur", "eq", "USD")])
+    sel = c["cur"] == "USD"
+    np.testing.assert_array_equal(np.ma.getmaskarray(rows["qty"]),
+                                  c["qmask"][sel])
+    ok = ~c["qmask"][sel]
+    np.testing.assert_array_equal(np.asarray(np.ma.getdata(rows["qty"]))[ok],
+                                  c["qty"][sel][ok])
+
+
+def test_select_u64_and_f64_domains(tmp_path, rng):
+    path = str(tmp_path / "u.flt")
+    n = 2500
+    big = rng.integers(0, 1 << 45, n, np.int64).astype(np.uint64)
+    price = rng.normal(5.0, 1.0, n).astype(np.float64)
+    fio_table.write_table(path, {"big": big, "price": price,
+                                 "k": rng.integers(0, 9, n).astype(np.uint8)})
+    rows = analytics.select(path, columns=["big", "price"],
+                            preds=[("k", "eq", 3)])
+    k = fio_table.read_column(path, "k")
+    mask = k == 3
+    np.testing.assert_array_equal(rows["big"], big[mask])
+    np.testing.assert_array_equal(rows["price"], price[mask])
+
+
+def test_select_errors(tmp_path, rng):
+    path = str(tmp_path / "c.flt")
+    fio.write_file(path, rng.integers(0, 9, 2048).astype(np.uint32))
+    with pytest.raises(ValueError, match="FLTTAB table"):
+        analytics.select(path)
+    tpath, _, _ = _tbl(tmp_path, rng, n=1200)
+    with pytest.raises(ValueError, match="unknown predicate"):
+        analytics.scan_where_multi(tpath, [("qty", "between", 3)],
+                                   column="qty")
+
+
+def test_cli_select(tmp_path, rng, capsys):
+    path, c, _ = _tbl(tmp_path, rng)
+    out = str(tmp_path / "rows.npz")
+    assert cli.main(["select", path, out, "--where", "cur:eq:JPY",
+                     "--where", "qty:gt:750", "--columns", "qty,price",
+                     "--limit", "50"]) == 0
+    info = json.loads(capsys.readouterr().out)
+    mask = (c["cur"] == "JPY") & (c["qty"] > 750)
+    want_n = min(50, int(mask.sum()))
+    assert info["rows"] == want_n
+    got = np.load(out)
+    np.testing.assert_array_equal(got["qty"], c["qty"][mask][:want_n])
+    np.testing.assert_array_equal(got["price"], c["price"][mask][:want_n])
