@@ -1350,14 +1350,21 @@ def _host_chunk_values(blocks, cdtype, vtype, transform_signed, str_dict,
 
 
 def select(path: str, columns=None, preds=(), limit: Optional[int] = None,
-           mesh=None) -> dict:
+           mesh=None, order_by: Optional[str] = None,
+           desc: bool = False) -> dict:
     """Materialize the rows matching every predicate — projection +
     selection pushdown: only the requested columns decode, predicate
     evaluation happens on device, and only matching rows reach the host.
     `preds` is a list of (column, op, value); `columns` defaults to every
     table column. Returns {name: np array} with nullable columns as masked
-    arrays and string columns as unicode arrays; `limit` stops the file
-    walk early once enough rows matched."""
+    arrays and string columns as unicode arrays.
+
+    `order_by` sorts the result by that column (`desc` for descending;
+    rows whose order key is null sort last). With `limit` the combination
+    is a true ORDER BY ... LIMIT pushdown: every chunk reduces to k
+    candidate rows on device (total-order key top-k) and only candidates
+    reach the host. Without `order_by`, `limit` stops the file walk early
+    in file order."""
     from . import fio_table
 
     with open(path, "rb") as f:
@@ -1367,14 +1374,22 @@ def select(path: str, columns=None, preds=(), limit: Optional[int] = None,
     if columns is None:
         columns = list(header["columns"])
     preds = _normalize_preds(path, list(preds))
-    names = list(dict.fromkeys([p[0] for p in preds] + list(columns)))
+    names = list(dict.fromkeys(
+        [p[0] for p in preds] + list(columns)
+        + ([order_by] if order_by is not None else [])))
     meta = {n: (fio_table._col_meta(header, n).get("transform") in
                 ("zigzag", "viewu"),
                 _str_dict_of(path, n)) for n in names}
+
+    if order_by is not None and limit is not None:
+        return _select_topk(path, columns, preds, limit, mesh, order_by,
+                            desc, names, meta)
+
     out = {n: [] for n in columns}
+    okeys = []  # order_by without limit: carry the key column, sort after
     taken = 0
     for rows in _lockstep_chunks(path, names, mesh):
-        valid = rows[columns[0]][3] if columns else rows[names[0]][3]
+        valid = rows[names[0]][3]
         if valid == 0:
             continue
         mask = _chunk_row_mask(rows, preds)
@@ -1383,7 +1398,7 @@ def select(path: str, columns=None, preds=(), limit: Optional[int] = None,
         else:
             keep = np.asarray(mask)[:valid]
         idx = np.flatnonzero(keep)
-        if limit is not None and taken + idx.size > limit:
+        if order_by is None and limit is not None and taken + idx.size > limit:
             idx = idx[: limit - taken]
         taken += idx.size
         for n in columns:
@@ -1394,7 +1409,16 @@ def select(path: str, columns=None, preds=(), limit: Optional[int] = None,
                     vals, mask=~np.asarray(vmask)[:valid][idx]
                     if idx.size else np.zeros(0, bool))
             out[n].append(vals)
-        if limit is not None and taken >= limit:
+        if order_by is not None:
+            blocks, cdtype, vtype, _v, vmask = rows[order_by]
+            kv = _host_chunk_values(blocks, cdtype, vtype, *meta[order_by],
+                                    idx)
+            if vmask is not None:
+                kv = np.ma.MaskedArray(
+                    kv, mask=~np.asarray(vmask)[:valid][idx]
+                    if idx.size else np.zeros(0, bool))
+            okeys.append(kv)
+        if order_by is None and limit is not None and taken >= limit:
             break
     result = {}
     for n in columns:
@@ -1405,6 +1429,80 @@ def select(path: str, columns=None, preds=(), limit: Optional[int] = None,
             result[n] = np.ma.concatenate(parts)
         else:
             result[n] = np.concatenate(parts)
+    if order_by is not None and okeys:
+        keys = (np.ma.concatenate(okeys)
+                if any(isinstance(p, np.ma.MaskedArray) for p in okeys)
+                else np.concatenate(okeys))
+        null = np.ma.getmaskarray(keys) if isinstance(
+            keys, np.ma.MaskedArray) else np.zeros(len(keys), bool)
+        kd = np.asarray(np.ma.getdata(keys))
+        if kd.dtype == np.uint64:  # match the scans' int64 semantics
+            kd = kd.view(np.int64)
+        pos = np.arange(len(kd))
+        vi = pos[~null][np.argsort(kd[~null], kind="stable")]
+        if desc:
+            vi = vi[::-1]
+        order = np.concatenate([vi, pos[null]]).astype(np.int64)
+        result = {n: result[n][order] for n in result}
+    return result
+
+
+def _select_topk(path, columns, preds, k, mesh, order_by, desc, names,
+                 meta):
+    """ORDER BY order_by [DESC] LIMIT k pushdown: each chunk reduces to k
+    candidate rows on device; only candidates' projected values reach the
+    host merge."""
+    store = []        # per contributing chunk: {col: gathered values}
+    entries = []      # (key_tuple, chunk_seq, position_in_store_arrays)
+    kind = None
+    for rows in _lockstep_chunks(path, names, mesh):
+        valid = rows[names[0]][3]
+        if valid == 0:
+            continue
+        mask = _chunk_row_mask(rows, preds)
+        oblocks, ocdt, ovt, _ov, ovmask = rows[order_by]
+        m = (jnp.ones((valid,), bool) if mask is None
+             else mask[:valid])
+        if ovmask is not None:  # null order keys sort out of a top-k
+            m = m & ovmask[:valid]
+        n_ok = int(_count_masked(m, jnp.int32(valid)))
+        if n_ok == 0:
+            continue
+        oflat = _flatten_logical(oblocks, ocdt, ovt)
+        kind, int_bits, cands = _chunk_top(oflat, m, valid, min(k, valid),
+                                           largest=desc)
+        cands = cands[: min(n_ok, k)]
+        idx = np.asarray([i for _key, i in cands], np.int64)
+        chunk_vals = {}
+        for n in columns:
+            blocks, cdtype, vtype, _v, vmask = rows[n]
+            vals = _host_chunk_values(blocks, cdtype, vtype, *meta[n], idx)
+            if vmask is not None:
+                vals = np.ma.MaskedArray(
+                    vals, mask=~np.asarray(vmask)[:valid][idx]
+                    if idx.size else np.zeros(0, bool))
+            chunk_vals[n] = vals
+        seq = len(store)
+        store.append(chunk_vals)
+        entries += [(key, seq, j) for j, (key, _i) in enumerate(cands)]
+    entries.sort(key=lambda e: e[0], reverse=desc)
+    entries = entries[:k]
+    result = {}
+    for n in columns:
+        if not entries:
+            result[n] = np.empty(0)
+            continue
+        data = [np.ma.getdata(store[c][n])[j] for _key, c, j in entries]
+        msk = [bool(np.ma.getmaskarray(store[c][n])[j])
+               for _key, c, j in entries]
+        dt = np.ma.getdata(store[entries[0][1]][n]).dtype
+        # unicode widths differ per chunk: let numpy take the max
+        arr = np.asarray(data) if dt.kind == "U" else np.asarray(data, dt)
+        if any(isinstance(store[c][n], np.ma.MaskedArray)
+               for _key, c, j in entries):
+            result[n] = np.ma.MaskedArray(arr, mask=np.asarray(msk))
+        else:
+            result[n] = arr
     return result
 
 
@@ -1540,8 +1638,8 @@ def _topk_chunk1(x, m, kind, k, largest):
         key = x.astype(jnp.uint32)
     key = key if largest else ~key
     key = jnp.where(m, key, jnp.uint32(0))  # worst in bigger-is-better space
-    top, _ = jax.lax.top_k(key, k)
-    return top if largest else ~top
+    top, idx = jax.lax.top_k(key, k)
+    return (top if largest else ~top), idx
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "k", "largest"))
@@ -1556,11 +1654,54 @@ def _topk_chunk2(lo, hi, m, kind, k, largest):
         khi, klo = ~khi, ~klo
     khi = jnp.where(m, khi, jnp.uint32(0))
     klo = jnp.where(m, klo, jnp.uint32(0))
-    hs, ls = jax.lax.sort([khi, klo], num_keys=2)
-    hs, ls = hs[-k:][::-1], ls[-k:][::-1]
+    iota = jnp.arange(khi.shape[0], dtype=jnp.int32)
+    hs, ls, idx = jax.lax.sort([khi, klo, iota], num_keys=2)
+    hs, ls, idx = hs[-k:][::-1], ls[-k:][::-1], idx[-k:][::-1]
     if not largest:
         hs, ls = ~hs, ~ls
-    return hs, ls
+    return hs, ls, idx
+
+
+def _chunk_top(flat, m, valid, kk, largest):
+    """One chunk's top-kk candidates in its total-order key domain:
+    (kind, int_bits, [(key_tuple, local_idx), ...]) best-first. `m` is the
+    device row mask (tail + nulls + any predicate)."""
+    if isinstance(flat, tuple) and isinstance(flat[0], str):
+        if flat[0] == "f64":
+            hs, ls, ti = _topk_chunk2(flat[1][:valid], flat[2][:valid], m,
+                                      "f64", kk, largest)
+            return "f64", 64, [((int(a), int(b)), int(i)) for a, b, i in
+                               zip(np.asarray(hs), np.asarray(ls),
+                                   np.asarray(ti))]
+        top, ti = _topk_chunk1(flat[1][:valid], m, "f32", kk, largest)
+        return "f32", 32, [((int(a),), int(i)) for a, i in
+                           zip(np.asarray(top), np.asarray(ti))]
+    if isinstance(flat, tuple):
+        hs, ls, ti = _topk_chunk2(flat[0][:valid], flat[1][:valid], m,
+                                  "u64", kk, largest)
+        return "u64", 64, [((int(a), int(b)), int(i)) for a, b, i in
+                           zip(np.asarray(hs), np.asarray(ls),
+                               np.asarray(ti))]
+    npdt = np.dtype(flat.dtype.name)
+    kind = "i" if npdt.kind == "i" else "u"
+    top, ti = _topk_chunk1(flat[:valid], m, kind, kk, largest)
+    return kind, npdt.itemsize * 8, [((int(a),), int(i)) for a, i in
+                                     zip(np.asarray(top), np.asarray(ti))]
+
+
+def _key_to_value(kind, int_bits, str_dict):
+    """Host inverse of the total-order keys: key tuple -> python value."""
+    if str_dict is not None:
+        return lambda key: str(str_dict[key[0]])
+    if kind == "u":
+        return lambda key: int(key[0])
+    if kind == "i":
+        return lambda key: int(key[0]) - (1 << (int_bits - 1))
+    if kind == "f32":
+        return lambda key: _f32_of_key(key[0])
+    if kind == "f64":
+        return lambda key: _f64_of_key(*key)
+    return lambda key: _i64_of(*key)  # u64 (int64 semantics)
 
 
 def top_k(path: str, column: Optional[str] = None, k: int = 10,
@@ -1570,7 +1711,8 @@ def top_k(path: str, column: Optional[str] = None, k: int = 10,
     candidates on device in its total-order key domain (ints by value —
     u64 with the scans' int64 semantics; floats by IEEE total order, so
     NaN ranks above +inf and -NaN below -inf; strings lexicographically
-    via dictionary codes); only k values per chunk reach the host merge."""
+    via dictionary codes); only k values per chunk reach the host merge.
+    Null rows never rank."""
     if k <= 0:
         return []
     d = _str_dict_of(path, column)
@@ -1589,45 +1731,14 @@ def top_k(path: str, column: Optional[str] = None, k: int = 10,
             n_ok = int(_count_masked(vmask, jnp.int32(valid)))
             if n_ok == 0:
                 continue
-        kk = min(k, valid)
         flat = _flatten_logical(blocks, cdtype, vtype)
-        if isinstance(flat, tuple) and isinstance(flat[0], str):
-            kind = flat[0]
-            if kind == "f64":
-                hs, ls = _topk_chunk2(flat[1][:valid], flat[2][:valid], m,
-                                      "f64", kk, largest)
-                new = [(int(a), int(b))
-                       for a, b in zip(np.asarray(hs), np.asarray(ls))]
-            else:
-                top = _topk_chunk1(flat[1][:valid], m, "f32", kk, largest)
-                new = [(int(t),) for t in np.asarray(top)]
-        elif isinstance(flat, tuple):
-            kind = "u64"
-            hs, ls = _topk_chunk2(flat[0][:valid], flat[1][:valid], m,
-                                  "u64", kk, largest)
-            new = [(int(a), int(b))
-                   for a, b in zip(np.asarray(hs), np.asarray(ls))]
-        else:
-            npdt = np.dtype(flat.dtype.name)
-            int_bits = npdt.itemsize * 8
-            kind = "i" if npdt.kind == "i" else "u"
-            top = _topk_chunk1(flat[:valid], m, kind, kk, largest)
-            new = [(int(t),) for t in np.asarray(top)]
-        cands += new[:n_ok]  # best-first: drop masked-row fillers
-    best = sorted(cands, reverse=largest)[:k]
+        kind, int_bits, new = _chunk_top(flat, m, valid, min(k, valid),
+                                         largest)
+        cands += [key for key, _idx in new[:n_ok]]
     if kind is None:
         return []
-    if d is not None:
-        return [str(d[key[0]]) for key in best]
-    if kind == "u":
-        return [int(key[0]) for key in best]
-    if kind == "i":
-        return [int(key[0]) - (1 << (int_bits - 1)) for key in best]
-    if kind == "f32":
-        return [_f32_of_key(key[0]) for key in best]
-    if kind == "f64":
-        return [_f64_of_key(*key) for key in best]
-    return [_i64_of(*key) for key in best]  # u64 (int64 semantics)
+    of_key = _key_to_value(kind, int_bits, d)
+    return [of_key(key) for key in sorted(cands, reverse=largest)[:k]]
 
 
 def group_stats(path: str, key: str, value: str, max_groups: int = None,

@@ -296,7 +296,8 @@ def _cmd_select(args) -> int:
                if args.columns else None)
     try:
         rows = analytics.select(args.input, columns=columns, preds=preds,
-                                limit=args.limit)
+                                limit=args.limit, order_by=args.order_by,
+                                desc=args.desc)
     except (ValueError, KeyError) as e:
         raise SystemExit(f"error: {e}")
     out = {}
@@ -447,6 +448,11 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--columns", default=None,
                     help="comma-separated projection (default: all)")
     se.add_argument("--limit", type=int, default=None)
+    se.add_argument("--order-by", default=None, metavar="COLUMN",
+                    help="sort the result; with --limit this is a true "
+                         "ORDER BY ... LIMIT pushdown (per-chunk top-k)")
+    se.add_argument("--desc", action="store_true",
+                    help="descending order (with --order-by)")
     se.set_defaults(fn=_cmd_select)
 
     b = sub.add_parser("bench",

@@ -136,3 +136,75 @@ def test_cli_select(tmp_path, rng, capsys):
     got = np.load(out)
     np.testing.assert_array_equal(got["qty"], c["qty"][mask][:want_n])
     np.testing.assert_array_equal(got["price"], c["price"][mask][:want_n])
+
+
+def test_select_order_by_limit_pushdown(tmp_path, rng):
+    path, c, _ = _tbl(tmp_path, rng)
+    rows = analytics.select(path, columns=["qty", "cur"],
+                            preds=[("cur", "ne", "USD")],
+                            order_by="qty", desc=True, limit=10)
+    mask = c["cur"] != "USD"
+    order = np.argsort(c["qty"][mask], kind="stable")[::-1][:10]
+    np.testing.assert_array_equal(rows["qty"], c["qty"][mask][order])
+    # ties can reorder cur arbitrarily; compare the multiset per qty value
+    import collections
+    got = collections.Counter(zip(rows["qty"].tolist(), rows["cur"].tolist()))
+    # reconstruct expected counter from all rows achieving the top-10 cut
+    want_qty = c["qty"][mask][order]
+    assert sorted(rows["qty"].tolist(), reverse=True) == rows["qty"].tolist()
+    for q, cur_v in got:
+        assert ((c["qty"] == q) & (c["cur"] == cur_v) & mask).sum() >= 1
+    # ascending
+    rows = analytics.select(path, columns=["qty"], order_by="qty", limit=5)
+    np.testing.assert_array_equal(rows["qty"], np.sort(c["qty"])[:5])
+
+
+def test_select_order_by_float_and_string(tmp_path, rng):
+    path, c, _ = _tbl(tmp_path, rng)
+    rows = analytics.select(path, columns=["price"], order_by="price",
+                            desc=True, limit=7)
+    np.testing.assert_array_equal(rows["price"],
+                                  np.sort(c["price"])[::-1][:7])
+    # order by a STRING column (lexicographic via dictionary codes)
+    rows = analytics.select(path, columns=["cur"], order_by="cur", limit=4)
+    assert rows["cur"].tolist() == sorted(c["cur"].tolist())[:4]
+
+
+def test_select_order_by_without_limit(tmp_path, rng):
+    path, c, _ = _tbl(tmp_path, rng, n=3000)
+    rows = analytics.select(path, columns=["qty", "sid"],
+                            preds=[("qty", "lt", 100)], order_by="sid")
+    mask = c["qty"] < 100
+    order = np.argsort(c["sid"][mask], kind="stable")
+    np.testing.assert_array_equal(rows["sid"], c["sid"][mask][order])
+    np.testing.assert_array_equal(rows["qty"], c["qty"][mask][order])
+
+
+def test_select_order_by_nullable_keys(tmp_path, rng):
+    path, c, _ = _tbl(tmp_path, rng, nulls=True)
+    # top-k pushdown: null order keys never rank
+    rows = analytics.select(path, columns=["qty"], order_by="qty",
+                            desc=True, limit=6)
+    ok = ~c["qmask"]
+    np.testing.assert_array_equal(np.ma.getdata(rows["qty"]),
+                                  np.sort(c["qty"][ok])[::-1][:6])
+    # host-sort path: null keys sort last
+    rows = analytics.select(path, columns=["qty"],
+                            preds=[("cur", "eq", "EUR")], order_by="qty")
+    sel = c["cur"] == "EUR"
+    n_null = int((c["qmask"] & sel).sum())
+    got_mask = np.ma.getmaskarray(rows["qty"])
+    assert got_mask[len(got_mask) - n_null:].all()
+    np.testing.assert_array_equal(
+        np.asarray(np.ma.getdata(rows["qty"]))[:len(got_mask) - n_null],
+        np.sort(c["qty"][sel & ok]))
+
+
+def test_cli_select_order_by(tmp_path, rng, capsys):
+    path, c, _ = _tbl(tmp_path, rng)
+    out = str(tmp_path / "top.npz")
+    assert cli.main(["select", path, out, "--columns", "qty",
+                     "--order-by", "qty", "--desc", "--limit", "3"]) == 0
+    json.loads(capsys.readouterr().out)
+    got = np.load(out)
+    np.testing.assert_array_equal(got["qty"], np.sort(c["qty"])[::-1][:3])
