@@ -317,6 +317,52 @@ def _cmd_select(args) -> int:
     return 0
 
 
+def _cmd_import(args) -> int:
+    """parquet/csv -> FLT table (Arrow interop; type inference, nulls,
+    strings, temporal types all preserved)."""
+    import os
+
+    from . import interop
+
+    ext = args.input.rsplit(".", 1)[-1].lower()
+    try:
+        if ext in ("parquet", "pq"):
+            interop.parquet_to_flt(args.input, args.output,
+                                   codec=args.codec,
+                                   chunk_blocks=args.chunk_blocks)
+        elif ext == "csv":
+            interop.csv_to_flt(args.input, args.output, codec=args.codec,
+                               chunk_blocks=args.chunk_blocks)
+        else:
+            raise SystemExit(f"import takes .parquet/.pq/.csv, got {ext!r}")
+    except ImportError as e:
+        raise SystemExit(f"error: {e}")
+    from . import fio_table
+
+    header = fio_table.read_table_header(args.output)
+    print(json.dumps({
+        "file": args.output, "columns": sorted(header["columns"]),
+        "input_bytes": os.path.getsize(args.input),
+        "file_bytes": os.path.getsize(args.output),
+    }))
+    return 0
+
+
+def _cmd_export(args) -> int:
+    """FLT table -> parquet."""
+    import os
+
+    from . import interop
+
+    try:
+        interop.flt_to_parquet(args.input, args.output)
+    except ImportError as e:
+        raise SystemExit(f"error: {e}")
+    print(json.dumps({"file": args.output,
+                      "file_bytes": os.path.getsize(args.output)}))
+    return 0
+
+
 def _cmd_bench(args) -> int:
     """Single-block latency micro-bench — the shape of the reference's
     criterion benches (reference benches/bitpacking.rs:13-63): pack one
@@ -454,6 +500,21 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--desc", action="store_true",
                     help="descending order (with --order-by)")
     se.set_defaults(fn=_cmd_select)
+
+    im = sub.add_parser("import",
+                        help="compress a .parquet/.csv file to an .flt table")
+    im.add_argument("input")
+    im.add_argument("output")
+    im.add_argument("--codec", default="auto",
+                    choices=["auto", "bitpack", "ffor", "delta", "zdelta",
+                             "rle", "dict"])
+    im.add_argument("--chunk-blocks", type=int, default=1024)
+    im.set_defaults(fn=_cmd_import)
+
+    ex = sub.add_parser("export", help="decode an .flt table to .parquet")
+    ex.add_argument("input")
+    ex.add_argument("output")
+    ex.set_defaults(fn=_cmd_export)
 
     b = sub.add_parser("bench",
                        help="single-block (1024-value) host latency micro-bench")

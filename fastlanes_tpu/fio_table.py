@@ -116,6 +116,16 @@ def write_table(path: str, columns: Dict[str, np.ndarray], dtypes=None,
         transform = None
         vtype = None
         str_blob = None
+        # logical-type normalization: bools ride u8, temporal types ride
+        # their int64 storage (sorted timestamps delta-compress tightly);
+        # the vtype restores the logical dtype on read
+        logical = None
+        if arr.dtype == np.bool_:
+            logical = "bool"
+            arr = arr.astype(np.uint8)
+        elif arr.dtype.kind in ("M", "m"):  # datetime64 / timedelta64
+            logical = str(arr.dtype)
+            arr = arr.view(np.int64)
         if arr.dtype.kind in ("U", "S", "O"):
             # string column: sorted dictionary blob + u32 codes riding the
             # standard integer chunk machinery (codes of sorted dictionaries
@@ -166,6 +176,8 @@ def write_table(path: str, columns: Dict[str, np.ndarray], dtypes=None,
             col["transform"] = transform
         if vtype is not None:
             col["vtype"] = vtype
+        elif logical is not None:
+            col["vtype"] = logical
         if str_blob is not None:
             col["str_dict"] = {"offset": offset, "nbytes": len(str_blob),
                                "n_dict": n_dict}
@@ -223,6 +235,15 @@ def _read_column(f, col: dict, base_off: int, start: int,
         blocks = np.ma.MaskedArray(blocks, mask=~valid)
     if full and "n_values" in col:
         blocks = blocks.reshape(-1)[:col["n_values"]]
+    vt = col.get("vtype")
+    if vt == "bool":
+        return blocks.astype(bool)  # masked arrays keep their mask
+    if vt is not None and vt.startswith(("datetime64", "timedelta64")):
+        # datetime64[...] / timedelta64[...]: int64 storage -> logical dtype
+        data = np.ma.getdata(blocks).view(np.dtype(vt))
+        if isinstance(blocks, np.ma.MaskedArray):
+            return np.ma.MaskedArray(data, mask=np.ma.getmaskarray(blocks))
+        return data
     if col.get("vtype") == "str":
         dictionary = _load_str_dict(f, base_off, col)
         codes = np.ma.getdata(blocks)
