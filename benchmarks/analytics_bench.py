@@ -111,6 +111,34 @@ def main():
               "group_by_u32_rows_per_s": round(n / t_group, 1),
               "group_by_f32_rows_per_s": round(n / t_groupf, 1),
               "cross_column_scan_where_rows_per_s": round(n / t_cross, 1)})
+
+        # SQL-ish pushdowns: multi-predicate WHERE, top-k, ORDER BY LIMIT
+        # select, dict/string columns (codes + gather path)
+        cats = np.array(["EUR", "GBP", "JPY", "USD", "AUD", "CAD", "CHF",
+                         "CNY"])
+        spath = os.path.join(tmpdir, "s.flt")
+        fio_table.write_table(spath, {"cur": cats[key % 8], "qty": qty,
+                                      "price": price})
+        t_multi = timed(lambda: analytics.scan_where_multi(
+            spath, [("cur", "eq", "EUR"), ("qty", "gt", 500)],
+            column="price"))
+        t_topk = timed(lambda: analytics.top_k(tpath, "qty", k=10))
+        t_sel = timed(lambda: analytics.select(
+            spath, columns=["qty", "price"], preds=[("cur", "eq", "EUR"),
+                                                    ("qty", "gt", 900)]))
+        t_ord = timed(lambda: analytics.select(
+            spath, columns=["qty", "cur"], order_by="price", desc=True,
+            limit=10))
+        t_vc = timed(lambda: analytics.value_counts(spath, "cur"))
+        t_strgrp = timed(lambda: analytics.group_stats(spath, "cur", "qty",
+                                                       max_groups=8))
+        emit({"bench": "analytics_pushdowns",
+              "scan_where_multi_rows_per_s": round(2 * n / t_multi, 1),
+              "top_k_rows_per_s": round(n / t_topk, 1),
+              "select_rows_per_s": round(3 * n / t_sel, 1),
+              "order_by_limit_rows_per_s": round(3 * n / t_ord, 1),
+              "value_counts_rows_per_s": round(n / t_vc, 1),
+              "group_by_str_rows_per_s": round(2 * n / t_strgrp, 1)})
     finally:
         import shutil
 

@@ -208,3 +208,22 @@ def test_cli_select_order_by(tmp_path, rng, capsys):
     json.loads(capsys.readouterr().out)
     got = np.load(out)
     np.testing.assert_array_equal(got["qty"], np.sort(c["qty"])[::-1][:3])
+
+
+def test_select_and_multi_where_on_mesh(tmp_path, rng):
+    from fastlanes_tpu import parallel
+
+    path, c, _ = _tbl(tmp_path, rng, n=4096)
+    mesh = parallel.make_mesh()
+    rows = analytics.select(path, columns=["qty"],
+                            preds=[("cur", "eq", "EUR")], mesh=mesh)
+    np.testing.assert_array_equal(rows["qty"], c["qty"][c["cur"] == "EUR"])
+    got = analytics.scan_where_multi(
+        path, [("cur", "eq", "EUR"), ("qty", "gt", 500)], column="qty",
+        mesh=mesh)
+    mask = (c["cur"] == "EUR") & (c["qty"] > 500)
+    assert got["count"] == int(mask.sum())
+    assert got["sum"] == int(c["qty"][mask].sum())
+    rows = analytics.select(path, columns=["qty"], order_by="qty",
+                            desc=True, limit=4, mesh=mesh)
+    np.testing.assert_array_equal(rows["qty"], np.sort(c["qty"])[::-1][:4])
