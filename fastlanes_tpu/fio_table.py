@@ -16,6 +16,7 @@ Header: {version, columns: {name: {dtype, n_blocks, n_values?, chunk_blocks,
 from __future__ import annotations
 
 import json
+import os
 import struct
 from typing import Dict, Optional
 
@@ -200,6 +201,306 @@ def write_table(path: str, columns: Dict[str, np.ndarray], dtypes=None,
         for payload in payloads:
             f.write(payload)
     return header
+
+
+class TableWriter:
+    """Streaming table writer: append equal-length row batches; a column's
+    chunk encodes and spills to disk as soon as `chunk_blocks` blocks
+    accumulate, so numeric memory stays O(chunk) regardless of table size.
+    String columns buffer u32 codes (4 B/value) against an insertion-order
+    dictionary and encode at close(), when the final dictionary can be
+    sorted and the codes remapped (sorted codes == lexicographic order is
+    the predicate-pushdown invariant). Nullable batches (np.ma / object
+    None) accumulate a packed validity bitmap; null fills carry the last
+    valid value ACROSS batches. Output is byte-identical to write_table of
+    the concatenated columns.
+
+        with TableWriter(path) as w:
+            for batch in batches:
+                w.append({"qty": ..., "cur": ...})
+        # header available as w.header after the with-block
+    """
+
+    def __init__(self, path: str, dtypes=None, codec: str = "auto",
+                 chunk_blocks: int = 1024):
+        import tempfile
+
+        self.path = path
+        self.dtypes = dtypes or {}
+        self.codec = codec
+        self.chunk_blocks = chunk_blocks
+        self.header = None
+        self._cols = None  # name -> state dict
+        self._spill = tempfile.NamedTemporaryFile(
+            dir=os.path.dirname(os.path.abspath(path)) or ".",
+            suffix=".spill", delete=False)
+        self._spill_off = 0
+        self._closed = False
+
+    # -- per-column state ---------------------------------------------------
+
+    def _init_col(self, name: str, arr: np.ndarray) -> dict:
+        st = {"kind": None, "dtype": None, "logical": None, "transform": None,
+              "buf": [], "masks": [], "n_values": 0, "n_null": 0,
+              "chunks": [], "validity": bytearray(), "carry": None,
+              "str_map": {}, "any_null": False, "n_blocks": 0}
+        if arr.dtype == np.bool_:
+            st["kind"], st["logical"], st["dtype"] = "int", "bool", "u8"
+            st["transform"] = False  # unsigned storage, no transform probe
+        elif arr.dtype.kind in ("M", "m"):
+            # temporal: int64 storage; the signed-transform probe applies
+            st["kind"], st["logical"], st["dtype"] = "int", str(arr.dtype), \
+                "u64"
+        elif arr.dtype.kind in ("U", "S", "O"):
+            if name in self.dtypes:
+                raise ValueError(
+                    f"string column {name!r} chooses its own wire dtype")
+            st["kind"], st["dtype"] = "str", "u32"
+            st["transform"] = False  # codes are unsigned
+        elif arr.dtype.kind == "f":
+            if name in self.dtypes:
+                raise ValueError(
+                    f"float column {name!r} chooses its own wire dtype")
+            st["kind"] = "float"
+            st["vtype"] = "f32" if arr.dtype == np.float32 else "f64"
+            st["dtype"] = "u32" if st["vtype"] == "f32" else "u64"
+        else:
+            st["kind"] = "int"
+            if name in self.dtypes:
+                st["dtype"] = layout.canon_dtype(self.dtypes[name])
+                st["transform"] = False  # explicit wire dtype: reinterpret
+            elif arr.dtype.kind == "i" or st["logical"]:
+                st["dtype"] = layout.canon_dtype(
+                    np.dtype(f"uint{arr.dtype.itemsize * 8}"))
+                st["transform"] = None  # chosen at first flush probe
+            else:
+                st["dtype"] = layout.canon_dtype(arr.dtype)
+                st["transform"] = False
+        return st
+
+    def _normalize(self, name: str, st: dict, arr) -> np.ndarray:
+        """One batch -> the column's buffered domain (pre-transform values
+        for ints, floats as-is, u32 insertion-order codes for strings);
+        accumulates the null mask and carries fills across batches."""
+        arr, mask = fio.extract_null_mask(arr)
+        arr = np.asarray(arr)
+        if st["logical"] == "bool":
+            if arr.dtype != np.bool_ and set(np.unique(arr)) - {0, 1}:
+                raise ValueError(f"column {name!r} started bool")
+            arr = arr.astype(np.uint8)
+        elif st["logical"]:
+            if str(arr.dtype) != st["logical"]:
+                raise ValueError(f"column {name!r} started {st['logical']}, "
+                                 f"got {arr.dtype}")
+            arr = arr.view(np.int64)
+        if arr.ndim != 1:
+            raise ValueError("TableWriter.append takes flat 1-D batches")
+        if mask is not None:
+            st["any_null"] = True
+            st["n_null"] += int(mask.sum())
+            arr = fio.fill_nulls(arr, mask)
+            # leading nulls of THIS batch take the carried last valid value
+            if st["carry"] is not None and mask[0]:
+                lead = int(np.argmax(~mask)) if not mask.all() else len(mask)
+                arr = arr.copy()
+                arr[:lead] = st["carry"]
+        st["masks"].append(np.zeros(len(arr), bool) if mask is None else mask)
+        if len(arr):
+            st["carry"] = arr[-1]
+        if st["kind"] == "str":
+            if arr.dtype.kind == "S":
+                arr = np.char.decode(arr, "utf-8")
+            codes = np.empty(len(arr), np.uint32)
+            smap = st["str_map"]
+            for i, s in enumerate(arr.tolist()):
+                s = str(s)
+                code = smap.get(s)
+                if code is None:
+                    code = smap[s] = len(smap)
+                codes[i] = code
+            return codes
+        return arr
+
+    # -- chunk plumbing -----------------------------------------------------
+
+    def _buffered(self, st) -> int:
+        return sum(len(b) for b in st["buf"])
+
+    def _take(self, st, n: int) -> np.ndarray:
+        """Pop exactly n values (or all, padded by repeat) off the buffer."""
+        flat = np.concatenate(st["buf"]) if len(st["buf"]) != 1 else st["buf"][0]
+        take, rest = flat[:n], flat[n:]
+        st["buf"] = [rest] if len(rest) else []
+        return take
+
+    def _take_mask(self, st, n: int) -> np.ndarray:
+        flat = (np.concatenate(st["masks"]) if len(st["masks"]) != 1
+                else st["masks"][0])
+        take, rest = flat[:n], flat[n:]
+        st["masks"] = [rest] if len(rest) else []
+        return take
+
+    def _flush_chunk(self, name: str, st: dict, final: bool):
+        """Encode one chunk (full, or the padded tail when `final`) and
+        spill its payload; string columns only drain at close()."""
+        cb = self.chunk_blocks
+        have = self._buffered(st)
+        n_take = min(have, cb * layout.BLOCK)
+        vals = self._take(st, n_take)
+        mask = self._take_mask(st, n_take)
+        pad = (-len(vals)) % layout.BLOCK
+        if pad:
+            fill = vals[-1:] if len(vals) else np.zeros(1, vals.dtype)
+            vals = np.concatenate([vals, np.repeat(fill, pad)])
+        n_blocks = len(vals) // layout.BLOCK
+        if st["kind"] == "float":
+            blocks = vals.reshape(n_blocks, layout.BLOCK)
+            meta, payload = fio._encode_chunk_float(blocks, st["dtype"],
+                                                    self.codec)
+        else:
+            if st["transform"] is None:  # first flush: probe the transform
+                _t_arr, st["transform"] = fio.choose_signed_transform(
+                    vals, cb)
+            if st["transform"] == "zigzag":
+                from . import transforms
+
+                vals = transforms.zigzag_encode_np(vals.view(
+                    np.dtype(f"int{vals.dtype.itemsize * 8}")))
+            elif st["transform"] == "viewu":
+                vals = vals.view(np.dtype(f"uint{vals.dtype.itemsize * 8}"))
+            blocks = vals.astype(layout.np_dtype(st["dtype"]),
+                                 copy=False).reshape(n_blocks, layout.BLOCK)
+            meta, payload = fio._encode_chunk(blocks, st["dtype"], self.codec)
+        meta.update(n_blocks=n_blocks, spill=self._spill_off,
+                    nbytes=len(payload))
+        self._spill.write(payload)
+        self._spill_off += len(payload)
+        st["chunks"].append(meta)
+        st["n_blocks"] += n_blocks
+        st["validity"] += fio.encode_validity(mask, n_blocks)
+
+    # -- public API ----------------------------------------------------------
+
+    def append(self, batch: dict) -> None:
+        if self._closed:
+            raise ValueError("TableWriter is closed")
+        if self._cols is None:
+            self._cols = {name: self._init_col(name, np.asarray(
+                fio.extract_null_mask(arr)[0])) for name, arr in batch.items()}
+        if set(batch) != set(self._cols):
+            raise ValueError(f"append needs all columns {sorted(self._cols)}")
+        lengths = set()
+        for name, arr in batch.items():
+            st = self._cols[name]
+            vals = self._normalize(name, st, arr)
+            lengths.add(len(vals))
+            st["buf"].append(vals)
+            st["n_values"] += len(vals)
+        if len(lengths) != 1:
+            raise ValueError(f"batch columns have unequal lengths {lengths}")
+        for name, st in self._cols.items():
+            if st["kind"] == "str":
+                continue  # drains at close (dictionary remap)
+            while self._buffered(st) >= self.chunk_blocks * layout.BLOCK:
+                self._flush_chunk(name, st, final=False)
+
+    def close(self) -> dict:
+        if self._closed:
+            return self.header
+        self._closed = True
+        try:
+            cols = self._cols or {}
+            # finalize string columns: sorted dictionary + code remap
+            str_blobs = {}
+            for name, st in cols.items():
+                if st["kind"] != "str":
+                    continue
+                words = np.array(list(st["str_map"]), dtype=np.str_)
+                order = np.argsort(words, kind="stable")
+                remap = np.empty(len(words), np.uint32)
+                remap[order] = np.arange(len(words), dtype=np.uint32)
+                st["buf"] = [remap[b.astype(np.int64)] if len(b) else b
+                             for b in st["buf"]]
+                str_blobs[name] = (_encode_str_dict(words[order]),
+                                   int(len(words)))
+            # drain every buffer (string chunks + numeric tails)
+            for name, st in cols.items():
+                while self._buffered(st):
+                    self._flush_chunk(name, st, final=True)
+                if st["n_values"] and st["n_values"] % layout.BLOCK == 0 \
+                        and st["n_blocks"] * layout.BLOCK != st["n_values"]:
+                    raise AssertionError("chunk accounting is off")
+            self._spill.flush()
+            # assemble the final file: header, then per-column payloads in
+            # write_table's order (chunks, str dict blob, validity blob)
+            cols_meta, plan, offset = {}, [], 0
+            for name, st in cols.items():
+                chunks = []
+                for meta in st["chunks"]:
+                    meta = dict(meta)
+                    spill_at = meta.pop("spill")
+                    nbytes = meta.pop("nbytes")
+                    meta["offset"] = offset  # key order matches write_table
+                    meta["nbytes"] = nbytes
+                    offset += nbytes
+                    plan.append(("spill", spill_at, nbytes))
+                    chunks.append(meta)
+                col = {"dtype": st["dtype"], "n_blocks": st["n_blocks"],
+                       "chunk_blocks": self.chunk_blocks, "chunks": chunks,
+                       "n_values": st["n_values"]}
+                if st["transform"]:
+                    col["transform"] = st["transform"]
+                if st["kind"] == "float":
+                    col["vtype"] = st["vtype"]
+                elif st["kind"] == "str":
+                    col["vtype"] = "str"
+                elif st["logical"]:
+                    col["vtype"] = st["logical"]
+                if name in str_blobs:
+                    blob, n_dict = str_blobs[name]
+                    col["str_dict"] = {"offset": offset, "nbytes": len(blob),
+                                       "n_dict": n_dict}
+                    plan.append(("raw", blob, len(blob)))
+                    offset += len(blob)
+                if st["any_null"]:
+                    blob = bytes(st["validity"])
+                    col["nulls"] = {"offset": offset, "nbytes": len(blob),
+                                    "n_null": st["n_null"]}
+                    plan.append(("raw", blob, len(blob)))
+                    offset += len(blob)
+                cols_meta[name] = col
+            self.header = {"version": _VERSION, "columns": cols_meta}
+            hdr = json.dumps(self.header).encode()
+            with open(self.path, "wb") as f:
+                f.write(MAGIC)
+                f.write(struct.pack("<I", len(hdr)))
+                f.write(hdr)
+                with open(self._spill.name, "rb") as spill:
+                    for kind, src, nbytes in plan:
+                        if kind == "raw":
+                            f.write(src)
+                        else:
+                            spill.seek(src)
+                            f.write(spill.read(nbytes))
+            return self.header
+        finally:
+            self._spill.close()
+            os.unlink(self._spill.name)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.close()
+        else:  # error path: drop the spill file, leave no partial output
+            self._closed = True
+            self._spill.close()
+            try:
+                os.unlink(self._spill.name)
+            except OSError:
+                pass
+        return False
 
 
 def read_table_header(path: str) -> dict:
