@@ -329,7 +329,8 @@ def _cmd_import(args) -> int:
         if ext in ("parquet", "pq"):
             interop.parquet_to_flt(args.input, args.output,
                                    codec=args.codec,
-                                   chunk_blocks=args.chunk_blocks)
+                                   chunk_blocks=args.chunk_blocks,
+                                   batch_rows=args.batch_rows)
         elif ext == "csv":
             interop.csv_to_flt(args.input, args.output, codec=args.codec,
                                chunk_blocks=args.chunk_blocks)
@@ -509,6 +510,9 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["auto", "bitpack", "ffor", "delta", "zdelta",
                              "rle", "dict"])
     im.add_argument("--chunk-blocks", type=int, default=1024)
+    im.add_argument("--batch-rows", type=int, default=0,
+                    help="stream the parquet file through TableWriter in "
+                         "batches of this many rows (constant memory)")
     im.set_defaults(fn=_cmd_import)
 
     ex = sub.add_parser("export", help="decode an .flt table to .parquet")

@@ -88,12 +88,25 @@ def columns_to_arrow(columns: dict):
 
 
 def parquet_to_flt(parquet_path: str, flt_path: str, codec: str = "auto",
-                   chunk_blocks: int = 1024) -> dict:
+                   chunk_blocks: int = 1024,
+                   batch_rows: int = 0) -> dict:
     """Compress a Parquet file into an FLT table (all column types the
     wire format supports: ints, floats, strings, bools, temporal, nulls).
-    Returns the FLT header."""
+    Returns the FLT header.
+
+    `batch_rows` > 0 streams: Parquet record batches feed a TableWriter,
+    so neither format's columns ever materialize whole — constant memory
+    for arbitrarily large files (and byte-identical output)."""
     import pyarrow.parquet as pq
 
+    if batch_rows > 0:
+        pf = pq.ParquetFile(parquet_path)
+        with fio_table.TableWriter(flt_path, codec=codec,
+                                   chunk_blocks=chunk_blocks) as w:
+            for batch in pf.iter_batches(batch_size=batch_rows):
+                w.append({name: _arrow_array_to_numpy(batch.column(i))
+                          for i, name in enumerate(batch.schema.names)})
+        return w.header
     cols = arrow_to_columns(pq.read_table(parquet_path))
     return fio_table.write_table(flt_path, cols, codec=codec,
                                  chunk_blocks=chunk_blocks)

@@ -184,3 +184,18 @@ def test_cli_import_export(tmp_path, rng, pa, capsys):
     w = interop._arrow_array_to_numpy(src.column("big"))
     np.testing.assert_array_equal(
         np.asarray(interop._arrow_array_to_numpy(back.column("big"))), w)
+
+
+def test_parquet_streaming_import_byte_identical(tmp_path, rng, pa):
+    import pyarrow.parquet as pq
+
+    from fastlanes_tpu import interop
+
+    src = _sample_arrow_table(pa, rng, n=5000)
+    ppath = str(tmp_path / "s.parquet")
+    pq.write_table(src, ppath, row_group_size=1000)
+    p1 = str(tmp_path / "whole.flt")
+    p2 = str(tmp_path / "stream.flt")
+    interop.parquet_to_flt(ppath, p1)
+    interop.parquet_to_flt(ppath, p2, batch_rows=700)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
