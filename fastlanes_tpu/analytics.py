@@ -77,6 +77,53 @@ def _column_layout(path: str, column: Optional[str]):
             fio._payload_base(path), header.get("nulls"))
 
 
+def _paths(path):
+    """Every analytics entry point accepts one path or a LIST of paths (a
+    sharded dataset); lists scan file-by-file into one shared accumulator
+    wherever that keeps exactness (integer sums, counts, extremes,
+    distinct sets, top-k candidates stay exact across files; only
+    string-keyed/valued FLOAT sums merge as per-file exactly-rounded
+    sums, since each file owns its dictionary)."""
+    return list(path) if isinstance(path, (list, tuple)) else [path]
+
+
+def _merge_str_stats(subs) -> dict:
+    """Merge per-file stats of a string column (each file owns its own
+    dictionary, so code-domain accumulators cannot merge — strings can)."""
+    mins = [s["min"] for s in subs if s["min"] is not None]
+    maxs = [s["max"] for s in subs if s["max"] is not None]
+    out = {"sum": None, "min": min(mins) if mins else None,
+           "max": max(maxs) if maxs else None,
+           "count": sum(s["count"] for s in subs)}
+    if any("n_null" in s for s in subs):
+        out["n_null"] = sum(s.get("n_null", 0) for s in subs)
+    return out
+
+
+def _merge_group_results(subs, str_value: bool) -> dict:
+    """Merge per-file group_stats results (string-keyed/valued datasets:
+    dictionaries differ per file, so merging happens at the label level).
+    Integer sums add exactly; float sums add the per-file exactly-rounded
+    totals."""
+    out = {}
+    for sub in subs:
+        for g, s in sub.items():
+            cur = out.get(g)
+            if cur is None:
+                out[g] = cur = dict(s)
+                cur.pop("n_dict", None)  # per-file dictionary size
+                continue
+            cur["count"] += s["count"]
+            if str_value:
+                cur["min"] = min(cur["min"], s["min"])
+                cur["max"] = max(cur["max"], s["max"])
+            else:
+                cur["sum"] = cur["sum"] + s["sum"]
+                cur["min"] = _merge_extreme(cur["min"], s["min"], min)
+                cur["max"] = _merge_extreme(cur["max"], s["max"], max)
+    return out
+
+
 def _decoded_chunks(path: str, column: Optional[str], mesh, batch=True):
     """Yield (decoded device blocks, dtype, vtype, valid, vmask) already
     transform-applied — real values in the column's logical domain. `vmask`
@@ -760,15 +807,25 @@ def scan_column(path: str, column: Optional[str] = None, mesh=None) -> dict:
     """Fused sum/min/max/count over a compressed column — the decoded data
     never materializes in HBM for fusable codecs. Returns python scalars:
     {sum, min, max, count}."""
+    paths = _paths(path)
+    if len(paths) > 1 and _str_dict_of(paths[0], column) is not None:
+        return _merge_str_stats([scan_column(p, column, mesh)
+                                 for p in paths])
     acc = _StatAcc()
-    for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(path, column,
-                                                               mesh):
-        acc.feed(blocks, cdtype, vtype, valid, pred=vmask)
-    d = _str_dict_of(path, column)
+    n_null = 0
+    any_null = False
+    for p in paths:
+        for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(p, column,
+                                                                   mesh):
+            acc.feed(blocks, cdtype, vtype, valid, pred=vmask)
+        nulls_meta = _column_layout(p, column)[6]
+        if nulls_meta is not None:
+            any_null = True
+            n_null += int(nulls_meta["n_null"])
+    d = _str_dict_of(paths[0], column)
     r = _map_str_result(acc.result(), d) if d is not None else acc.result()
-    nulls_meta = _column_layout(path, column)[6]
-    if nulls_meta is not None:
-        r["n_null"] = int(nulls_meta["n_null"])
+    if any_null:
+        r["n_null"] = n_null
     return r
 
 
@@ -782,6 +839,12 @@ def scan_table(path: str, columns=None, mesh=None) -> dict:
     {column_name: {sum, min, max, count}}."""
     from . import fio_table
 
+    paths = _paths(path)
+    if len(paths) > 1:  # sharded dataset: per-column dataset scans
+        header = fio_table.read_table_header(paths[0])
+        names = list(header["columns"]) if columns is None else list(columns)
+        return {name: scan_column(paths, name, mesh) for name in names}
+    path = paths[0]
     header = fio_table.read_table_header(path)
     names = list(header["columns"]) if columns is None else list(columns)
     cols = {name: fio_table._col_meta(header, name) for name in names}
@@ -814,19 +877,21 @@ def count_where(path: str, op: str, value, column: Optional[str] = None,
     in-graph, only the running count leaves the device."""
     if op not in _PREDS:
         raise ValueError(f"unknown predicate {op!r}; have {sorted(_PREDS)}")
-    d = _str_dict_of(path, column)
-    if d is not None:  # string column: predicate pushes down on codes
-        op, value = _str_pred_to_code(d, op, value)
     total = 0
-    for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(path, column,
-                                                               mesh):
-        if valid == 0:
-            continue
-        flat = _flatten_logical(blocks, cdtype, vtype)
-        mask = _pred_mask(flat, op, value)
-        if vmask is not None:  # nulls match no predicate (not even 'ne')
-            mask = mask & vmask
-        total += int(_count_masked(mask, jnp.int32(valid)))
+    for p in _paths(path):
+        d = _str_dict_of(p, column)
+        # string column: the predicate pushes down on THIS file's codes
+        op_p, value_p = ((op, value) if d is None
+                         else _str_pred_to_code(d, op, value))
+        for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(p, column,
+                                                                   mesh):
+            if valid == 0:
+                continue
+            flat = _flatten_logical(blocks, cdtype, vtype)
+            mask = _pred_mask(flat, op_p, value_p)
+            if vmask is not None:  # nulls match no predicate (not even 'ne')
+                mask = mask & vmask
+            total += int(_count_masked(mask, jnp.int32(valid)))
     return total
 
 
@@ -842,16 +907,28 @@ def scan_where(path: str, op: str, value, column: Optional[str] = None,
     columns). Returns {sum, min, max, count} over matching rows."""
     if op not in _PREDS:
         raise ValueError(f"unknown predicate {op!r}; have {sorted(_PREDS)}")
+    paths = _paths(path)
+    vdict0 = _str_dict_of(paths[0], column)
+    if len(paths) > 1 and vdict0 is not None:
+        return _merge_str_stats([scan_where(p, op, value, column, where,
+                                            mesh) for p in paths])
+    acc = _StatAcc()
+    for p in paths:
+        _scan_where_into(acc, p, op, value, column, where, mesh)
+    return (_map_str_result(acc.result(), vdict0) if vdict0 is not None
+            else acc.result())
+
+
+def _scan_where_into(acc, path, op, value, column, where, mesh):
+    """One file's worth of filtered aggregation fed into a shared
+    accumulator (string predicates translate against THIS file's
+    dictionary)."""
     vdict = _str_dict_of(path, column)
     wdict = (vdict if where is None or where == column
              else _str_dict_of(path, where))
     if wdict is not None:  # string predicate column: compare codes
         op, value = _str_pred_to_code(wdict, op, value)
 
-    def _finish(r):
-        return _map_str_result(r, vdict) if vdict is not None else r
-
-    acc = _StatAcc()
     if where is None or where == column:
         for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(
                 path, column, mesh):
@@ -862,7 +939,7 @@ def scan_where(path: str, op: str, value, column: Optional[str] = None,
             if vmask is not None:  # null rows neither match nor aggregate
                 pred = pred & vmask
             acc.feed_flat(flat, valid, pred)
-        return _finish(acc.result())
+        return
     # cross-column predicate: walk both chunk streams in lockstep
     vals = _decoded_chunks(path, column, mesh, batch=False)
     preds = _decoded_chunks(path, where, mesh, batch=False)
@@ -889,7 +966,6 @@ def scan_where(path: str, op: str, value, column: Optional[str] = None,
         raise ValueError(
             f"columns {column!r} and {where!r} have different chunk counts; "
             "cross-column scan_where needs equal length and chunking")
-    return _finish(acc.result())
 
 
 # ---------------------------------------------------------------------------
@@ -1301,24 +1377,30 @@ def scan_where_multi(path: str, preds, column: Optional[str] = None,
     (column, op, value) (string probes compare as dictionary codes; null
     rows never match), and sum/min/max/count aggregate `column` over the
     surviving rows with the scans' exactness guarantees."""
-    preds = _normalize_preds(path, preds)
-    names = list(dict.fromkeys([p[0] for p in preds] + [column]))
-    if None in names and len(names) > 1:
-        raise ValueError("single-column files take column=None predicates "
-                         "only; name table columns explicitly")
-    vdict = _str_dict_of(path, column)
+    paths = _paths(path)
+    vdict0 = _str_dict_of(paths[0], column)
+    if len(paths) > 1 and vdict0 is not None:
+        return _merge_str_stats([scan_where_multi(p, preds, column, mesh)
+                                 for p in paths])
+    raw_preds = list(preds)
     acc = _StatAcc()
-    for rows in _lockstep_chunks(path, names, mesh):
-        blocks, cdtype, vtype, valid, vmask = rows[column]
-        if valid == 0:
-            continue
-        mask = _chunk_row_mask(rows, preds)
-        if vmask is not None:  # null values don't aggregate
-            mask = vmask if mask is None else mask & vmask
-        flat = _flatten_logical(blocks, cdtype, vtype)
-        acc.feed_flat(flat, valid, mask)
+    for p in paths:
+        preds_p = _normalize_preds(p, raw_preds)
+        names = list(dict.fromkeys([q[0] for q in preds_p] + [column]))
+        if None in names and len(names) > 1:
+            raise ValueError("single-column files take column=None "
+                             "predicates only; name table columns explicitly")
+        for rows in _lockstep_chunks(p, names, mesh):
+            blocks, cdtype, vtype, valid, vmask = rows[column]
+            if valid == 0:
+                continue
+            mask = _chunk_row_mask(rows, preds_p)
+            if vmask is not None:  # null values don't aggregate
+                mask = vmask if mask is None else mask & vmask
+            flat = _flatten_logical(blocks, cdtype, vtype)
+            acc.feed_flat(flat, valid, mask)
     r = acc.result()
-    return _map_str_result(r, vdict) if vdict is not None else r
+    return _map_str_result(r, vdict0) if vdict0 is not None else r
 
 
 def _host_chunk_values(blocks, cdtype, vtype, transform_signed, str_dict,
@@ -1367,6 +1449,11 @@ def select(path: str, columns=None, preds=(), limit: Optional[int] = None,
     in file order."""
     from . import fio_table
 
+    paths = _paths(path)
+    if len(paths) > 1:
+        return _select_dataset(paths, columns, list(preds), limit, mesh,
+                               order_by, desc)
+    path = paths[0]
     with open(path, "rb") as f:
         if not f.read(8).startswith(b"FLTTAB1"):
             raise ValueError("select() takes an FLTTAB table file")
@@ -1433,18 +1520,73 @@ def select(path: str, columns=None, preds=(), limit: Optional[int] = None,
         keys = (np.ma.concatenate(okeys)
                 if any(isinstance(p, np.ma.MaskedArray) for p in okeys)
                 else np.concatenate(okeys))
-        null = np.ma.getmaskarray(keys) if isinstance(
-            keys, np.ma.MaskedArray) else np.zeros(len(keys), bool)
-        kd = np.asarray(np.ma.getdata(keys))
-        if kd.dtype == np.uint64:  # match the scans' int64 semantics
-            kd = kd.view(np.int64)
-        pos = np.arange(len(kd))
-        vi = pos[~null][np.argsort(kd[~null], kind="stable")]
-        if desc:
-            vi = vi[::-1]
-        order = np.concatenate([vi, pos[null]]).astype(np.int64)
+        order = _order_of(keys, desc)
         result = {n: result[n][order] for n in result}
     return result
+
+
+def _order_of(keys, desc: bool) -> np.ndarray:
+    """Sort order of an order-by column: stable, null keys last, u64 keys
+    with the scans' int64 semantics."""
+    null = (np.ma.getmaskarray(keys) if isinstance(keys, np.ma.MaskedArray)
+            else np.zeros(len(keys), bool))
+    kd = np.asarray(np.ma.getdata(keys))
+    if kd.dtype == np.uint64:
+        kd = kd.view(np.int64)
+    pos = np.arange(len(kd))
+    vi = pos[~null][np.argsort(kd[~null], kind="stable")]
+    if desc:
+        vi = vi[::-1]
+    return np.concatenate([vi, pos[null]]).astype(np.int64)
+
+
+def _concat_row_dicts(parts, names) -> dict:
+    """Concatenate per-file select() results column-wise (mask-aware)."""
+    out = {}
+    for n in names:
+        cols = [p[n] for p in parts if n in p and len(p[n])]
+        if not cols:
+            out[n] = np.empty(0)
+        elif any(isinstance(c, np.ma.MaskedArray) for c in cols):
+            out[n] = np.ma.concatenate(cols)
+        else:
+            out[n] = np.concatenate(cols)
+    return out
+
+
+def _select_dataset(paths, columns, preds, limit, mesh, order_by, desc):
+    """select() over a sharded dataset: per-file pushdown (each file owns
+    its dictionaries), then a column-wise merge; ORDER BY re-sorts the
+    merged candidates on the host and trims to the limit."""
+    from . import fio_table
+
+    if columns is None:
+        columns = list(fio_table.read_table_header(paths[0])["columns"])
+    if order_by is None:
+        parts = []
+        remaining = limit
+        for p in paths:
+            rows = select(p, columns, preds, remaining, mesh)
+            parts.append(rows)
+            if remaining is not None:
+                got = len(rows[columns[0]]) if columns else 0
+                remaining -= got
+                if remaining <= 0:
+                    break
+        return _concat_row_dicts(parts, columns)
+    inner = list(dict.fromkeys(list(columns) + [order_by]))
+    parts = [select(p, inner, preds, limit, mesh,
+                    order_by if limit is not None else None, desc)
+             for p in paths]
+    combined = _concat_row_dicts(parts, inner)
+    if len(combined[order_by]):
+        order = _order_of(combined[order_by], desc)
+        combined = {n: v[order] for n, v in combined.items()}
+    if limit is not None:
+        combined = {n: v[:limit] for n, v in combined.items()}
+    if order_by not in columns:
+        combined.pop(order_by)
+    return combined
 
 
 def _select_topk(path, columns, preds, k, mesh, order_by, desc, names,
@@ -1521,6 +1663,13 @@ def distinct(path: str, column: Optional[str] = None) -> np.ndarray:
     codecs decode chunk-by-chunk on the host and merge. Tail padding of
     flat-written columns repeats the final value, so it never adds a
     distinct value."""
+    paths = _paths(path)
+    if len(paths) > 1:  # sharded dataset: exact union of per-file sets
+        parts = [p for p in (distinct(q, column) for q in paths) if p.size]
+        if not parts:
+            return distinct(paths[0], column)
+        return np.unique(np.concatenate(parts))
+    path = paths[0]
     (chunks, cdtype, transform, vtype, n_values, base_off,
      nulls_meta) = _column_layout(path, column)
     if nulls_meta is not None:
@@ -1585,6 +1734,17 @@ def value_counts(path: str, column: Optional[str] = None,
     distinct values; float and u64 columns raise (use group_stats or
     top_k — bucketing floats by exact bit pattern is rarely what a query
     means)."""
+    paths = _paths(path)
+    if len(paths) > 1:  # sharded dataset: exact count merge
+        merged = {}
+        for p in paths:
+            for val, cnt in value_counts(p, column, max_values, mesh).items():
+                merged[val] = merged.get(val, 0) + cnt
+        if len(merged) > max_values:
+            raise ValueError(f"{len(merged)} distinct values exceed "
+                             f"max_values={max_values}")
+        return merged
+    path = paths[0]
     d = _str_dict_of(path, column)
     if d is None:
         vals = distinct(path, column)
@@ -1715,6 +1875,21 @@ def top_k(path: str, column: Optional[str] = None, k: int = 10,
     Null rows never rank."""
     if k <= 0:
         return []
+    paths = _paths(path)
+    if len(paths) > 1:  # sharded dataset: exact k-candidate value merge
+        import math
+
+        vals = []
+        for p in paths:
+            vals += top_k(p, column, k, largest, mesh)
+
+        def keyf(v):  # NaN ranks largest (the numpy/total-order convention)
+            if isinstance(v, float) and math.isnan(v):
+                return (1, 0.0)
+            return (0, v)
+
+        return sorted(vals, key=keyf, reverse=largest)[:k]
+    path = paths[0]
     d = _str_dict_of(path, column)
     cands = []
     kind = None
@@ -1755,9 +1930,16 @@ def group_stats(path: str, key: str, value: str, max_groups: int = None,
     Returns {group: {sum, min, max, count}} for non-empty groups. A STRING
     `key` column groups by its dictionary codes and labels the result with
     the strings; a string `value` column aggregates lexicographic
-    min/max/count (sum is None)."""
-    kdict = _str_dict_of(path, key)
-    vdict = _str_dict_of(path, value)
+    min/max/count (sum is None). A LIST of paths scans a sharded dataset:
+    integer-keyed numeric groups share one exact accumulator; string-keyed
+    or string-valued groups merge per-file results (float sums then add
+    the per-file exactly-rounded sums)."""
+    paths = _paths(path)
+    kdict = _str_dict_of(paths[0], key)
+    vdict = _str_dict_of(paths[0], value)
+    if len(paths) > 1 and (kdict is not None or vdict is not None):
+        subs = [group_stats(p, key, value, max_groups, mesh) for p in paths]
+        return _merge_group_results(subs, vdict is not None)
     if max_groups is None:
         if kdict is not None:
             if kdict.size == 0:
@@ -1775,10 +1957,19 @@ def group_stats(path: str, key: str, value: str, max_groups: int = None,
 
     kind = None
     acc = None
-    vals = _decoded_chunks(path, value, mesh, batch=False)
-    keys_it = _decoded_chunks(path, key, mesh, batch=False)
+
+    def _pairs():
+        for p in paths:
+            vals = _decoded_chunks(p, value, mesh, batch=False)
+            keys_it = _decoded_chunks(p, key, mesh, batch=False)
+            yield from zip(vals, keys_it)
+            if next(vals, None) is not None or next(keys_it, None) is not None:
+                raise ValueError(
+                    f"columns {key!r} and {value!r} have different chunk "
+                    "counts; group_stats needs equal length and chunking")
+
     for (vb, vdt, vvt, v_valid, v_mask), (kb, kdt, kvt, k_valid, k_mask) in \
-            zip(vals, keys_it):
+            _pairs():
         flat_v = _flatten_logical(vb, vdt, vvt)
         flat_k = _flatten_logical(kb, kdt, kvt)
         if isinstance(flat_k, tuple):
@@ -1828,10 +2019,6 @@ def group_stats(path: str, key: str, value: str, max_groups: int = None,
             acc = acc or _GroupAcc(k, "int",
                                    np.dtype(flat_v.dtype.name).itemsize * 8)
             acc.feed_int(_group_kernel_int(flat_k, flat_v, v, k))
-    if next(vals, None) is not None or next(keys_it, None) is not None:
-        raise ValueError(
-            f"columns {key!r} and {value!r} have different chunk counts; "
-            "group_stats needs equal length and chunking")
     out = acc.result() if acc is not None else {}
     if vdict is not None:  # string value column: codes -> labels
         out = {g: _map_str_result(s, vdict) for g, s in out.items()}

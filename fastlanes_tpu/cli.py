@@ -220,11 +220,14 @@ def _cmd_get(args) -> int:
 
 
 def _cmd_scan(args) -> int:
-    """Fused query over a compressed file: sum/min/max/count, optional
-    filtered count — decoded data never materializes (analytics module)."""
+    """Fused query over compressed file(s): sum/min/max/count, optional
+    filtered count — decoded data never materializes (analytics module).
+    Several inputs scan as one sharded dataset."""
     from . import analytics
 
-    with open(args.input, "rb") as f:
+    paths = args.input
+    args.input = paths[0] if len(paths) == 1 else paths
+    with open(paths[0], "rb") as f:
         is_table = f.read(8).startswith(b"FLTTAB1")
     if args.group_by:
         if not is_table or args.column is None:
@@ -286,6 +289,8 @@ def _cmd_select(args) -> int:
     (projection + selection pushdown; analytics.select)."""
     from . import analytics
 
+    paths = args.input
+    args.input = paths[0] if len(paths) == 1 else paths
     preds = []
     for w in args.where or []:
         parts = w.split(":", 2)
@@ -459,8 +464,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.set_defaults(fn=_cmd_get)
 
     sc = sub.add_parser("scan",
-                        help="fused sum/min/max/count query over a compressed file")
-    sc.add_argument("input")
+                        help="fused sum/min/max/count query over compressed "
+                             "file(s) — several inputs scan as one dataset")
+    sc.add_argument("input", nargs="+")
     sc.add_argument("--column", default=None, help="table files: column name")
     sc.add_argument("--where", default=None, metavar="OP:VALUE",
                     help="also aggregate rows matching OP:VALUE "
@@ -487,7 +493,7 @@ def build_parser() -> argparse.ArgumentParser:
     se = sub.add_parser("select",
                         help="materialize rows matching ANDed predicates "
                              "to .npz (projection + selection pushdown)")
-    se.add_argument("input")
+    se.add_argument("input", nargs="+")
     se.add_argument("output")
     se.add_argument("--where", action="append", metavar="COLUMN:OP:VALUE",
                     help="repeatable; OP in lt/le/gt/ge/eq/ne; string "
