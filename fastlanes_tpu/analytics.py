@@ -297,11 +297,13 @@ def _stats_core(x, ok):
     if pad:
         xu = jnp.concatenate([xu, jnp.zeros(pad, xu.dtype)])
     pieces = xu.reshape(-1, _PIECE)
-    # one 16-bit plane per 16 bits of the dtype, each piece-sum < 2^31
+    # one 16-bit plane per 16 bits of the dtype (u8/u16 fit one plane),
+    # each piece-sum < 2^31; mask/shift stay inside the dtype's width
     planes = []
-    for k in range(max(2, t // 16)):
-        part = ((pieces >> jnp.asarray(16 * k, xu.dtype))
-                & jnp.asarray(0xFFFF, xu.dtype)).astype(jnp.uint32)
+    pmask = jnp.asarray(min(0xFFFF, info.max - info.min), xu.dtype)
+    for k in range(max(1, t // 16)):
+        part = ((pieces >> jnp.asarray(16 * k, xu.dtype)) & pmask
+                ).astype(jnp.uint32)
         planes.append(jnp.sum(part, axis=1, dtype=jnp.uint32))
     return jnp.stack(planes), jnp.zeros((1,), jnp.uint32), n_neg, mn, mx
 
@@ -1005,11 +1007,11 @@ def _group_kernel_int(keys, x, v, k):
         else jnp.zeros((k,), jnp.int32))
     t = x.dtype.itemsize * 8
     xu = jax.lax.bitcast_convert_type(x, jnp.dtype(f"uint{t}"))
-    n_planes = max(2, t // 16)
+    n_planes = max(1, t // 16)
+    pmask = jnp.asarray(min(0xFFFF, info.max - info.min), xu.dtype)
     bins = _group_scatter_planes(
-        kk, [((xu >> jnp.asarray(16 * p, xu.dtype))
-              & jnp.asarray(0xFFFF, xu.dtype)).astype(jnp.uint32)
-             for p in range(n_planes)], k)
+        kk, [((xu >> jnp.asarray(16 * p, xu.dtype)) & pmask
+              ).astype(jnp.uint32) for p in range(n_planes)], k)
     return bins, counts, n_neg, mn, mx
 
 

@@ -411,3 +411,30 @@ def test_group_stats_negative_keys_and_empty(tmp_path, rng):
     fio_table.write_table(path, {"k": key, "v": val})
     with pytest.raises(ValueError, match=">= 0"):
         analytics.group_stats(path, "k", "v")
+
+
+def test_scan_u8_and_bool_columns(tmp_path, rng):
+    # u8 scans once crashed: the 16-bit plane mask overflowed uint8
+    from fastlanes_tpu import analytics, fio, fio_table
+
+    v8 = rng.integers(0, 256, 3000, np.int64).astype(np.uint8)
+    path = str(tmp_path / "u8.flt")
+    fio.write_file(path, v8)
+    s = analytics.scan_column(path)
+    assert s["sum"] == int(v8.sum())
+    assert s["min"] == int(v8.min()) and s["max"] == int(v8.max())
+    # bool logical column scans in the 0/1 domain (sum == true count)
+    flags = rng.random(3000) < 0.3
+    k = rng.integers(0, 4, 3000).astype(np.uint16)
+    tpath = str(tmp_path / "b.flt")
+    fio_table.write_table(tpath, {"paid": flags, "k": k})
+    s = analytics.scan_column(tpath, "paid")
+    assert s["sum"] == int(flags.sum())
+    g = analytics.group_stats(tpath, "k", "paid")
+    for gk, st in g.items():
+        assert st["sum"] == int(flags[k == gk].sum())
+    # signed i8 exact sums (plane reduction + two's-complement correction)
+    s8 = rng.integers(-128, 128, 3000, np.int64).astype(np.int8)
+    p8 = str(tmp_path / "i8.flt")
+    fio.write_file(p8, s8)
+    assert analytics.scan_column(p8)["sum"] == int(s8.sum())
