@@ -53,6 +53,10 @@ _PREDS = {
     "eq": lambda x, v: x == v,
     "ne": lambda x, v: x != v,
 }
+#: membership predicates take a LIST of probe values (the semi-join /
+#: SQL IN pushdown); null rows match neither `in` nor `notin`
+_SET_OPS = ("in", "notin")
+_ALL_OPS = tuple(_PREDS) + _SET_OPS
 
 
 def _column_layout(path: str, column: Optional[str]):
@@ -196,6 +200,13 @@ def _str_pred_to_code(dictionary: np.ndarray, op: str, value):
     sorted ascending, so code order == lexicographic order; probes absent
     from the dictionary fold to the neighbouring threshold (eq/ne on a
     missing value become never/always: code < 0 / code >= 0)."""
+    if op in _SET_OPS:  # membership probes -> present codes only
+        codes = []
+        for v in value:
+            i = int(np.searchsorted(dictionary, str(v)))
+            if i < dictionary.size and dictionary[i] == str(v):
+                codes.append(i)
+        return op, codes
     value = str(value)
     lo_idx = int(np.searchsorted(dictionary, value))
     exact = bool(lo_idx < dictionary.size and dictionary[lo_idx] == value)
@@ -212,7 +223,7 @@ def _str_pred_to_code(dictionary: np.ndarray, op: str, value):
         return ("eq", lo_idx) if exact else ("lt", 0)
     if op == "ne":
         return ("ne", lo_idx) if exact else ("ge", 0)
-    raise ValueError(f"unknown predicate {op!r}; have {sorted(_PREDS)}")
+    raise ValueError(f"unknown predicate {op!r}; have {sorted(_ALL_OPS)}")
 
 
 def _map_str_result(r: dict, dictionary: np.ndarray) -> dict:
@@ -617,12 +628,45 @@ def _hit_int(x, value, op):
     return _PREDS[op](x, value.astype(x.dtype))
 
 
+@jax.jit
+def _hit_in_sorted(x, sset):
+    """Membership of x in a sorted device set (ints <= 32 bits): one
+    searchsorted + one gather — scales to large IN lists."""
+    i = jnp.clip(jnp.searchsorted(sset, x), 0, sset.shape[0] - 1)
+    return sset[i] == x
+
+
+def _membership_mask(flat, values, negate: bool):
+    """IN / NOT IN over any value domain. Integer domains use a sorted
+    device set; float and u64 limb domains OR per-probe equality masks
+    (IN lists are short; every probe reuses the exact eq semantics —
+    -0.0 == +0.0, NaN probes match nothing)."""
+    vals = list(values)
+    if isinstance(flat, tuple):
+        m = jnp.zeros((_flat_len(flat),), bool)
+        for v in vals:
+            m = m | _pred_mask(flat, "eq", v)
+        return ~m if negate else m
+    info = np.iinfo(np.dtype(flat.dtype.name))
+    keep = sorted({int(v) for v in vals
+                   if info.min <= int(v) <= info.max})
+    if not keep:
+        m = jnp.zeros((flat.shape[0],), bool)
+    else:
+        sset = jnp.asarray(np.asarray(keep, np.dtype(flat.dtype.name)))
+        m = _hit_in_sorted(flat, sset)
+    return ~m if negate else m
+
+
 def _pred_mask(flat, op, value):
     """Predicate hit mask (device bool array) over a flattened chunk, any
     domain — the probe value is key-encoded on the host to match the
     chunk's comparison domain."""
     import math
     import struct
+
+    if op in _SET_OPS:
+        return _membership_mask(flat, value, op == "notin")
 
     if isinstance(flat, tuple) and isinstance(flat[0], str):
         n = flat[1].shape[0]
@@ -877,8 +921,8 @@ def count_where(path: str, op: str, value, column: Optional[str] = None,
                 mesh=None) -> int:
     """Fused filtered count: predicate evaluated on decoded values
     in-graph, only the running count leaves the device."""
-    if op not in _PREDS:
-        raise ValueError(f"unknown predicate {op!r}; have {sorted(_PREDS)}")
+    if op not in _ALL_OPS:
+        raise ValueError(f"unknown predicate {op!r}; have {sorted(_ALL_OPS)}")
     total = 0
     for p in _paths(path):
         d = _str_dict_of(p, column)
@@ -907,8 +951,8 @@ def scan_where(path: str, op: str, value, column: Optional[str] = None,
     cross-column predicate requires the two columns to share block layout
     (equal length and chunking — the writer's default for equal-length
     columns). Returns {sum, min, max, count} over matching rows."""
-    if op not in _PREDS:
-        raise ValueError(f"unknown predicate {op!r}; have {sorted(_PREDS)}")
+    if op not in _ALL_OPS:
+        raise ValueError(f"unknown predicate {op!r}; have {sorted(_ALL_OPS)}")
     paths = _paths(path)
     vdict0 = _str_dict_of(paths[0], column)
     if len(paths) > 1 and vdict0 is not None:
@@ -1349,8 +1393,9 @@ def _normalize_preds(path: str, preds):
     the code domain and ops validated."""
     out = []
     for pcol, op, value in preds:
-        if op not in _PREDS:
-            raise ValueError(f"unknown predicate {op!r}; have {sorted(_PREDS)}")
+        if op not in _ALL_OPS:
+            raise ValueError(
+                f"unknown predicate {op!r}; have {sorted(_ALL_OPS)}")
         wdict = _str_dict_of(path, pcol)
         if wdict is not None:
             op, value = _str_pred_to_code(wdict, op, value)

@@ -263,7 +263,10 @@ def _cmd_scan(args) -> int:
     if args.where:
         try:
             op, _, value = args.where.partition(":")
-            v = _parse_where_value(value)
+            if op in ("in", "notin"):  # VALUE is a comma list
+                v = [_parse_where_value(x) for x in value.split(",")]
+            else:
+                v = _parse_where_value(value)
             filtered = analytics.scan_where(args.input, op, v,
                                             column=args.column,
                                             where=args.where_column)
@@ -296,7 +299,11 @@ def _cmd_select(args) -> int:
         parts = w.split(":", 2)
         if len(parts) != 3:
             raise SystemExit(f"--where takes COLUMN:OP:VALUE, got {w!r}")
-        preds.append((parts[0], parts[1], _parse_where_value(parts[2])))
+        if parts[1] in ("in", "notin"):  # VALUE is a comma list
+            v = [_parse_where_value(x) for x in parts[2].split(",")]
+        else:
+            v = _parse_where_value(parts[2])
+        preds.append((parts[0], parts[1], v))
     columns = ([c.strip() for c in args.columns.split(",") if c.strip()]
                if args.columns else None)
     try:

@@ -227,3 +227,66 @@ def test_select_and_multi_where_on_mesh(tmp_path, rng):
     rows = analytics.select(path, columns=["qty"], order_by="qty",
                             desc=True, limit=4, mesh=mesh)
     np.testing.assert_array_equal(rows["qty"], np.sort(c["qty"])[::-1][:4])
+
+
+def test_in_predicates(tmp_path, rng):
+    path, c, _ = _tbl(tmp_path, rng)
+    # integer IN via sorted-set membership
+    probe = [3, 700, 999, 5000]  # 5000 out of data range
+    n = analytics.count_where(path, "in", probe, column="qty")
+    assert n == int(np.isin(c["qty"], probe).sum())
+    n = analytics.count_where(path, "notin", probe, column="qty")
+    assert n == int((~np.isin(c["qty"], probe)).sum())
+    # string IN translates to dictionary codes (absent probes drop)
+    got = analytics.scan_where(path, "in", ["EUR", "JPY", "XXX"],
+                               column="qty", where="cur")
+    mask = np.isin(c["cur"], ["EUR", "JPY"])
+    assert got["count"] == int(mask.sum())
+    assert got["sum"] == int(c["qty"][mask].sum())
+    # float IN: exact equality semantics per probe
+    v0 = float(c["price"][0])
+    n = analytics.count_where(path, "in", [v0, 1e99], column="price")
+    assert n == int((c["price"] == v0).sum())
+    # select + multi-pred with IN, and signed membership
+    rows = analytics.select(
+        path, columns=["qty"],
+        preds=[("cur", "in", ["GBP", "USD"]), ("sid", "in",
+                                               list(range(-50, 51)))])
+    mask = np.isin(c["cur"], ["GBP", "USD"]) & (np.abs(c["sid"]) <= 50)
+    np.testing.assert_array_equal(rows["qty"], c["qty"][mask])
+    # empty effective sets: in -> nothing, notin -> everything
+    assert analytics.count_where(path, "in", ["ZZZ"], column="cur") == 0
+    assert analytics.count_where(path, "notin", ["ZZZ"], column="cur") == \
+        len(c["cur"])
+
+
+def test_in_predicate_u64_and_nulls(tmp_path, rng):
+    path = str(tmp_path / "u.flt")
+    n = 2500
+    big = (np.array([3, 9, 27, 81], np.uint64) << np.uint64(40))[
+        rng.integers(0, 4, n)]
+    qty = rng.integers(0, 100, n).astype(np.uint32)
+    qmask = rng.random(n) < 0.3
+    fio_table.write_table(path, {"big": big,
+                                 "qty": np.ma.MaskedArray(qty, mask=qmask)})
+    probe = [int(np.uint64(3) << np.uint64(40)),
+             int(np.uint64(81) << np.uint64(40))]
+    assert analytics.count_where(path, "in", probe, column="big") == \
+        int(np.isin(big, np.asarray(probe, np.uint64)).sum())
+    # nulls match neither in nor notin
+    ok = ~qmask
+    assert analytics.count_where(path, "in", [1, 2, 3], column="qty") == \
+        int(np.isin(qty[ok], [1, 2, 3]).sum())
+    assert analytics.count_where(path, "notin", [1, 2, 3], column="qty") == \
+        int((~np.isin(qty[ok], [1, 2, 3])).sum())
+
+
+def test_cli_select_in(tmp_path, rng, capsys):
+    path, c, _ = _tbl(tmp_path, rng)
+    out = str(tmp_path / "r.npz")
+    assert cli.main(["select", path, out, "--where", "cur:in:EUR,GBP",
+                     "--columns", "qty"]) == 0
+    json.loads(capsys.readouterr().out)
+    got = np.load(out)
+    mask = np.isin(c["cur"], ["EUR", "GBP"])
+    np.testing.assert_array_equal(got["qty"], c["qty"][mask])
