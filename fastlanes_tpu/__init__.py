@@ -30,7 +30,10 @@ __all__ = [
     "delta_pack", "for_pack", "unfor_pack", "transpose", "untranspose",
     "unchecked_pack", "unchecked_unpack", "unchecked_unpack_single",
     "auto_encode", "get_codec", "write_file", "read_file", "read_blocks",
-    "read_single", "scan_column", "count_where", "LimbPlanes", "__version__",
+    "read_single", "scan_column", "count_where", "scan_table", "scan_where",
+    "scan_where_multi", "group_stats", "distinct", "value_counts", "top_k",
+    "select", "write_table", "read_table", "read_column", "TableWriter",
+    "StringColumn", "LimbPlanes", "__version__",
 ]
 
 
@@ -47,7 +50,12 @@ _API_HOME = {
                                    "unchecked_unpack_single")},
     **{n: "models.codecs" for n in ("auto_encode", "get_codec")},
     **{n: "fio" for n in ("write_file", "read_file", "read_blocks", "read_single")},
-    **{n: "analytics" for n in ("scan_column", "count_where")},
+    **{n: "fio_table" for n in ("write_table", "read_table", "read_column",
+                                "TableWriter", "StringColumn")},
+    **{n: "analytics" for n in (
+        "scan_column", "count_where", "scan_table", "scan_where",
+        "scan_where_multi", "group_stats", "distinct", "value_counts",
+        "top_k", "select")},
     "LimbPlanes": "limbs",
 }
 
