@@ -1695,6 +1695,167 @@ def _select_topk(path, columns, preds, k, mesh, order_by, desc, names,
     return result
 
 
+@jax.jit
+def _join_match(keys, right_sorted):
+    """(row index into the sorted right keys, matched?) per left key."""
+    i = jnp.clip(jnp.searchsorted(right_sorted, keys), 0,
+                 right_sorted.shape[0] - 1)
+    return i, right_sorted[i] == keys
+
+
+def join(left_path, right_path, on: str, columns=None, right_columns=None,
+         preds=(), how: str = "inner", limit: Optional[int] = None,
+         mesh=None) -> dict:
+    """Dimension join: enrich the (large, streamed) LEFT table with
+    columns of the (small) RIGHT table matched on the `on` key column.
+
+    The right key must be UNIQUE (a dimension table — so no row
+    multiplication); the right side decodes once to the host, the left
+    side streams chunk-by-chunk with `preds` pushdown and the key match
+    evaluated on device (sorted-key searchsorted; string keys match by
+    label through a left-code -> right-row translation table, so the
+    actual match is one device gather). `how`: "inner" drops unmatched
+    left rows, "left" keeps them with masked right values. Key domains:
+    integers <= 32 bits and strings (u64/float keys raise). Right columns
+    whose names collide get a "_right" suffix.
+
+    Returns {name: np array} like select()."""
+    from . import fio_table
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    lpaths = _paths(left_path)
+    rheader = fio_table.read_table_header(right_path)
+    if right_columns is None:
+        right_columns = [c for c in rheader["columns"] if c != on]
+    rkeys = fio_table.read_column(right_path, on)
+    if isinstance(rkeys, np.ma.MaskedArray):
+        raise ValueError(f"right key column {on!r} must not contain nulls")
+    rvals = {c: fio_table.read_column(right_path, c) for c in right_columns}
+
+    lheader = fio_table.read_table_header(lpaths[0])
+    if columns is None:
+        columns = list(lheader["columns"])
+    out_names = list(columns) + [
+        (c if c not in columns else f"{c}_right") for c in right_columns]
+
+    # sort the right side by key; uniqueness = no duplicate neighbours
+    if rkeys.dtype.kind in ("U", "O"):
+        rk = np.asarray(rkeys).astype(np.str_)
+        order = np.argsort(rk, kind="stable")
+        rk_sorted = rk[order]
+        if rk_sorted.size > 1 and (rk_sorted[1:] == rk_sorted[:-1]).any():
+            raise ValueError(f"right key column {on!r} has duplicates")
+        str_key = True
+        rkd = None
+    else:
+        if rkeys.dtype.itemsize * 8 == 64 or rkeys.dtype.kind == "f":
+            raise ValueError("join keys must be integers <= 32 bits or "
+                             f"strings; {on!r} is {rkeys.dtype}")
+        order = np.argsort(rkeys, kind="stable")
+        rk_sorted = np.asarray(rkeys)[order]
+        if rk_sorted.size > 1 and (rk_sorted[1:] == rk_sorted[:-1]).any():
+            raise ValueError(f"right key column {on!r} has duplicates")
+        str_key = False
+        rkd = jnp.asarray(rk_sorted)
+    rvals_sorted = {c: v[order] for c, v in rvals.items()}
+
+    out = {n: [] for n in out_names}
+    taken = 0
+    for p in lpaths:
+        preds_p = _normalize_preds(p, list(preds))
+        names = list(dict.fromkeys([q[0] for q in preds_p] + list(columns)
+                                   + [on]))
+        col_meta = {n: (fio_table._col_meta(
+            fio_table.read_table_header(p), n).get("transform") in
+            ("zigzag", "viewu"), _str_dict_of(p, n)) for n in names}
+        if str_key:
+            ld = _str_dict_of(p, on)
+            if ld is None:
+                raise ValueError(f"left {on!r} is not a string column but "
+                                 "the right key is")
+            # left code -> right sorted row (or -1): host searchsorted of
+            # the left dictionary into the right keys, then ONE device
+            # gather per chunk does the whole match
+            pos = np.searchsorted(rk_sorted, ld)
+            pos_c = np.clip(pos, 0, max(0, rk_sorted.size - 1))
+            hit = (rk_sorted[pos_c] == ld) if rk_sorted.size else \
+                np.zeros(ld.size, bool)
+            tr = np.where(hit, pos_c, -1).astype(np.int32)
+            tr_dev = jnp.asarray(tr)
+        for rows in _lockstep_chunks(p, names, mesh):
+            valid = rows[names[0]][3]
+            if valid == 0:
+                continue
+            mask = _chunk_row_mask(rows, preds_p)
+            kblocks, kdt, kvt, _kv, kmask = rows[on]
+            kflat = _flatten_logical(kblocks, kdt, kvt)
+            if isinstance(kflat, tuple):
+                raise ValueError("join keys must be integers <= 32 bits "
+                                 "or strings")
+            if str_key:
+                ridx = jnp.take(tr_dev, kflat.astype(jnp.int32))
+                matched = ridx >= 0
+            elif rk_sorted.size == 0:
+                ridx = jnp.zeros(kflat.shape, jnp.int32)
+                matched = jnp.zeros(kflat.shape, bool)
+            else:
+                if kflat.dtype != rkd.dtype:
+                    raise ValueError(
+                        f"join key dtypes differ ({kflat.dtype} vs "
+                        f"{rkd.dtype}); store both sides as one dtype")
+                ridx, matched = _join_match(kflat, rkd)
+            if kmask is not None:  # null keys never match
+                matched = matched & kmask
+            keep = matched if how == "inner" else (
+                jnp.ones(kflat.shape, bool) if mask is None else mask)
+            if how == "inner" and mask is not None:
+                keep = keep & mask
+            keep_np = np.asarray(keep)[:valid]
+            idx = np.flatnonzero(keep_np)
+            if limit is not None and taken + idx.size > limit:
+                idx = idx[: limit - taken]
+            taken += idx.size
+            # left columns: device gather at the kept rows
+            for n in columns:
+                blocks, cdtype, vtype, _v, vmask = rows[n]
+                vals = _host_chunk_values(blocks, cdtype, vtype,
+                                          *col_meta[n], idx)
+                if vmask is not None:
+                    vals = np.ma.MaskedArray(
+                        vals, mask=~np.asarray(vmask)[:valid][idx]
+                        if idx.size else np.zeros(0, bool))
+                out[n].append(vals)
+            # right columns: host gather by matched sorted-row index
+            ridx_np = np.asarray(ridx)[:valid][idx]
+            ok_np = np.asarray(matched)[:valid][idx]
+            safe = np.where(ok_np, ridx_np, 0).astype(np.int64)
+            for c, oname in zip(right_columns, out_names[len(columns):]):
+                rv = rvals_sorted[c][safe]
+                if how == "left":
+                    m = ~ok_np
+                    if isinstance(rv, np.ma.MaskedArray):
+                        rv = np.ma.MaskedArray(np.ma.getdata(rv),
+                                               mask=np.ma.getmaskarray(rv) | m)
+                    elif m.any():
+                        rv = np.ma.MaskedArray(rv, mask=m)
+                out[oname].append(rv)
+            if limit is not None and taken >= limit:
+                break
+        if limit is not None and taken >= limit:
+            break
+    result = {}
+    for n in out_names:
+        parts = out[n]
+        if not parts:
+            result[n] = np.empty(0)
+        elif any(isinstance(q, np.ma.MaskedArray) for q in parts):
+            result[n] = np.ma.concatenate(parts)
+        else:
+            result[n] = np.concatenate(parts)
+    return result
+
+
 # ---------------------------------------------------------------------------
 # distinct / value_counts / top_k: the remaining SQL-ish pushdowns.
 # distinct is metadata-only for dict/rle/string chunks (their payloads

@@ -329,6 +329,49 @@ def _cmd_select(args) -> int:
     return 0
 
 
+def _cmd_join(args) -> int:
+    """Dimension join (left table(s) enriched from a unique-keyed right
+    table) -> .npz; analytics.join."""
+    from . import analytics
+
+    preds = []
+    for w in args.where or []:
+        parts = w.split(":", 2)
+        if len(parts) != 3:
+            raise SystemExit(f"--where takes COLUMN:OP:VALUE, got {w!r}")
+        if parts[1] in ("in", "notin"):
+            v = [_parse_where_value(x) for x in parts[2].split(",")]
+        else:
+            v = _parse_where_value(parts[2])
+        preds.append((parts[0], parts[1], v))
+    cols = ([c.strip() for c in args.columns.split(",") if c.strip()]
+            if args.columns else None)
+    rcols = ([c.strip() for c in args.right_columns.split(",") if c.strip()]
+             if args.right_columns else None)
+    left = args.left[0] if len(args.left) == 1 else args.left
+    try:
+        rows = analytics.join(left, args.right, on=args.on, columns=cols,
+                              right_columns=rcols, preds=preds,
+                              how=args.how, limit=args.limit)
+    except (ValueError, KeyError) as e:
+        raise SystemExit(f"error: {e}")
+    out = {}
+    n_rows = 0
+    for k, v in rows.items():
+        n_rows = len(v)
+        if isinstance(v, np.ma.MaskedArray):
+            out[k] = np.asarray(np.ma.getdata(v))
+            out[f"{k}__valid"] = ~np.ma.getmaskarray(v)
+        else:
+            out[k] = v
+    out_path = (args.output if args.output.endswith(".npz")
+                else args.output + ".npz")
+    np.savez(out_path, **out)
+    print(json.dumps({"file": out_path, "rows": n_rows,
+                      "columns": sorted(rows)}))
+    return 0
+
+
 def _cmd_import(args) -> int:
     """parquet/csv -> FLT table (Arrow interop; type inference, nulls,
     strings, temporal types all preserved)."""
@@ -514,6 +557,24 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--desc", action="store_true",
                     help="descending order (with --order-by)")
     se.set_defaults(fn=_cmd_select)
+
+    jo = sub.add_parser("join",
+                        help="enrich left table(s) from a unique-keyed "
+                             "right table -> .npz")
+    jo.add_argument("left", nargs="+",
+                    help="left table file(s) (several scan as one dataset)")
+    jo.add_argument("right")
+    jo.add_argument("output")
+    jo.add_argument("--on", required=True, metavar="KEY_COLUMN")
+    jo.add_argument("--columns", default=None,
+                    help="left projection (default: all left columns)")
+    jo.add_argument("--right-columns", default=None,
+                    help="right projection (default: all but the key)")
+    jo.add_argument("--where", action="append", metavar="COLUMN:OP:VALUE",
+                    help="left-side predicates (repeatable)")
+    jo.add_argument("--how", default="inner", choices=["inner", "left"])
+    jo.add_argument("--limit", type=int, default=None)
+    jo.set_defaults(fn=_cmd_join)
 
     im = sub.add_parser("import",
                         help="compress a .parquet/.csv file to an .flt table")
