@@ -1450,11 +1450,20 @@ def scan_where_multi(path: str, preds, column: Optional[str] = None,
     return _map_str_result(r, vdict0) if vdict0 is not None else r
 
 
+def _logical_vt(col_meta: dict):
+    """The column's logical vtype when it rides integer storage (bool /
+    datetime64[*] / timedelta64[*]), else None."""
+    vt = col_meta.get("vtype")
+    if vt == "bool" or (vt or "").startswith(("datetime64", "timedelta64")):
+        return vt
+    return None
+
+
 def _host_chunk_values(blocks, cdtype, vtype, transform_signed, str_dict,
-                       idx):
+                       logical, idx):
     """Rows `idx` of one decoded chunk -> host values in the user-facing
-    domain. The gather runs on device, so only matching rows cross to the
-    host."""
+    domain (strings, bools and temporal dtypes restored). The gather runs
+    on device, so only matching rows cross to the host."""
     flat = _flatten_logical(blocks, cdtype, vtype)
     di = jnp.asarray(idx, jnp.int32)
 
@@ -1471,10 +1480,16 @@ def _host_chunk_values(blocks, cdtype, vtype, transform_signed, str_dict,
         lo = take(flat[0]).astype(np.uint64)
         hi = take(flat[1]).astype(np.uint64)
         wide = (hi << np.uint64(32)) | lo
-        return wide.view(np.int64) if transform_signed else wide
+        if transform_signed:
+            wide = wide.view(np.int64)
+        if logical is not None:  # datetime64[*] / timedelta64[*]
+            wide = wide.view(np.dtype(logical))
+        return wide
     vals = take(flat)
     if str_dict is not None:
         return str_dict[vals.astype(np.int64)]
+    if logical == "bool":
+        return vals.astype(bool)
     return vals
 
 
@@ -1511,9 +1526,11 @@ def select(path: str, columns=None, preds=(), limit: Optional[int] = None,
     names = list(dict.fromkeys(
         [p[0] for p in preds] + list(columns)
         + ([order_by] if order_by is not None else [])))
-    meta = {n: (fio_table._col_meta(header, n).get("transform") in
-                ("zigzag", "viewu"),
-                _str_dict_of(path, n)) for n in names}
+    meta = {}
+    for n in names:
+        cm = fio_table._col_meta(header, n)
+        meta[n] = (cm.get("transform") in ("zigzag", "viewu"),
+                   _str_dict_of(path, n), _logical_vt(cm))
 
     if order_by is not None and limit is not None:
         return _select_topk(path, columns, preds, limit, mesh, order_by,
@@ -1545,8 +1562,8 @@ def select(path: str, columns=None, preds=(), limit: Optional[int] = None,
             out[n].append(vals)
         if order_by is not None:
             blocks, cdtype, vtype, _v, vmask = rows[order_by]
-            kv = _host_chunk_values(blocks, cdtype, vtype, *meta[order_by],
-                                    idx)
+            kv = _host_chunk_values(blocks, cdtype, vtype,
+                                    *meta[order_by], idx)
             if vmask is not None:
                 kv = np.ma.MaskedArray(
                     kv, mask=~np.asarray(vmask)[:valid][idx]
@@ -1766,9 +1783,12 @@ def join(left_path, right_path, on: str, columns=None, right_columns=None,
         preds_p = _normalize_preds(p, list(preds))
         names = list(dict.fromkeys([q[0] for q in preds_p] + list(columns)
                                    + [on]))
-        col_meta = {n: (fio_table._col_meta(
-            fio_table.read_table_header(p), n).get("transform") in
-            ("zigzag", "viewu"), _str_dict_of(p, n)) for n in names}
+        lh = fio_table.read_table_header(p)
+        col_meta = {}
+        for n in names:
+            cm = fio_table._col_meta(lh, n)
+            col_meta[n] = (cm.get("transform") in ("zigzag", "viewu"),
+                           _str_dict_of(p, n), _logical_vt(cm))
         if str_key:
             ld = _str_dict_of(p, on)
             if ld is None:
@@ -1831,7 +1851,11 @@ def join(left_path, right_path, on: str, columns=None, right_columns=None,
             ok_np = np.asarray(matched)[:valid][idx]
             safe = np.where(ok_np, ridx_np, 0).astype(np.int64)
             for c, oname in zip(right_columns, out_names[len(columns):]):
-                rv = rvals_sorted[c][safe]
+                if rvals_sorted[c].size == 0:  # empty right: all masked
+                    rv = np.ma.masked_all(
+                        len(safe), dtype=np.ma.getdata(rvals_sorted[c]).dtype)
+                else:
+                    rv = rvals_sorted[c][safe]
                 if how == "left":
                     m = ~ok_np
                     if isinstance(rv, np.ma.MaskedArray):
@@ -1913,6 +1937,10 @@ def distinct(path: str, column: Optional[str] = None) -> np.ndarray:
     merged = np.unique(np.concatenate(parts))
     if transform is not None:  # transforms reorder the wire domain
         merged = np.unique(fio.apply_inverse_transform(merged, transform))
+    if vtype == "bool":
+        return merged.astype(bool)
+    if vtype is not None and vtype.startswith(("datetime64", "timedelta64")):
+        return merged.view(np.dtype(vtype))  # int64 order == temporal order
     return merged
 
 
@@ -1954,23 +1982,26 @@ def value_counts(path: str, column: Optional[str] = None,
         return merged
     path = paths[0]
     d = _str_dict_of(path, column)
+    logical_bool = False
     if d is None:
         vals = distinct(path, column)
+        logical_bool = vals.dtype == bool
         if vals.dtype.kind == "f":
             raise ValueError("value_counts over float columns is "
                              "ill-defined; use group_stats or top_k")
         if vals.dtype.itemsize * 8 == 64:
             raise ValueError("value_counts over 64-bit columns is not "
                              "supported without x64; use group_stats")
-        if vals.size > max_values:
-            raise ValueError(f"{vals.size} distinct values exceed "
-                             f"max_values={max_values}")
     else:
         vals = d
+    if vals.size > max_values:
+        raise ValueError(f"{vals.size} distinct values exceed "
+                         f"max_values={max_values}")
     kcap = int(vals.size)
     if kcap == 0:
         return {}
-    dict_dev = None if d is not None else jnp.asarray(vals)
+    dict_dev = None if d is not None else jnp.asarray(
+        vals.astype(np.uint8) if logical_bool else vals)
     counts = np.zeros(kcap, np.int64)
     for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(path, column,
                                                                mesh):
@@ -1984,6 +2015,9 @@ def value_counts(path: str, column: Optional[str] = None,
         counts += np.asarray(got, np.int64)
     if d is not None:
         return {str(vals[i]): int(counts[i]) for i in range(kcap)
+                if counts[i]}
+    if logical_bool:
+        return {bool(vals[i]): int(counts[i]) for i in range(kcap)
                 if counts[i]}
     return {int(vals[i]): int(counts[i]) for i in range(kcap) if counts[i]}
 
@@ -2091,9 +2125,9 @@ def top_k(path: str, column: Optional[str] = None, k: int = 10,
         for p in paths:
             vals += top_k(p, column, k, largest, mesh)
 
-        def keyf(v):  # NaN ranks largest (the numpy/total-order convention)
+        def keyf(v):  # IEEE total order: +NaN above +inf, -NaN below -inf
             if isinstance(v, float) and math.isnan(v):
-                return (1, 0.0)
+                return (-1 if math.copysign(1.0, v) < 0 else 1, 0.0)
             return (0, v)
 
         return sorted(vals, key=keyf, reverse=largest)[:k]
@@ -2121,7 +2155,14 @@ def top_k(path: str, column: Optional[str] = None, k: int = 10,
     if kind is None:
         return []
     of_key = _key_to_value(kind, int_bits, d)
-    return [of_key(key) for key in sorted(cands, reverse=largest)[:k]]
+    out = [of_key(key) for key in sorted(cands, reverse=largest)[:k]]
+    vt = _column_layout(path, column)[3]
+    if vt == "bool":
+        return [bool(v) for v in out]
+    if vt is not None and vt.startswith(("datetime64", "timedelta64")):
+        dt = np.dtype(vt)
+        return [np.int64(v).view(dt) for v in out]
+    return out
 
 
 def group_stats(path: str, key: str, value: str, max_groups: int = None,

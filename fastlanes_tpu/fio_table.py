@@ -243,7 +243,8 @@ class TableWriter:
         st = {"kind": None, "dtype": None, "logical": None, "transform": None,
               "buf": [], "masks": [], "n_values": 0, "n_null": 0,
               "chunks": [], "validity": bytearray(), "carry": None,
-              "str_map": {}, "any_null": False, "n_blocks": 0}
+              "str_map": {}, "any_null": False, "n_blocks": 0,
+              "lead_null": 0}  # values buffered before any valid one
         if arr.dtype == np.bool_:
             st["kind"], st["logical"], st["dtype"] = "int", "bool", "u8"
             st["transform"] = False  # unsigned storage, no transform probe
@@ -255,12 +256,19 @@ class TableWriter:
             if name in self.dtypes:
                 raise ValueError(
                     f"string column {name!r} chooses its own wire dtype")
+            if self.codec in ("alp", "alprd"):
+                raise ValueError(f"string column {name!r} cannot use the "
+                                 f"float codec {self.codec!r}")
             st["kind"], st["dtype"] = "str", "u32"
             st["transform"] = False  # codes are unsigned
         elif arr.dtype.kind == "f":
             if name in self.dtypes:
                 raise ValueError(
                     f"float column {name!r} chooses its own wire dtype")
+            if self.codec not in ("auto", "alp", "alprd"):
+                raise ValueError(
+                    f"float column {name!r} uses the 'alp'/'alprd' codecs, "
+                    f"not {self.codec!r}")
             st["kind"] = "float"
             st["vtype"] = "f32" if arr.dtype == np.float32 else "f64"
             st["dtype"] = "u32" if st["vtype"] == "f32" else "u64"
@@ -296,7 +304,11 @@ class TableWriter:
         if arr.ndim != 1:
             raise ValueError("TableWriter.append takes flat 1-D batches")
         if mask is not None:
-            st["any_null"] = True
+            if not st["any_null"]:
+                st["any_null"] = True
+                # the bitmap starts lazily: backfill the all-valid prefix of
+                # already-flushed blocks (no per-column RAM until a null)
+                st["validity"] = bytearray(b"\xff" * (st["n_blocks"] * 128))
             st["n_null"] += int(mask.sum())
             arr = fio.fill_nulls(arr, mask)
             # leading nulls of THIS batch take the carried last valid value
@@ -305,9 +317,16 @@ class TableWriter:
                 arr = arr.copy()
                 arr[:lead] = st["carry"]
         st["masks"].append(np.zeros(len(arr), bool) if mask is None else mask)
-        if len(arr):
+        all_null = mask is not None and len(arr) and mask.all()
+        no_carry = st["carry"] is None
+        if len(arr) and not (no_carry and all_null):
             st["carry"] = arr[-1]
         if st["kind"] == "str":
+            if no_carry and all_null:
+                # placeholder codes: nothing enters the dictionary until a
+                # real value arrives (rewritten below)
+                st["lead_null"] += len(arr)
+                return np.zeros(len(arr), np.uint32)
             if arr.dtype.kind == "S":
                 arr = np.char.decode(arr, "utf-8")
             codes = np.empty(len(arr), np.uint32)
@@ -318,7 +337,17 @@ class TableWriter:
                 if code is None:
                     code = smap[s] = len(smap)
                 codes[i] = code
+            if st["lead_null"] and len(codes):
+                # first valid value arrived: buffered placeholders become
+                # its code, matching write_table's global forward-fill
+                st["buf"] = [np.full_like(b, codes[0]) for b in st["buf"]]
+                st["lead_null"] = 0
             return codes
+        if no_carry and all_null:
+            st["lead_null"] += len(arr)  # zeros for now, rewritten below
+        elif st["lead_null"] and len(arr):
+            st["buf"] = [np.full_like(b, arr[0]) for b in st["buf"]]
+            st["lead_null"] = 0
         return arr
 
     # -- chunk plumbing -----------------------------------------------------
@@ -377,7 +406,8 @@ class TableWriter:
         self._spill_off += len(payload)
         st["chunks"].append(meta)
         st["n_blocks"] += n_blocks
-        st["validity"] += fio.encode_validity(mask, n_blocks)
+        if st["any_null"]:  # bitmap only materializes once a null exists
+            st["validity"] += fio.encode_validity(mask, n_blocks)
 
     # -- public API ----------------------------------------------------------
 
@@ -415,6 +445,8 @@ class TableWriter:
             for name, st in cols.items():
                 if st["kind"] != "str":
                     continue
+                if st["lead_null"] and not st["str_map"]:
+                    st["str_map"][""] = 0  # all-null column: '' like write_table
                 words = np.array(list(st["str_map"]), dtype=np.str_)
                 order = np.argsort(words, kind="stable")
                 remap = np.empty(len(words), np.uint32)

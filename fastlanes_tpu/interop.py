@@ -34,8 +34,15 @@ def arrow_to_columns(table) -> dict:
     """Arrow table -> {name: numpy array} in this framework's column model
     (np.ma masked where the Arrow column has nulls; strings as object
     arrays holding None; dictionary-encoded columns decoded)."""
-    return {name: _arrow_array_to_numpy(table.column(name))
-            for name in table.column_names}
+    out = {}
+    for name in table.column_names:
+        try:
+            out[name] = _arrow_array_to_numpy(table.column(name))
+        except UnicodeDecodeError as e:
+            raise ValueError(
+                f"column {name!r}: binary values are not valid UTF-8; FLT "
+                "string columns store UTF-8 text") from e
+    return out
 
 
 def _arrow_array_to_numpy(arr):
