@@ -58,6 +58,15 @@ _PREDS = {
 _SET_OPS = ("in", "notin")
 _ALL_OPS = tuple(_PREDS) + _SET_OPS
 
+#: lockstep walks (cross-column where / group-by / select / join) decode
+#: this many aligned chunks per device dispatch — ~1/8 of the per-call
+#: overhead without unbounded HBM staging (FASTLANES_LOCKSTEP_WINDOW
+#: overrides for A/B measurement; 1 = chunk-at-a-time)
+import os as _os_mod
+
+_LOCKSTEP_WINDOW = int(_os_mod.environ.get("FASTLANES_LOCKSTEP_WINDOW", "8")
+                       or 8)
+
 
 def _column_layout(path: str, column: Optional[str]):
     """Chunk metadata of a column (FLT file or FLTTAB table column):
@@ -128,7 +137,8 @@ def _merge_group_results(subs, str_value: bool) -> dict:
     return out
 
 
-def _decoded_chunks(path: str, column: Optional[str], mesh, batch=True):
+def _decoded_chunks(path: str, column: Optional[str], mesh, batch=True,
+                    window: Optional[int] = None):
     """Yield (decoded device blocks, dtype, vtype, valid, vmask) already
     transform-applied — real values in the column's logical domain. `vmask`
     is the part's flat device validity mask for nullable columns (True =
@@ -136,8 +146,11 @@ def _decoded_chunks(path: str, column: Optional[str], mesh, batch=True):
     contribute), else None. With `batch` (the default), consecutive
     same-signature chunks decode in ONE device dispatch
     (fio_device._decode_chunks_grouped) and come back as one merged part;
-    lockstep consumers (cross-column scan_where / group_stats) pass
-    batch=False so both columns' parts align chunk-for-chunk."""
+    lockstep consumers (cross-column scan_where / group_stats / select /
+    join) pass batch=False with a `window`: every window of N chunks
+    decodes batched and yields exactly ONE part, so multi-column walks
+    stay aligned while paying ~1/N of the per-dispatch overhead (a
+    tunneled chip costs ~26ms per call)."""
     chunks, cdtype, transform, vtype, n_values, base_off, nulls_meta = \
         _column_layout(path, column)
 
@@ -149,6 +162,17 @@ def _decoded_chunks(path: str, column: Optional[str], mesh, batch=True):
                 covering.append((meta, f.read(meta["nbytes"])))
             parts = fio_device._decode_chunks_grouped(covering, cdtype, mesh,
                                                       "auto")
+        elif window:
+            def _windowed():
+                for i in range(0, len(chunks), window):
+                    cov = []
+                    for meta in chunks[i:i + window]:
+                        f.seek(base_off + meta["offset"])
+                        cov.append((meta, f.read(meta["nbytes"])))
+                    ps = fio_device._decode_chunks_grouped(cov, cdtype, mesh,
+                                                           "auto")
+                    yield fio_device._concat_parts(ps, cdtype)
+            parts = _windowed()
         else:
             parts = (fio_device._decode_chunk_device(
                 meta, (f.seek(base_off + meta["offset"]),
@@ -987,8 +1011,10 @@ def _scan_where_into(acc, path, op, value, column, where, mesh):
             acc.feed_flat(flat, valid, pred)
         return
     # cross-column predicate: walk both chunk streams in lockstep
-    vals = _decoded_chunks(path, column, mesh, batch=False)
-    preds = _decoded_chunks(path, where, mesh, batch=False)
+    vals = _decoded_chunks(path, column, mesh, batch=False,
+                           window=_LOCKSTEP_WINDOW)
+    preds = _decoded_chunks(path, where, mesh, batch=False,
+                            window=_LOCKSTEP_WINDOW)
     for (vb, vdt, vvt, v_valid, v_mask), (wb, wdt, wvt, w_valid, w_mask) in \
             zip(vals, preds):
         flat_v = _flatten_logical(vb, vdt, vvt)
@@ -1365,7 +1391,8 @@ def _lockstep_chunks(path: str, names, mesh):
     """Walk several columns' chunk streams in lockstep (batch=False so
     parts align chunk-for-chunk). Yields {name: (blocks, cdtype, vtype,
     valid, vmask)} per chunk; raises on mismatched layouts."""
-    iters = {n: _decoded_chunks(path, n, mesh, batch=False) for n in names}
+    iters = {n: _decoded_chunks(path, n, mesh, batch=False,
+                                window=_LOCKSTEP_WINDOW) for n in names}
     while True:
         rows = {}
         done = 0
@@ -2209,8 +2236,10 @@ def group_stats(path: str, key: str, value: str, max_groups: int = None,
 
     def _pairs():
         for p in paths:
-            vals = _decoded_chunks(p, value, mesh, batch=False)
-            keys_it = _decoded_chunks(p, key, mesh, batch=False)
+            vals = _decoded_chunks(p, value, mesh, batch=False,
+                                   window=_LOCKSTEP_WINDOW)
+            keys_it = _decoded_chunks(p, key, mesh, batch=False,
+                                      window=_LOCKSTEP_WINDOW)
             yield from zip(vals, keys_it)
             if next(vals, None) is not None or next(keys_it, None) is not None:
                 raise ValueError(
