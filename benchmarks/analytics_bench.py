@@ -132,13 +132,20 @@ def main():
         t_vc = timed(lambda: analytics.value_counts(spath, "cur"))
         t_strgrp = timed(lambda: analytics.group_stats(spath, "cur", "qty",
                                                        max_groups=8))
+        dimpath = os.path.join(tmpdir, "dim.flt")
+        fio_table.write_table(dimpath, {
+            "cur": cats, "rate": (np.arange(8) / 7.0 + 0.5)})
+        t_join = timed(lambda: analytics.join(
+            spath, dimpath, on="cur", columns=["qty"],
+            preds=[("qty", "gt", 900)]))
         emit({"bench": "analytics_pushdowns",
               "scan_where_multi_rows_per_s": round(2 * n / t_multi, 1),
               "top_k_rows_per_s": round(n / t_topk, 1),
               "select_rows_per_s": round(3 * n / t_sel, 1),
               "order_by_limit_rows_per_s": round(3 * n / t_ord, 1),
               "value_counts_rows_per_s": round(n / t_vc, 1),
-              "group_by_str_rows_per_s": round(2 * n / t_strgrp, 1)})
+              "group_by_str_rows_per_s": round(2 * n / t_strgrp, 1),
+              "join_rows_per_s": round(2 * n / t_join, 1)})
     finally:
         import shutil
 

@@ -329,6 +329,32 @@ def _cmd_select(args) -> int:
     return 0
 
 
+def _cmd_recompress(args) -> int:
+    """Rewrite an FLT file/table with a different codec or chunking
+    (compaction): decode on the host, re-encode with the new settings.
+    Logical types, nulls, strings and transforms all survive the trip."""
+    import os
+
+    with open(args.input, "rb") as f:
+        is_table = f.read(8).startswith(b"FLTTAB1")
+    if is_table:
+        from . import fio_table
+
+        table = fio_table.read_table(args.input)
+        fio_table.write_table(args.output, table, codec=args.codec,
+                              chunk_blocks=args.chunk_blocks)
+    else:
+        values = fio.read_file(args.input)
+        fio.write_file(args.output, values, codec=args.codec,
+                       chunk_blocks=args.chunk_blocks)
+    print(json.dumps({
+        "file": args.output,
+        "input_bytes": os.path.getsize(args.input),
+        "file_bytes": os.path.getsize(args.output),
+    }))
+    return 0
+
+
 def _cmd_join(args) -> int:
     """Dimension join (left table(s) enriched from a unique-keyed right
     table) -> .npz; analytics.join."""
@@ -557,6 +583,17 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--desc", action="store_true",
                     help="descending order (with --order-by)")
     se.set_defaults(fn=_cmd_select)
+
+    rc = sub.add_parser("recompress",
+                        help="rewrite an .flt file/table with a different "
+                             "codec or chunking (compaction)")
+    rc.add_argument("input")
+    rc.add_argument("output")
+    rc.add_argument("--codec", default="auto",
+                    choices=["auto", "bitpack", "ffor", "delta", "zdelta",
+                             "rle", "dict"])
+    rc.add_argument("--chunk-blocks", type=int, default=1024)
+    rc.set_defaults(fn=_cmd_recompress)
 
     jo = sub.add_parser("join",
                         help="enrich left table(s) from a unique-keyed "

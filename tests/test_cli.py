@@ -222,3 +222,35 @@ def test_cli_scan_group_by(tmp_path, rng, capsys):
         assert groups[str(g)]["count"] == int(m.sum())
     with pytest.raises(SystemExit, match="table"):
         cli.main(["scan", str(tab), "--group-by", "k"])
+
+
+def test_cli_recompress(tmp_path, rng, capsys):
+    import json
+
+    from fastlanes_tpu import fio_table
+
+    src = str(tmp_path / "a.flt")
+    dst = str(tmp_path / "b.flt")
+    n = 3000
+    qty = rng.integers(0, 9, n).astype(np.uint32)
+    cur = np.array(["x", "y"])[rng.integers(0, 2, n)]
+    fio_table.write_table(src, {"qty": qty, "cur": cur}, chunk_blocks=1)
+    assert cli.main(["recompress", src, dst, "--chunk-blocks", "4"]) == 0
+    json.loads(capsys.readouterr().out)
+    got = fio_table.read_table(dst)
+    np.testing.assert_array_equal(got["qty"], qty)
+    np.testing.assert_array_equal(got["cur"], cur)
+    assert fio_table.read_table_header(dst)["columns"]["qty"][
+        "chunk_blocks"] == 4
+    # single-column files too
+    from fastlanes_tpu import fio
+
+    s1 = str(tmp_path / "c1.flt")
+    s2 = str(tmp_path / "c2.flt")
+    vals = np.sort(rng.integers(0, 1 << 20, 4000).astype(np.uint32))
+    fio.write_file(s1, vals, codec="bitpack")
+    assert cli.main(["recompress", s1, s2]) == 0
+    capsys.readouterr()
+    np.testing.assert_array_equal(fio.read_file(s2), vals)
+    assert {c["codec"] for c in fio.read_header(s2)["chunks"]} <= {
+        "delta", "zdelta", "ffor"}
