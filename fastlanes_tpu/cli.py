@@ -4,8 +4,15 @@
     python -m fastlanes_tpu decompress column.flt raw.npy [--start B] [--stop B]
     python -m fastlanes_tpu inspect    column.flt
     python -m fastlanes_tpu get        column.flt BLOCK INDEX
-    python -m fastlanes_tpu scan       column.flt [--where gt:100]
+    python -m fastlanes_tpu scan       column.flt [--where gt:100] [--top K] [--distinct]
     python -m fastlanes_tpu scan       table.flt              # every column, one pass
+    python -m fastlanes_tpu scan       s0.flt s1.flt --column q --group-by cur   # dataset
+    python -m fastlanes_tpu select     table.flt rows.npz --where cur:eq:EUR \
+                                       --order-by price --desc --limit 10
+    python -m fastlanes_tpu join       fact.flt dim.flt out.npz --on key
+    python -m fastlanes_tpu import     data.parquet table.flt [--batch-rows N]
+    python -m fastlanes_tpu export     table.flt data.parquet
+    python -m fastlanes_tpu recompress table.flt smaller.flt --chunk-blocks 4096
 
 The role the `vortex` CLI plays around the Rust crate: compress whole
 columns to disk, decode block ranges, random-access single elements.
