@@ -32,8 +32,8 @@ __all__ = [
     "auto_encode", "get_codec", "write_file", "read_file", "read_blocks",
     "read_single", "scan_column", "count_where", "scan_table", "scan_where",
     "scan_where_multi", "group_stats", "distinct", "value_counts", "top_k",
-    "select", "write_table", "read_table", "read_column", "TableWriter",
-    "StringColumn", "LimbPlanes", "__version__",
+    "select", "join", "quantile", "median", "write_table", "read_table",
+    "read_column", "TableWriter", "StringColumn", "LimbPlanes", "__version__",
 ]
 
 
@@ -55,7 +55,7 @@ _API_HOME = {
     **{n: "analytics" for n in (
         "scan_column", "count_where", "scan_table", "scan_where",
         "scan_where_multi", "group_stats", "distinct", "value_counts",
-        "top_k", "select")},
+        "top_k", "select", "join", "quantile", "median")},
     "LimbPlanes": "limbs",
 }
 

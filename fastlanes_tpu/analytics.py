@@ -1739,6 +1739,97 @@ def _select_topk(path, columns, preds, k, mesh, order_by, desc, names,
     return result
 
 
+def quantile(path, column: Optional[str] = None, q=0.5, mesh=None):
+    """EXACT quantile of a compressed column (lower interpolation, the
+    value at zero-based rank floor(q*(n-1)) of the sorted non-null
+    values; numpy's method='lower'). Accepts a scalar q or a list.
+
+    Strategy: when the distinct set fits value_counts, ONE scan plus a
+    cumulative sum answers every q (strings/bools/low-cardinality ints).
+    Otherwise a value-domain binary search runs count_where('le', mid)
+    per step — ~32 scans for 32-bit ints, ~64 for f64/u64 (total-order
+    key domain for floats) — every step exact, so the result is exact
+    for every column type, dataset lists included. Columns containing
+    NaN return NaN (numpy semantics); an empty/all-null column returns
+    None."""
+    qs = np.atleast_1d(np.asarray(q, np.float64))
+    if ((qs < 0) | (qs > 1)).any():
+        raise ValueError("quantiles must be in [0, 1]")
+    s = scan_column(path, column=column, mesh=mesh)
+    n = s["count"]
+    scalar = np.isscalar(q) or np.asarray(q).ndim == 0
+    if n == 0:
+        return None if scalar else [None] * len(qs)
+    if isinstance(s["min"], float) and np.isnan(s["min"]):
+        return float("nan") if scalar else [float("nan")] * len(qs)
+    ranks = [int(np.floor(qq * (n - 1))) for qq in qs]
+
+    try:  # one-scan path: exact counts over the distinct set
+        vc = value_counts(path, column=column, mesh=mesh)
+    except ValueError:
+        vc = None
+    if vc is not None:
+        keys = sorted(vc)
+        cum = np.cumsum([vc[k] for k in keys])
+        out = [keys[int(np.searchsorted(cum, r + 1))] for r in ranks]
+        return out[0] if scalar else out
+
+    is_float = isinstance(s["min"], float)
+    if is_float:
+        import struct
+
+        # search the column's OWN key space: an f32 column must probe with
+        # representable f32 values or count_where's cast would desync the
+        # search from the key domain
+        f32 = _column_layout(_paths(path)[0], column)[3] == "f32"
+        if f32:
+            def to_key(v):
+                b = struct.unpack("<I", struct.pack("<f", v))[0]
+                return (~b & 0xFFFFFFFF) if b >> 31 else b | 1 << 31
+
+            def of_key(kk):
+                b = (kk ^ (1 << 31)) if kk >> 31 else (~kk & 0xFFFFFFFF)
+                return float(np.frombuffer(struct.pack("<I", b),
+                                           np.float32)[0])
+        else:
+            def to_key(v):  # f64 total-order key as one python int
+                b = struct.unpack("<Q", struct.pack("<d", v))[0]
+                return (~b & (1 << 64) - 1) if b >> 63 else b | 1 << 63
+
+            def of_key(kk):
+                b = (kk ^ (1 << 63)) if kk >> 63 else (~kk & (1 << 64) - 1)
+                return struct.unpack("<d", struct.pack("<Q", b))[0]
+    else:
+        def to_key(v):
+            return int(v)
+
+        def of_key(kk):
+            return int(kk)
+
+    out = []
+    for r in ranks:
+        lo, hi = to_key(s["min"]), to_key(s["max"])
+        while lo < hi:
+            mid = (lo + hi) // 2
+            probe = of_key(mid)
+            if is_float and not (s["min"] <= probe <= s["max"]):
+                # keys between representable floats stay in range by
+                # construction; guard anyway
+                probe = min(max(probe, s["min"]), s["max"])
+            if count_where(path, "le", probe, column=column,
+                           mesh=mesh) >= r + 1:
+                hi = mid
+            else:
+                lo = mid + 1
+        out.append(of_key(lo))
+    return out[0] if scalar else out
+
+
+def median(path, column: Optional[str] = None, mesh=None):
+    """Exact median (see quantile)."""
+    return quantile(path, column=column, q=0.5, mesh=mesh)
+
+
 @jax.jit
 def _join_match(keys, right_sorted):
     """(row index into the sorted right keys, matched?) per left key."""

@@ -267,6 +267,12 @@ def _cmd_scan(args) -> int:
                 args.input, column=args.column)
         except ValueError as e:
             raise SystemExit(f"--value-counts: {e}")
+    if args.quantile:
+        from . import analytics as _an
+
+        for qq in args.quantile:
+            stats[f"q{qq}"] = _an.quantile(args.input, column=args.column,
+                                           q=qq)
     if args.where:
         try:
             op, _, value = args.where.partition(":")
@@ -571,6 +577,9 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("--value-counts", action="store_true",
                     help="also report exact {value: count} (low-cardinality "
                          "integer/string columns)")
+    sc.add_argument("--quantile", type=float, action="append", metavar="Q",
+                    help="also report the EXACT Q-quantile (repeatable; "
+                         "lower interpolation)")
     sc.set_defaults(fn=_cmd_scan)
 
     se = sub.add_parser("select",
