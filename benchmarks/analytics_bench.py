@@ -146,6 +146,43 @@ def main():
               "value_counts_rows_per_s": round(n / t_vc, 1),
               "group_by_str_rows_per_s": round(2 * n / t_strgrp, 1),
               "join_rows_per_s": round(2 * n / t_join, 1)})
+        # zone maps: selective range predicate over a clustered (sorted)
+        # column — pruning should skip ~all chunks; the A/B pair is the
+        # same file with the stats keys stripped from its header
+        import struct as _struct
+
+        zpath = os.path.join(tmpdir, "z.flt")
+        sorted_col = np.sort(rng.integers(0, 1 << 30, n, np.int64)
+                             ).astype(np.uint32)
+        fio_table.write_table(zpath, {"v": sorted_col}, chunk_blocks=64)
+        z0path = os.path.join(tmpdir, "z0.flt")
+        raw = open(zpath, "rb").read()
+        m = len(fio_table.MAGIC)
+        (hlen,) = _struct.unpack("<I", raw[m:m + 4])
+        hdr = json.loads(raw[m + 4:m + 4 + hlen].decode())
+        for c in hdr["columns"]["v"]["chunks"]:
+            c.pop("stats", None)
+        nh = json.dumps(hdr).encode()
+        with open(z0path, "wb") as f:
+            f.write(raw[:m] + _struct.pack("<I", len(nh)) + nh
+                    + raw[m + 4 + hlen:])
+        lo = int(sorted_col[n - n // 256])  # hits the last ~1/256 of rows
+        t_zon = timed(lambda: analytics.count_where(zpath, "ge", lo,
+                                                    column="v"))
+        t_noz = timed(lambda: analytics.count_where(z0path, "ge", lo,
+                                                    column="v"))
+        t_zsel = timed(lambda: analytics.select(
+            zpath, columns=["v"], preds=[("v", "ge", lo)]))
+        t_nsel = timed(lambda: analytics.select(
+            z0path, columns=["v"], preds=[("v", "ge", lo)]))
+        emit({"bench": "analytics_zonemaps", "chunk_blocks": 64,
+              "selectivity": 1 / 256,
+              "count_where_rows_per_s": round(n / t_zon, 1),
+              "count_where_nostats_rows_per_s": round(n / t_noz, 1),
+              "count_prune_speedup": round(t_noz / t_zon, 2),
+              "select_rows_per_s": round(n / t_zsel, 1),
+              "select_nostats_rows_per_s": round(n / t_nsel, 1),
+              "select_prune_speedup": round(t_nsel / t_zsel, 2)})
     finally:
         import shutil
 

@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import fio, fio_device
+from . import fio, fio_device, zonemaps
 from .core import layout
 
 _PREDS = {
@@ -138,7 +138,7 @@ def _merge_group_results(subs, str_value: bool) -> dict:
 
 
 def _decoded_chunks(path: str, column: Optional[str], mesh, batch=True,
-                    window: Optional[int] = None):
+                    window: Optional[int] = None, keep=None):
     """Yield (decoded device blocks, dtype, vtype, valid, vmask) already
     transform-applied — real values in the column's logical domain. `vmask`
     is the part's flat device validity mask for nullable columns (True =
@@ -150,54 +150,147 @@ def _decoded_chunks(path: str, column: Optional[str], mesh, batch=True,
     join) pass batch=False with a `window`: every window of N chunks
     decodes batched and yields exactly ONE part, so multi-column walks
     stay aligned while paying ~1/N of the per-dispatch overhead (a
-    tunneled chip costs ~26ms per call)."""
+    tunneled chip costs ~26ms per call).
+
+    `keep` (optional, one bool per chunk — from zone-map decisions) skips
+    chunks the caller proved irrelevant: skipped chunks are never read or
+    decoded, and value/block accounting jumps over them so `valid` and the
+    validity mask stay exact. In window mode a window decodes whole unless
+    EVERY chunk in it is skippable (lockstep consumers feed every column
+    the same `keep`, so the walks stay aligned)."""
     chunks, cdtype, transform, vtype, n_values, base_off, nulls_meta = \
         _column_layout(path, column)
+    starts = [0]
+    for m in chunks:
+        starts.append(starts[-1] + m["n_blocks"])
 
     with open(path, "rb") as f:
-        if batch:
-            covering = []
-            for meta in chunks:
+        def read_cov(idxs):
+            cov = []
+            for i in idxs:
+                meta = chunks[i]
                 f.seek(base_off + meta["offset"])
-                covering.append((meta, f.read(meta["nbytes"])))
-            parts = fio_device._decode_chunks_grouped(covering, cdtype, mesh,
-                                                      "auto")
-        elif window:
-            def _windowed():
-                for i in range(0, len(chunks), window):
-                    cov = []
-                    for meta in chunks[i:i + window]:
-                        f.seek(base_off + meta["offset"])
-                        cov.append((meta, f.read(meta["nbytes"])))
-                    ps = fio_device._decode_chunks_grouped(cov, cdtype, mesh,
-                                                           "auto")
-                    yield fio_device._concat_parts(ps, cdtype)
-            parts = _windowed()
-        else:
-            parts = (fio_device._decode_chunk_device(
-                meta, (f.seek(base_off + meta["offset"]),
-                       f.read(meta["nbytes"]))[1],
-                meta["n_blocks"], cdtype, mesh=mesh) for meta in chunks)
+                cov.append((meta, f.read(meta["nbytes"])))
+            return cov
 
-        seen_values = 0
-        seen_blocks = 0
-        for blocks in parts:
-            n_blocks_here = (blocks[0] if isinstance(blocks, tuple)
-                             else blocks).shape[0]
-            n_here = n_blocks_here * layout.BLOCK
-            blocks = fio_device._apply_transform_device(blocks, transform,
-                                                        cdtype)
-            valid = n_here
-            if n_values is not None:
-                valid = max(0, min(n_here, n_values - seen_values))
-            seen_values += n_here
-            vmask = None
-            if nulls_meta is not None:
-                vmask = jnp.asarray(fio.read_validity_range(
-                    path, nulls_meta, base_off, seen_blocks,
-                    seen_blocks + n_blocks_here).reshape(-1))
-            seen_blocks += n_blocks_here
-            yield blocks, cdtype, vtype, valid, vmask
+        def emit(parts, block0):
+            seen_blocks = block0
+            seen_values = block0 * layout.BLOCK
+            for blocks in parts:
+                n_blocks_here = (blocks[0] if isinstance(blocks, tuple)
+                                 else blocks).shape[0]
+                n_here = n_blocks_here * layout.BLOCK
+                blocks = fio_device._apply_transform_device(blocks, transform,
+                                                            cdtype)
+                valid = n_here
+                if n_values is not None:
+                    valid = max(0, min(n_here, n_values - seen_values))
+                seen_values += n_here
+                vmask = None
+                if nulls_meta is not None:
+                    vmask = jnp.asarray(fio.read_validity_range(
+                        path, nulls_meta, base_off, seen_blocks,
+                        seen_blocks + n_blocks_here).reshape(-1))
+                seen_blocks += n_blocks_here
+                yield blocks, cdtype, vtype, valid, vmask
+
+        if batch:
+            runs = []  # maximal contiguous runs of kept chunk indices
+            for i in range(len(chunks)):
+                if keep is not None and not keep[i]:
+                    continue
+                if runs and runs[-1][-1] == i - 1:
+                    runs[-1].append(i)
+                else:
+                    runs.append([i])
+            for run in runs:
+                parts = fio_device._decode_chunks_grouped(
+                    read_cov(run), cdtype, mesh, "auto")
+                yield from emit(parts, starts[run[0]])
+        elif window:
+            for i in range(0, len(chunks), window):
+                idxs = range(i, min(i + window, len(chunks)))
+                if keep is not None:
+                    # trim the skippable prefix/suffix of the window (the
+                    # interior decodes whole so the part stays one
+                    # contiguous block range; lockstep columns share keep,
+                    # so every column trims identically)
+                    kept = [j for j in idxs if keep[j]]
+                    if not kept:
+                        continue
+                    idxs = range(kept[0], kept[-1] + 1)
+                ps = fio_device._decode_chunks_grouped(
+                    read_cov(idxs), cdtype, mesh, "auto")
+                yield from emit([fio_device._concat_parts(ps, cdtype)],
+                                starts[idxs[0]])
+        else:
+            for i, meta in enumerate(chunks):
+                if keep is not None and not keep[i]:
+                    continue
+                f.seek(base_off + meta["offset"])
+                part = fio_device._decode_chunk_device(
+                    meta, f.read(meta["nbytes"]), meta["n_blocks"], cdtype,
+                    mesh=mesh)
+                yield from emit([part], starts[i])
+
+
+def _probe_epoch(path, column, value):
+    """Temporal-column probes -> int64 epochs in the COLUMN's unit:
+    np.datetime64/np.timedelta64 scalars (any unit) and date strings
+    convert with unit scaling; plain ints pass through as raw epochs
+    (the original calling convention). Non-temporal columns return the
+    probe unchanged."""
+    vt = _column_layout(path, column)[3]
+    if not (vt or "").startswith(("datetime64", "timedelta64")):
+        return value
+
+    def one(v):
+        if isinstance(v, (int, np.integer)):
+            return int(v)
+        return int(np.array(v, dtype=np.dtype(vt)).view("int64"))
+
+    return [one(v) for v in value] if isinstance(value, (list, tuple)) \
+        else one(value)
+
+
+def _zone_decisions_col(path, column, op, value):
+    """Per-chunk zone decisions ('none'/'all'/'maybe') of one predicate on
+    one column (op/value already code-domain for string columns), plus the
+    chunk list and n_values for 'all' accounting. Chunks without stored
+    stats (pre-zone-map files) decide 'maybe'."""
+    chunks, cdtype, _t, vtype, n_values, _b, _nm = _column_layout(path,
+                                                                  column)
+    kind = zonemaps.kind_of(cdtype, vtype)
+    return zonemaps.decisions(chunks, kind, op, value), chunks, n_values
+
+
+def _zone_keep(path, preds, names=()):
+    """Chunk keep flags for ANDed predicates [(col, op, value)]: False
+    where some predicate's zone decision is 'none' (the chunk can satisfy
+    no row, so lockstep walks skip it for EVERY column). Returns None when
+    nothing is skippable — or when any involved column's chunk count
+    disagrees, leaving the layout mismatch to the walk's own error."""
+    counts = set()
+    for n in names:
+        try:
+            counts.add(len(_column_layout(path, n)[0]))
+        except (ValueError, KeyError):
+            return None
+    keep = None
+    for pcol, op, value in preds:
+        try:
+            ds, chunks, _nv = _zone_decisions_col(path, pcol, op, value)
+        except (ValueError, KeyError):
+            return None
+        counts.add(len(chunks))
+        if len(counts) > 1:
+            return None
+        if keep is None:
+            keep = [True] * len(chunks)
+        for i, d in enumerate(ds):
+            if d == "none":
+                keep[i] = False
+    return None if keep is None or all(keep) else keep
 
 
 def _str_dict_of(path: str, column: Optional[str]):
@@ -951,10 +1044,26 @@ def count_where(path: str, op: str, value, column: Optional[str] = None,
     for p in _paths(path):
         d = _str_dict_of(p, column)
         # string column: the predicate pushes down on THIS file's codes
-        op_p, value_p = ((op, value) if d is None
+        op_p, value_p = ((op, _probe_epoch(p, column, value)) if d is None
                          else _str_pred_to_code(d, op, value))
-        for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(p, column,
-                                                                   mesh):
+        # zone maps: 'none' chunks skip decode, 'all' chunks resolve from
+        # the header alone (chunk row count minus its nulls)
+        ds, chunks, n_values = _zone_decisions_col(p, column, op_p, value_p)
+        keep, start_v = [], 0
+        for meta, dec in zip(chunks, ds):
+            cap = meta["n_blocks"] * layout.BLOCK
+            n_chunk = cap if n_values is None else max(
+                0, min(cap, n_values - start_v))
+            start_v += cap
+            if dec == "all":
+                total += n_chunk - meta.get("stats", {}).get("nn", 0)
+            keep.append(dec == "maybe")
+        if not any(keep):
+            continue
+        if all(keep):
+            keep = None
+        for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(
+                p, column, mesh, keep=keep):
             if valid == 0:
                 continue
             flat = _flatten_logical(blocks, cdtype, vtype)
@@ -998,10 +1107,14 @@ def _scan_where_into(acc, path, op, value, column, where, mesh):
              else _str_dict_of(path, where))
     if wdict is not None:  # string predicate column: compare codes
         op, value = _str_pred_to_code(wdict, op, value)
+    else:
+        value = _probe_epoch(path, where if where is not None else column,
+                             value)
 
     if where is None or where == column:
+        keep = _zone_keep(path, [(column, op, value)])
         for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(
-                path, column, mesh):
+                path, column, mesh, keep=keep):
             if valid == 0:
                 continue
             flat = _flatten_logical(blocks, cdtype, vtype)
@@ -1010,11 +1123,13 @@ def _scan_where_into(acc, path, op, value, column, where, mesh):
                 pred = pred & vmask
             acc.feed_flat(flat, valid, pred)
         return
-    # cross-column predicate: walk both chunk streams in lockstep
+    # cross-column predicate: walk both chunk streams in lockstep (both
+    # sides share the zone-map keep so the walks stay aligned)
+    keep = _zone_keep(path, [(where, op, value)], names=(column, where))
     vals = _decoded_chunks(path, column, mesh, batch=False,
-                           window=_LOCKSTEP_WINDOW)
+                           window=_LOCKSTEP_WINDOW, keep=keep)
     preds = _decoded_chunks(path, where, mesh, batch=False,
-                            window=_LOCKSTEP_WINDOW)
+                            window=_LOCKSTEP_WINDOW, keep=keep)
     for (vb, vdt, vvt, v_valid, v_mask), (wb, wdt, wvt, w_valid, w_mask) in \
             zip(vals, preds):
         flat_v = _flatten_logical(vb, vdt, vvt)
@@ -1387,12 +1502,15 @@ class _GroupAcc:
 # kernels; select() materializes the matching rows of chosen columns.
 
 
-def _lockstep_chunks(path: str, names, mesh):
+def _lockstep_chunks(path: str, names, mesh, keep=None):
     """Walk several columns' chunk streams in lockstep (batch=False so
     parts align chunk-for-chunk). Yields {name: (blocks, cdtype, vtype,
-    valid, vmask)} per chunk; raises on mismatched layouts."""
+    valid, vmask)} per chunk; raises on mismatched layouts. `keep` (zone
+    map chunk flags) must be shared — every column skips the same
+    windows, so alignment survives."""
     iters = {n: _decoded_chunks(path, n, mesh, batch=False,
-                                window=_LOCKSTEP_WINDOW) for n in names}
+                                window=_LOCKSTEP_WINDOW, keep=keep)
+             for n in names}
     while True:
         rows = {}
         done = 0
@@ -1426,6 +1544,8 @@ def _normalize_preds(path: str, preds):
         wdict = _str_dict_of(path, pcol)
         if wdict is not None:
             op, value = _str_pred_to_code(wdict, op, value)
+        else:
+            value = _probe_epoch(path, pcol, value)
         out.append((pcol, op, value))
     return out
 
@@ -1464,7 +1584,9 @@ def scan_where_multi(path: str, preds, column: Optional[str] = None,
         if None in names and len(names) > 1:
             raise ValueError("single-column files take column=None "
                              "predicates only; name table columns explicitly")
-        for rows in _lockstep_chunks(p, names, mesh):
+        keep = _zone_keep(p, preds_p, names=[n for n in names
+                                             if n is not None])
+        for rows in _lockstep_chunks(p, names, mesh, keep=keep):
             blocks, cdtype, vtype, valid, vmask = rows[column]
             if valid == 0:
                 continue
@@ -1559,14 +1681,15 @@ def select(path: str, columns=None, preds=(), limit: Optional[int] = None,
         meta[n] = (cm.get("transform") in ("zigzag", "viewu"),
                    _str_dict_of(path, n), _logical_vt(cm))
 
+    keep = _zone_keep(path, preds, names=names)
     if order_by is not None and limit is not None:
         return _select_topk(path, columns, preds, limit, mesh, order_by,
-                            desc, names, meta)
+                            desc, names, meta, keep)
 
     out = {n: [] for n in columns}
     okeys = []  # order_by without limit: carry the key column, sort after
     taken = 0
-    for rows in _lockstep_chunks(path, names, mesh):
+    for rows in _lockstep_chunks(path, names, mesh, keep=keep):
         valid = rows[names[0]][3]
         if valid == 0:
             continue
@@ -1681,14 +1804,14 @@ def _select_dataset(paths, columns, preds, limit, mesh, order_by, desc):
 
 
 def _select_topk(path, columns, preds, k, mesh, order_by, desc, names,
-                 meta):
+                 meta, keep=None):
     """ORDER BY order_by [DESC] LIMIT k pushdown: each chunk reduces to k
     candidate rows on device; only candidates' projected values reach the
     host merge."""
     store = []        # per contributing chunk: {col: gathered values}
     entries = []      # (key_tuple, chunk_seq, position_in_store_arrays)
     kind = None
-    for rows in _lockstep_chunks(path, names, mesh):
+    for rows in _lockstep_chunks(path, names, mesh, keep=keep):
         valid = rows[names[0]][3]
         if valid == 0:
             continue
@@ -1921,7 +2044,8 @@ def join(left_path, right_path, on: str, columns=None, right_columns=None,
                 np.zeros(ld.size, bool)
             tr = np.where(hit, pos_c, -1).astype(np.int32)
             tr_dev = jnp.asarray(tr)
-        for rows in _lockstep_chunks(p, names, mesh):
+        keep = _zone_keep(p, preds_p, names=names)
+        for rows in _lockstep_chunks(p, names, mesh, keep=keep):
             valid = rows[names[0]][3]
             if valid == 0:
                 continue

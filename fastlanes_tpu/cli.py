@@ -141,9 +141,10 @@ def _cmd_compress_table(args) -> int:
         arr = data[name]
         if not (np.issubdtype(arr.dtype, np.integer)
                 or np.issubdtype(arr.dtype, np.floating)
-                or arr.dtype.kind in ("U", "S")):
+                or arr.dtype.kind in ("U", "S", "b", "M", "m")):
             raise SystemExit(f"column {name!r} is {arr.dtype}; FastLanes "
-                             "compresses integers, floats and strings")
+                             "compresses integers, floats, strings, bools "
+                             "and datetime64/timedelta64")
         if name in valid_of:
             arr = np.ma.MaskedArray(arr, mask=~valid_of[name].astype(bool))
         # signed -> zigzag/viewu transform, float -> ALP, strings ->

@@ -23,6 +23,7 @@ from .core import layout
 from . import alp as alp_mod
 from . import native
 from . import transforms
+from . import zonemaps
 from .ref import numpy_ref as npref
 
 MAGIC = b"FLTPU1"
@@ -660,21 +661,38 @@ def write_file(path: str, values, dtype=None, codec: str = "auto",
                 f"float columns use the 'alp'/'alprd' codecs, not {codec!r}")
         vtype = "f32" if arr.dtype == np.float32 else "f64"
         dtype = "u32" if vtype == "f32" else "u64"
+        zsrc, zkind = arr.reshape(-1), vtype  # pre-pad: true values only
         arr, n_values = _pad_to_blocks_float(arr)
         encode_one = lambda part: _encode_chunk_float(part, dtype, codec)  # noqa: E731
     else:
         if codec in ("alp", "alprd"):
             raise ValueError(f"the {codec!r} codec is for float columns")
+        presigned = None
         if dtype is None and arr.dtype.kind == "i":
+            presigned = arr  # zone stats live in the logical signed domain
             arr, transform = choose_signed_transform(arr, chunk_blocks)
         dtype = layout.canon_dtype(dtype if dtype is not None else arr.dtype)
         arr, n_values = pad_to_blocks(arr, dtype)
+        # zone-map source: the comparison domain of analytics._pred_mask —
+        # logical values (pre-transform), 64-bit as the int64 limb order
+        zsrc = (presigned.reshape(-1) if transform is not None
+                else arr.reshape(-1)[:n_values])
+        if dtype == "u64":
+            zsrc = zsrc.view(np.int64)
+        zkind = "int"
         encode_one = lambda part: _encode_chunk(part, dtype, codec)  # noqa: E731
 
+    zmask = None if null_mask is None else null_mask.reshape(-1)
     chunks, payloads, offset = [], [], 0
     for start in range(0, arr.shape[0], chunk_blocks):
         part = arr[start:start + chunk_blocks]
         meta, payload = encode_one(part)
+        a = start * layout.BLOCK
+        b = min((start + len(part)) * layout.BLOCK, zsrc.size)
+        st = zonemaps.stats_of(zsrc[a:b],
+                               None if zmask is None else zmask[a:b], zkind)
+        if st:
+            meta["stats"] = st
         meta.update(n_blocks=len(part), offset=offset, nbytes=len(payload))
         chunks.append(meta)
         payloads.append(payload)

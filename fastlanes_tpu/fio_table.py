@@ -142,6 +142,7 @@ def write_table(path: str, columns: Dict[str, np.ndarray], dtypes=None,
             vtype = "str"
             dtype = "u32"
             blocks, n_values = fio.pad_to_blocks(codes, dtype)
+            zsrc, zkind = codes.reshape(-1).astype(np.uint32), "int"
             encode_one = lambda part, dt=dtype: fio._encode_chunk(part, dt, codec)  # noqa: E731
         elif arr.dtype.kind == "f":  # float column -> ALP (see fio.write_file)
             if name in dtypes:
@@ -152,19 +153,34 @@ def write_table(path: str, columns: Dict[str, np.ndarray], dtypes=None,
                     f"not {codec!r}")
             vtype = "f32" if arr.dtype == np.float32 else "f64"
             dtype = "u32" if vtype == "f32" else "u64"
+            zsrc, zkind = arr.reshape(-1), vtype  # pre-pad: true values only
             blocks, n_values = fio._pad_to_blocks_float(arr)
             encode_one = lambda part, dt=dtype: fio._encode_chunk_float(  # noqa: E731
                 part, dt, codec)
         else:
+            presigned = None
             if name not in dtypes and arr.dtype.kind == "i":
+                presigned = arr  # zone stats: the logical signed domain
                 arr, transform = fio.choose_signed_transform(arr, chunk_blocks)
             dtype = layout.canon_dtype(dtypes.get(name, arr.dtype))
             blocks, n_values = fio.pad_to_blocks(arr, dtype)
+            zsrc = (presigned.reshape(-1) if transform is not None
+                    else blocks.reshape(-1)[:n_values])
+            if dtype == "u64":  # limb compares run in int64 order
+                zsrc = zsrc.view(np.int64)
+            zkind = "int"
             encode_one = lambda part, dt=dtype: fio._encode_chunk(part, dt, codec)  # noqa: E731
+        zmask = None if null_mask is None else null_mask.reshape(-1)
         chunks = []
         for start in range(0, blocks.shape[0], chunk_blocks):
             part = blocks[start:start + chunk_blocks]
             meta, payload = encode_one(part)
+            a = start * layout.BLOCK
+            b = min((start + len(part)) * layout.BLOCK, zsrc.size)
+            st = fio.zonemaps.stats_of(
+                zsrc[a:b], None if zmask is None else zmask[a:b], zkind)
+            if st:
+                meta["stats"] = st
             meta.update(n_blocks=len(part), offset=offset, nbytes=len(payload))
             chunks.append(meta)
             payloads.append(payload)
@@ -377,6 +393,19 @@ class TableWriter:
         n_take = min(have, cb * layout.BLOCK)
         vals = self._take(st, n_take)
         mask = self._take_mask(st, n_take)
+        # zone stats BEFORE padding/transform: same domain and values as
+        # write_table's per-chunk slices, so the output stays byte-identical
+        if st["kind"] == "float":
+            zstats = fio.zonemaps.stats_of(vals, mask, st["vtype"])
+        else:
+            # transform None (probe pending) or zigzag/viewu: vals ARE the
+            # logical domain; transform False: the carrier reinterpretation
+            zsrc = (vals if st["transform"] is not False
+                    else vals.astype(layout.np_dtype(st["dtype"]),
+                                     copy=False))
+            if st["dtype"] == "u64":  # limb compares run in int64 order
+                zsrc = zsrc.view(np.int64)
+            zstats = fio.zonemaps.stats_of(zsrc, mask, "int")
         pad = (-len(vals)) % layout.BLOCK
         if pad:
             fill = vals[-1:] if len(vals) else np.zeros(1, vals.dtype)
@@ -400,6 +429,8 @@ class TableWriter:
             blocks = vals.astype(layout.np_dtype(st["dtype"]),
                                  copy=False).reshape(n_blocks, layout.BLOCK)
             meta, payload = fio._encode_chunk(blocks, st["dtype"], self.codec)
+        if zstats:
+            meta["stats"] = zstats
         meta.update(n_blocks=n_blocks, spill=self._spill_off,
                     nbytes=len(payload))
         self._spill.write(payload)
