@@ -175,6 +175,10 @@ def main():
             zpath, columns=["v"], preds=[("v", "ge", lo)]))
         t_nsel = timed(lambda: analytics.select(
             z0path, columns=["v"], preds=[("v", "ge", lo)]))
+        t_ztop = timed(lambda: analytics.select(
+            zpath, columns=["v"], order_by="v", desc=True, limit=10))
+        t_ntop = timed(lambda: analytics.select(
+            z0path, columns=["v"], order_by="v", desc=True, limit=10))
         emit({"bench": "analytics_zonemaps", "chunk_blocks": 64,
               "selectivity": 1 / 256,
               "count_where_rows_per_s": round(n / t_zon, 1),
@@ -182,7 +186,10 @@ def main():
               "count_prune_speedup": round(t_noz / t_zon, 2),
               "select_rows_per_s": round(n / t_zsel, 1),
               "select_nostats_rows_per_s": round(n / t_nsel, 1),
-              "select_prune_speedup": round(t_nsel / t_zsel, 2)})
+              "select_prune_speedup": round(t_nsel / t_zsel, 2),
+              "order_by_limit_rows_per_s": round(n / t_ztop, 1),
+              "order_by_limit_nostats_rows_per_s": round(n / t_ntop, 1),
+              "order_by_limit_prune_speedup": round(t_ntop / t_ztop, 2)})
     finally:
         import shutil
 

@@ -1807,42 +1807,99 @@ def _select_topk(path, columns, preds, k, mesh, order_by, desc, names,
                  meta, keep=None):
     """ORDER BY order_by [DESC] LIMIT k pushdown: each chunk reduces to k
     candidate rows on device; only candidates' projected values reach the
-    host merge."""
-    store = []        # per contributing chunk: {col: gathered values}
-    entries = []      # (key_tuple, chunk_seq, position_in_store_arrays)
+    host merge. Zone-map bounds on the order column visit windows
+    best-bound-first and stop once the k-th candidate beats every
+    remaining window — ORDER BY a clustered column LIMIT k touches ~one
+    window."""
+    store = []        # per contributing window: {col: gathered values}
+    entries = []      # (key_tuple, window_idx, store_seq, emit_pos)
     kind = None
-    for rows in _lockstep_chunks(path, names, mesh, keep=keep):
-        valid = rows[names[0]][3]
-        if valid == 0:
-            continue
-        mask = _chunk_row_mask(rows, preds)
-        oblocks, ocdt, ovt, _ov, ovmask = rows[order_by]
-        m = (jnp.ones((valid,), bool) if mask is None
-             else mask[:valid])
-        if ovmask is not None:  # null order keys sort out of a top-k
-            m = m & ovmask[:valid]
-        n_ok = int(_count_masked(m, jnp.int32(valid)))
-        if n_ok == 0:
-            continue
-        oflat = _flatten_logical(oblocks, ocdt, ovt)
-        kind, int_bits, cands = _chunk_top(oflat, m, valid, min(k, valid),
-                                           largest=desc)
-        cands = cands[: min(n_ok, k)]
-        idx = np.asarray([i for _key, i in cands], np.int64)
-        chunk_vals = {}
-        for n in columns:
-            blocks, cdtype, vtype, _v, vmask = rows[n]
-            vals = _host_chunk_values(blocks, cdtype, vtype, *meta[n], idx)
-            if vmask is not None:
-                vals = np.ma.MaskedArray(
-                    vals, mask=~np.asarray(vmask)[:valid][idx]
-                    if idx.size else np.zeros(0, bool))
-            chunk_vals[n] = vals
-        seq = len(store)
-        store.append(chunk_vals)
-        entries += [(key, seq, j) for j, (key, _i) in enumerate(cands)]
+
+    def visit(keep_w, widx_of_part):
+        nonlocal kind
+        part_i = 0
+        for rows in _lockstep_chunks(path, names, mesh, keep=keep_w):
+            widx = widx_of_part[part_i]
+            part_i += 1
+            valid = rows[names[0]][3]
+            if valid == 0:
+                continue
+            mask = _chunk_row_mask(rows, preds)
+            oblocks, ocdt, ovt, _ov, ovmask = rows[order_by]
+            m = (jnp.ones((valid,), bool) if mask is None
+                 else mask[:valid])
+            if ovmask is not None:  # null order keys sort out of a top-k
+                m = m & ovmask[:valid]
+            n_ok = int(_count_masked(m, jnp.int32(valid)))
+            if n_ok == 0:
+                continue
+            oflat = _flatten_logical(oblocks, ocdt, ovt)
+            kind, _ib, cands = _chunk_top(oflat, m, valid, min(k, valid),
+                                          largest=desc)
+            cands = cands[: min(n_ok, k)]
+            idx = np.asarray([i for _key, i in cands], np.int64)
+            chunk_vals = {}
+            for n in columns:
+                blocks, cdtype, vtype, _v, vmask = rows[n]
+                vals = _host_chunk_values(blocks, cdtype, vtype, *meta[n],
+                                          idx)
+                if vmask is not None:
+                    vals = np.ma.MaskedArray(
+                        vals, mask=~np.asarray(vmask)[:valid][idx]
+                        if idx.size else np.zeros(0, bool))
+                chunk_vals[n] = vals
+            seq = len(store)
+            store.append(chunk_vals)
+            entries.extend((key, widx, seq, j)
+                           for j, (key, _i) in enumerate(cands))
+
+    chunks, ocdt_l, otr_l, ovt_l, _nv, _bo, _nm = _column_layout(path,
+                                                                 order_by)
+    n_chunks = len(chunks)
+    win = _LOCKSTEP_WINDOW
+    windows = list(range(0, n_chunks, win))
+    if all("stats" not in c for c in chunks):
+        # no zone maps: one sequential pass (old files); parts only come
+        # from windows the pred-keep leaves alive
+        yielding = [wi for wi, start in enumerate(windows)
+                    if keep is None or any(
+                        keep[c] for c in range(start,
+                                               min(start + win, n_chunks)))]
+        visit(keep, yielding)
+    else:
+        zkind, zbits = zonemaps.topk_kind(ocdt_l, ovt_l, otr_l)
+        wb = {}
+        for wi, start in enumerate(windows):
+            bs = [zonemaps.topk_bound(chunks[c], zkind, zbits, desc)
+                  for c in range(start, min(start + win, n_chunks))
+                  if keep is None or keep[c]]
+            bs = [b for b in bs if b is not None]
+            if bs:
+                wb[wi] = max(bs) if desc else min(bs)
+        order = sorted(wb, key=lambda wi: wb[wi], reverse=desc)
+        pos, batch = 0, 1
+        while pos < len(order):
+            if len(entries) >= k:
+                kth = sorted((e[0] for e in entries), reverse=desc)[k - 1]
+                b = wb[order[pos]]
+                if (b < kth) if desc else (b > kth):
+                    break
+            take = sorted(order[pos:pos + batch])
+            pos += batch
+            batch *= 4
+            kl = [False] * n_chunks
+            for wi in take:
+                for c in range(windows[wi], min(windows[wi] + win,
+                                                n_chunks)):
+                    kl[c] = keep is None or keep[c]
+            # every taken window yields exactly one part iff any of its
+            # chunks stays kept (wb membership guarantees it)
+            visit(kl, take)
+    # file order then emit order, THEN a stable key sort: equal keys
+    # resolve exactly as the sequential walk did
+    entries.sort(key=lambda e: (e[1], e[3]))
     entries.sort(key=lambda e: e[0], reverse=desc)
-    entries = entries[:k]
+    entries = [(key, seq, j) for key, _w, seq, j in entries[:k]]
     result = {}
     for n in columns:
         if not entries:
@@ -2378,22 +2435,56 @@ def top_k(path: str, column: Optional[str] = None, k: int = 10,
     cands = []
     kind = None
     int_bits = 32
-    for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(path, column,
-                                                               mesh):
-        if valid == 0:
-            continue
-        if vmask is None:
-            m = jnp.ones((valid,), bool)
-            n_ok = valid
-        else:
-            m = vmask[:valid]
-            n_ok = int(_count_masked(vmask, jnp.int32(valid)))
-            if n_ok == 0:
+
+    def visit(keep):
+        nonlocal kind, int_bits
+        for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(
+                path, column, mesh, keep=keep):
+            if valid == 0:
                 continue
-        flat = _flatten_logical(blocks, cdtype, vtype)
-        kind, int_bits, new = _chunk_top(flat, m, valid, min(k, valid),
-                                         largest)
-        cands += [key for key, _idx in new[:n_ok]]
+            if vmask is None:
+                m = jnp.ones((valid,), bool)
+                n_ok = valid
+            else:
+                m = vmask[:valid]
+                n_ok = int(_count_masked(vmask, jnp.int32(valid)))
+                if n_ok == 0:
+                    continue
+            flat = _flatten_logical(blocks, cdtype, vtype)
+            kind, int_bits, new = _chunk_top(flat, m, valid, min(k, valid),
+                                             largest)
+            cands.extend(key for key, _idx in new[:n_ok])
+
+    # zone-map bounds: visit chunks best-bound-first in growing batches and
+    # stop once the k-th candidate beats every remaining chunk's best
+    # achievable key (ORDER BY <col> LIMIT k on clustered data touches ~one
+    # chunk). Stats-less chunks bound at the unbeatable extreme, so old
+    # files degrade to a full visit.
+    chunks, cdtype_l, transform_l, vtype_l, _nv, _bo, _nm = _column_layout(
+        path, column)
+    zkind, zbits = zonemaps.topk_kind(cdtype_l, vtype_l, transform_l)
+    bounds = {i: zonemaps.topk_bound(meta, zkind, zbits, largest)
+              for i, meta in enumerate(chunks)}
+    order = [i for i, b in bounds.items() if b is not None]
+    order.sort(key=lambda i: bounds[i], reverse=largest)
+    if len(order) == len(chunks) and all(
+            "stats" not in chunks[i] for i in order):
+        visit(None)  # no zone maps anywhere: one grouped pass
+    else:
+        pos, batch = 0, 1
+        while pos < len(order):
+            if len(cands) >= k:
+                kth = sorted(cands, reverse=largest)[k - 1]
+                b = bounds[order[pos]]
+                if (b < kth) if largest else (b > kth):
+                    break  # no remaining chunk can beat the k-th candidate
+            take = order[pos:pos + batch]
+            pos += batch
+            batch *= 4
+            kl = [False] * len(chunks)
+            for i in take:
+                kl[i] = True
+            visit(kl)
     if kind is None:
         return []
     of_key = _key_to_value(kind, int_bits, d)

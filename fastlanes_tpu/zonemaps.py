@@ -201,3 +201,75 @@ def decide(st, op: str, value, kind: str) -> str:
 def decisions(chunks, kind: str, op: str, value):
     """Per-chunk decisions for one predicate over a column's chunk list."""
     return [decide(meta.get("stats"), op, value, kind) for meta in chunks]
+
+
+# ---------------------------------------------------------------------------
+# Top-k / ORDER BY LIMIT bounds: a chunk's best achievable candidate key
+# in analytics' total-order key domain (the _topk_chunk1/_topk_chunk2
+# encodings), so ORDER BY LIMIT and top_k visit chunks best-bound-first
+# and stop once the k-th candidate beats every remaining bound.
+
+
+def topk_kind(cdtype: str, vtype, transform):
+    """(kind, bits) of a column's top-k key domain — matches what
+    analytics._chunk_top reports for its decoded flat form."""
+    if vtype == "f32":
+        return "f32", 32
+    if vtype == "f64":
+        return "f64", 64
+    if cdtype == "u64":
+        return "u64", 64
+    bits = {"u8": 8, "u16": 16, "u32": 32}[cdtype]
+    return ("i", bits) if transform in ("zigzag", "viewu") else ("u", bits)
+
+
+def key_of_value(v, kind: str, bits: int, largest: bool):
+    """A stats extreme -> its total-order key tuple. `largest` widens the
+    float +-0.0 boundary (min/max cannot distinguish signed zeros, but the
+    total order can)."""
+    import struct
+
+    if kind == "u":
+        return (int(v),)
+    if kind == "i":
+        return (int(v) + (1 << (bits - 1)),)
+    if kind == "u64":
+        u = int(v) & ((1 << 64) - 1)
+        return ((u >> 32) ^ 0x80000000, u & 0xFFFFFFFF)
+    if kind == "f32":
+        b = struct.unpack("<I", struct.pack(
+            "<f", np.float32(v)))[0]
+        if v == 0:
+            b = 0 if largest else 0x80000000  # +0.0 above -0.0
+        return ((~b & 0xFFFFFFFF) if b >> 31 else (b ^ 0x80000000),)
+    b = struct.unpack("<Q", struct.pack("<d", float(v)))[0]
+    if v == 0:
+        b = 0 if largest else 1 << 63
+    hi, lo = b >> 32, b & 0xFFFFFFFF
+    if hi >> 31:
+        return (~hi & 0xFFFFFFFF, ~lo & 0xFFFFFFFF)
+    return (hi ^ 0x80000000, lo)
+
+
+def _key_extreme(kind: str, top: bool):
+    n = 2 if kind in ("u64", "f64") else 1
+    return ((0xFFFFFFFF,) * n) if top else ((0,) * n)
+
+
+def topk_bound(meta, kind: str, bits: int, largest: bool):
+    """Best candidate key a chunk could contribute, or None when it
+    cannot contribute at all (every row null). Chunks without stats get
+    the unbeatable extreme (must decode); float chunks containing NaN get
+    the extreme on the NaN side (NaN above +inf, -NaN below -inf in the
+    IEEE total order, and stats don't record NaN signs)."""
+    st = meta.get("stats")
+    if not isinstance(st, dict):
+        return _key_extreme(kind, largest)
+    is_float = kind in ("f32", "f64")
+    n_nan = st.get("nan", 0) if is_float else 0
+    if n_nan:
+        return _key_extreme(kind, largest)
+    if "lo" not in st:
+        return None  # all rows null
+    return key_of_value(st["hi"] if largest else st["lo"], kind, bits,
+                        largest)

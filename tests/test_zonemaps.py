@@ -357,6 +357,91 @@ def test_bool_and_dataset_paths(tmp_path):
     assert an.count_where([p1, p2], "eq", False, column="b") == N
 
 
+# ---------------------------------------------------------------------------
+# top_k / ORDER BY LIMIT bound pruning
+
+
+def test_topk_bound_pruning_counts(tmp_path, monkeypatch):
+    p = str(tmp_path / "t.flt")
+    x = np.arange(N, dtype=np.uint32)
+    fio_table.write_table(p, {"x": x}, chunk_blocks=CB)
+    spy = DecodeSpy(monkeypatch)
+    assert an.top_k(p, "x", k=5) == [N - 1 - i for i in range(5)]
+    assert spy.chunks == 1  # only the best-bound chunk decodes
+    spy.chunks = 0
+    assert an.top_k(p, "x", k=5, largest=False) == [0, 1, 2, 3, 4]
+    assert spy.chunks == 1
+
+
+def test_topk_matches_stripped(tmp_path):
+    p, p0, x, q, y, s, t = _mk_table(tmp_path)
+    for col, kw in [("x", {}), ("x", {"largest": False}), ("y", {}),
+                    ("q", {}), ("s", {}), ("t", {"largest": False})]:
+        a = an.top_k(p, col, k=9, **kw)
+        b = an.top_k(p0, col, k=9, **kw)
+        assert a == b, (col, kw, a, b)
+
+
+def test_topk_float_nan_chunks(tmp_path):
+    # NaN ranks above +inf in the total order; a NaN-bearing chunk must
+    # never be pruned out of a largest-k
+    p = str(tmp_path / "f.flt")
+    y = np.linspace(0, 1, N).astype(np.float64)
+    y[3] = np.nan  # lives in chunk 0, whose finite hi is tiny
+    fio.write_file(p, y, chunk_blocks=CB)
+    top = an.top_k(p, k=3)
+    assert np.isnan(top[0]) and top[1] == 1.0
+
+
+def test_order_by_limit_pruned_matches(tmp_path, monkeypatch):
+    p, p0, x, q, y, s, t = _mk_table(tmp_path)
+    for kw in [dict(order_by="x", desc=True), dict(order_by="x"),
+               dict(order_by="y", desc=True), dict(order_by="s"),
+               dict(order_by="t", desc=True)]:
+        a = an.select(p, columns=["x", "s"], limit=6, **kw)
+        b = an.select(p0, columns=["x", "s"], limit=6, **kw)
+        for n in a:
+            np.testing.assert_array_equal(np.asarray(a[n]),
+                                          np.asarray(b[n]))
+    # and with a predicate on another column
+    a = an.select(p, columns=["x"], preds=[("q", "lt", 50)],
+                  order_by="x", desc=True, limit=4)
+    b = an.select(p0, columns=["x"], preds=[("q", "lt", 50)],
+                  order_by="x", desc=True, limit=4)
+    np.testing.assert_array_equal(a["x"], b["x"])
+    spy = DecodeSpy(monkeypatch)
+    r = an.select(p, columns=["x"], order_by="x", desc=True, limit=3)
+    np.testing.assert_array_equal(r["x"], np.sort(x)[::-1][:3])
+    assert spy.chunks <= 2 * CB  # one window of chunks, not the file
+
+
+def test_order_by_ties_stable_vs_sequential(tmp_path):
+    # constant order keys: every row ties; the pruned walk must return
+    # exactly the rows the sequential walk returns
+    p = str(tmp_path / "c.flt")
+    x = np.arange(N, dtype=np.uint32)
+    const = np.zeros(N, np.uint32)
+    fio_table.write_table(p, {"x": x, "c": const}, chunk_blocks=CB)
+    p0 = str(tmp_path / "c0.flt")
+    strip_stats(p, p0)
+    a = an.select(p, columns=["x"], order_by="c", limit=10)
+    b = an.select(p0, columns=["x"], order_by="c", limit=10)
+    np.testing.assert_array_equal(a["x"], b["x"])
+    a = an.select(p, columns=["x"], order_by="c", desc=True, limit=10)
+    b = an.select(p0, columns=["x"], order_by="c", desc=True, limit=10)
+    np.testing.assert_array_equal(a["x"], b["x"])
+
+
+def test_order_by_nullable_key(tmp_path):
+    p = str(tmp_path / "n.flt")
+    x = np.ma.MaskedArray(np.arange(N, dtype=np.uint32),
+                          mask=(np.arange(N) >= N - 3))  # best keys null
+    fio_table.write_table(p, {"x": x}, chunk_blocks=CB)
+    r = an.select(p, columns=["x"], order_by="x", desc=True, limit=5)
+    np.testing.assert_array_equal(np.asarray(r["x"]),
+                                  [N - 4 - i for i in range(5)])
+
+
 def test_recompress_preserves_stats(tmp_path):
     from fastlanes_tpu import cli
 
