@@ -1919,6 +1919,34 @@ def _select_topk(path, columns, preds, k, mesh, order_by, desc, names,
     return result
 
 
+def _stats_summary(paths, column):
+    """scan_column-compatible {count, min, max, nan} derived purely from
+    zone maps — no decode at all — or None when any chunk lacks stats.
+    min/max come back in the scans' comparison conventions (logical ints,
+    int64 semantics for 64-bit carriers, floats as floats, string columns
+    as dictionary codes); count excludes nulls, `nan` flags any NaN."""
+    total, lo, hi, nan = 0, None, None, False
+    for p in paths:
+        try:
+            chunks, _cd, _t, _vt, n_values, _b, nulls = _column_layout(
+                p, column)
+        except (ValueError, KeyError):
+            return None
+        n_rows = (n_values if n_values is not None
+                  else sum(m["n_blocks"] for m in chunks) * layout.BLOCK)
+        total += n_rows - (int(nulls["n_null"]) if nulls else 0)
+        for m in chunks:
+            st = m.get("stats")
+            if not isinstance(st, dict):
+                return None
+            if st.get("nan"):
+                nan = True
+            if "lo" in st:
+                lo = st["lo"] if lo is None or st["lo"] < lo else lo
+                hi = st["hi"] if hi is None or st["hi"] > hi else hi
+    return {"count": total, "min": lo, "max": hi, "nan": nan}
+
+
 def quantile(path, column: Optional[str] = None, q=0.5, mesh=None):
     """EXACT quantile of a compressed column (lower interpolation, the
     value at zero-based rank floor(q*(n-1)) of the sorted non-null
@@ -1935,7 +1963,15 @@ def quantile(path, column: Optional[str] = None, q=0.5, mesh=None):
     qs = np.atleast_1d(np.asarray(q, np.float64))
     if ((qs < 0) | (qs > 1)).any():
         raise ValueError("quantiles must be in [0, 1]")
-    s = scan_column(path, column=column, mesh=mesh)
+    # zone maps make the leading summary free: count from the headers,
+    # min/max/NaN from the chunk stats — no decode before the search
+    # (string columns keep the scan: their min/max are labels, not codes)
+    s = (None if _str_dict_of(_paths(path)[0], column) is not None
+         else _stats_summary(_paths(path), column))
+    if s is not None and s["nan"]:
+        s = {"count": s["count"], "min": float("nan"), "max": float("nan")}
+    if s is None:
+        s = scan_column(path, column=column, mesh=mesh)
     n = s["count"]
     scalar = np.isscalar(q) or np.asarray(q).ndim == 0
     if n == 0:

@@ -442,6 +442,35 @@ def test_order_by_nullable_key(tmp_path):
                                   [N - 4 - i for i in range(5)])
 
 
+def test_quantile_header_summary_matches(tmp_path, monkeypatch):
+    p, p0, x, q, y, s, t = _mk_table(tmp_path)
+    for col, qq in [("x", 0.5), ("x", [0.1, 0.9]), ("y", 0.25),
+                    ("q", 0.5), ("t", 0.75)]:
+        assert an.quantile(p, col, qq) == an.quantile(p0, col, qq), (col, qq)
+    # the summary comes from headers and the search prunes: far fewer
+    # chunks decode than the 6-chunk column times ~22 search steps
+    spy = DecodeSpy(monkeypatch)
+    m = an.median(p, "x")
+    assert m == int(np.median(x) - 0.5) or m == int(np.median(x))
+    assert spy.chunks <= 20, spy.chunks  # no full scan, pruned probes
+    # (an unpruned search would decode ~6 chunks x ~15 steps + a full scan)
+
+
+def test_quantile_nan_and_nullable_fast_path(tmp_path):
+    pn = str(tmp_path / "nan.flt")
+    y = np.linspace(0, 1, N)
+    y[7] = np.nan
+    fio.write_file(pn, y, chunk_blocks=CB)
+    assert np.isnan(an.quantile(pn, q=0.5))
+    pm = str(tmp_path / "null.flt")
+    xm = np.ma.MaskedArray(np.arange(N, dtype=np.uint32),
+                           mask=(np.arange(N) % 2 == 0))
+    fio.write_file(pm, xm, chunk_blocks=CB)
+    vals = np.arange(N)[np.arange(N) % 2 == 1]
+    assert an.quantile(pm, q=0.5) == int(np.percentile(
+        vals, 50, method="lower"))
+
+
 def test_recompress_preserves_stats(tmp_path):
     from fastlanes_tpu import cli
 
