@@ -86,6 +86,14 @@ def main():
     assert per_cur["USD"]["sum"] == int(qty[cur == "USD"].sum())
     print("GROUP BY cur:", {g: r["sum"] for g, r in sorted(per_cur.items())})
 
+    # 4b) GROUP BY ... WHERE: predicates filter rows before grouping
+    big = analytics.group_stats(paths, "cur", "qty",
+                                preds=[("qty", "gt", 900)])
+    mb = qty > 900
+    assert big["USD"]["count"] == int((mb & (cur == "USD")).sum())
+    print("GROUP BY cur WHERE qty>900:",
+          {g: r["count"] for g, r in sorted(big.items())})
+
     # 5) distinct / value_counts / top_k
     assert list(analytics.distinct(paths, "cur")) == sorted(set(cur))
     vc = analytics.value_counts(paths, "cur")

@@ -2535,7 +2535,7 @@ def top_k(path: str, column: Optional[str] = None, k: int = 10,
 
 
 def group_stats(path: str, key: str, value: str, max_groups: int = None,
-                mesh=None) -> dict:
+                mesh=None, preds=()) -> dict:
     """GROUP BY pushdown over a compressed table file: per-group
     sum/min/max/count of the `value` column grouped by the integer `key`
     column, decoded and scatter-reduced on device per chunk. Sums carry the
@@ -2551,12 +2551,16 @@ def group_stats(path: str, key: str, value: str, max_groups: int = None,
     min/max/count (sum is None). A LIST of paths scans a sharded dataset:
     integer-keyed numeric groups share one exact accumulator; string-keyed
     or string-valued groups merge per-file results (float sums then add
-    the per-file exactly-rounded sums)."""
+    the per-file exactly-rounded sums). `preds` ANDs (column, op, value)
+    WHERE predicates before grouping — SQL GROUP BY ... WHERE — with the
+    scans' predicate semantics and zone-map chunk pruning."""
     paths = _paths(path)
     kdict = _str_dict_of(paths[0], key)
     vdict = _str_dict_of(paths[0], value)
+    raw_preds = list(preds)
     if len(paths) > 1 and (kdict is not None or vdict is not None):
-        subs = [group_stats(p, key, value, max_groups, mesh) for p in paths]
+        subs = [group_stats(p, key, value, max_groups, mesh, raw_preds)
+                for p in paths]
         return _merge_group_results(subs, vdict is not None)
     if max_groups is None:
         if kdict is not None:
@@ -2564,7 +2568,11 @@ def group_stats(path: str, key: str, value: str, max_groups: int = None,
                 return {}
             max_groups = int(kdict.size)
         else:
-            ks = scan_column(path, column=key, mesh=mesh)
+            # the cap only needs the key range: header-only when zone maps
+            # cover the column, one fused scan otherwise
+            ks = _stats_summary(paths, key)
+            if ks is None:
+                ks = scan_column(path, column=key, mesh=mesh)
             if ks["count"] == 0:
                 return {}
             if ks["min"] < 0:
@@ -2576,35 +2584,32 @@ def group_stats(path: str, key: str, value: str, max_groups: int = None,
     kind = None
     acc = None
 
-    def _pairs():
+    def _rows():
         for p in paths:
-            vals = _decoded_chunks(p, value, mesh, batch=False,
-                                   window=_LOCKSTEP_WINDOW)
-            keys_it = _decoded_chunks(p, key, mesh, batch=False,
-                                      window=_LOCKSTEP_WINDOW)
-            yield from zip(vals, keys_it)
-            if next(vals, None) is not None or next(keys_it, None) is not None:
-                raise ValueError(
-                    f"columns {key!r} and {value!r} have different chunk "
-                    "counts; group_stats needs equal length and chunking")
+            preds_p = _normalize_preds(p, raw_preds)
+            names = list(dict.fromkeys(
+                [key, value] + [q[0] for q in preds_p]))
+            keep = _zone_keep(p, preds_p, names=names)
+            for rows in _lockstep_chunks(p, names, mesh, keep=keep):
+                yield rows, preds_p
 
-    for (vb, vdt, vvt, v_valid, v_mask), (kb, kdt, kvt, k_valid, k_mask) in \
-            _pairs():
+    for rows, preds_p in _rows():
+        kb, kdt, kvt, k_valid, k_mask = rows[key]
+        vb, vdt, vvt, v_valid, v_mask = rows[value]
         flat_v = _flatten_logical(vb, vdt, vvt)
         flat_k = _flatten_logical(kb, kdt, kvt)
         if isinstance(flat_k, tuple):
             raise ValueError(
                 f"group key column {key!r} must be an integer column of "
                 "width <= 32 (u8/u16/u32 or signed)")
-        if _flat_len(flat_v) != _flat_len(flat_k) or v_valid != k_valid:
-            raise ValueError(
-                f"columns {key!r} and {value!r} have mismatched chunk "
-                "layouts; group_stats needs equal length and chunking")
         if v_valid == 0:
             continue
         mask = k_mask
         if v_mask is not None:
             mask = v_mask if mask is None else mask & v_mask
+        if preds_p:  # WHERE: failing rows leave every group
+            pm = _chunk_row_mask(rows, preds_p)
+            mask = pm if mask is None else mask & pm
         if mask is not None:  # null key OR null value: row leaves the group
             flat_k = _mask_keys_kernel(flat_k, mask, k)
         v = jnp.int32(v_valid)

@@ -240,7 +240,19 @@ def _cmd_scan(args) -> int:
     if args.group_by:
         if not is_table or args.column is None:
             raise SystemExit("--group-by needs a table file and --column")
-        groups = analytics.group_stats(args.input, args.group_by, args.column)
+        preds = []
+        if args.where:  # GROUP BY ... WHERE: predicate before grouping
+            try:
+                op, _, value = args.where.partition(":")
+                if op in ("in", "notin"):
+                    v = [_parse_where_value(x) for x in value.split(",")]
+                else:
+                    v = _parse_where_value(value)
+                preds = [(args.where_column or args.column, op, v)]
+            except ValueError as e:
+                raise SystemExit(f"bad --where {args.where!r}: {e}")
+        groups = analytics.group_stats(args.input, args.group_by,
+                                       args.column, preds=preds)
         print(json.dumps({str(g): s for g, s in groups.items()}))
         return 0
     if is_table and args.column is None:

@@ -471,6 +471,68 @@ def test_quantile_nan_and_nullable_fast_path(tmp_path):
         vals, 50, method="lower"))
 
 
+def test_group_stats_where(tmp_path, monkeypatch):
+    p = str(tmp_path / "g.flt")
+    n = N
+    rng = np.random.default_rng(5)
+    k = (np.arange(n) % 4).astype(np.uint8)
+    v = rng.integers(0, 1000, n).astype(np.uint32)
+    flag = np.arange(n, dtype=np.uint32)  # sorted -> prunable predicate
+    s = np.array(["a", "b"])[np.arange(n) % 2]
+    fio_table.write_table(p, {"k": k, "v": v, "flag": flag, "s": s},
+                          chunk_blocks=CB)
+    # numeric predicate
+    r = an.group_stats(p, "k", "v", preds=[("flag", "lt", 1000)])
+    m = flag < 1000
+    for g in range(4):
+        gm = m & (k == g)
+        assert r[g]["count"] == int(gm.sum())
+        assert r[g]["sum"] == int(v[gm].sum())
+        assert r[g]["min"] == int(v[gm].min())
+    # string predicate + string key
+    r = an.group_stats(p, "s", "v", preds=[("flag", "ge", n - 2000)])
+    m = flag >= n - 2000
+    for g in ("a", "b"):
+        gm = m & (s == g)
+        assert r[g]["count"] == int(gm.sum())
+        assert r[g]["sum"] == int(v[gm].sum())
+    # pruning: the predicate covers one chunk's range -> few decodes
+    spy = DecodeSpy(monkeypatch)
+    r = an.group_stats(p, "k", "v", max_groups=4,
+                       preds=[("flag", "lt", 100)])
+    assert sum(r[g]["count"] for g in r) == 100
+    assert spy.chunks <= 3 * CB  # one window x three columns, not the file
+    # no preds: unchanged semantics
+    r0 = an.group_stats(p, "k", "v")
+    for g in range(4):
+        gm = k == g
+        assert r0[g]["count"] == int(gm.sum())
+        assert r0[g]["sum"] == int(v[gm].sum())
+
+
+def test_group_stats_where_float_and_nullable(tmp_path):
+    p = str(tmp_path / "gf.flt")
+    n = N
+    kk = (np.arange(n) % 3).astype(np.uint8)
+    y = np.linspace(-1, 1, n).astype(np.float64)
+    vm = np.ma.MaskedArray(np.arange(n, dtype=np.uint32),
+                           mask=(np.arange(n) % 7 == 0))
+    fio_table.write_table(p, {"k": kk, "y": y, "vm": vm}, chunk_blocks=CB)
+    r = an.group_stats(p, "k", "y", preds=[("y", "ge", 0.5)])
+    m = y >= 0.5
+    for g in range(3):
+        gm = m & (kk == g)
+        assert r[g]["count"] == int(gm.sum())
+        assert r[g]["min"] == float(y[gm].min())
+    # nullable value column: null rows leave groups, preds compose
+    r = an.group_stats(p, "k", "vm", preds=[("y", "lt", 0.0)])
+    mv = (y < 0.0) & ~vm.mask
+    for g in range(3):
+        gm = mv & (kk == g)
+        assert r[g]["count"] == int(gm.sum())
+        assert r[g]["sum"] == int(np.asarray(vm.data)[gm].sum())
+
+
 def test_recompress_preserves_stats(tmp_path):
     from fastlanes_tpu import cli
 
