@@ -753,11 +753,14 @@ def pack_map(fn, values, width, dtype):
 #    composes in the (lo, hi) plane domain.
 
 
+_ORIG_STRATEGIES = ("od", "gat", "rep", "compose")
+
+
 def _route_orig(op, width, dtype, strategy):
     if strategy is not None:
-        if strategy not in ("od", "compose"):
+        if strategy not in _ORIG_STRATEGIES:
             raise ValueError(
-                f"strategy must be 'od' or 'compose', got {strategy!r}")
+                f"strategy must be one of {_ORIG_STRATEGIES}, got {strategy!r}")
         return strategy
     from . import routing
 
@@ -766,18 +769,21 @@ def _route_orig(op, width, dtype, strategy):
 
 def _orig_entry(op, decode_fn, od_fn, packed, width, dtype, strategy,
                 interpret, planes):
-    """Shared driver for the *_orig entries: route od/compose; u64 runs in
-    the (lo, hi) plane domain either way (planes=False interleaves at the
-    end for the byte-image convention). An explicit `interpret` forces the
-    kernel decode, which only exists on the compose strategy."""
+    """Shared driver for the *_orig entries: route the fused formulations
+    (od/gat/rep, ops/orig.py) vs compose (routed transposed decode +
+    standalone untranspose); u64 runs in the (lo, hi) plane domain either
+    way (planes=False interleaves at the end for the byte-image
+    convention). An explicit `interpret` forces the kernel decode, which
+    only exists on the compose strategy."""
     from ..ops import transpose as transpose_mod
 
     if interpret is not None and strategy is None:
         strategy = "compose"
     dtype = layout.canon_dtype(dtype)
+    strat = _route_orig(op, width, dtype, strategy)
     if eng.is_limb(dtype):
-        if _route_orig(op, width, dtype, strategy) == "od":
-            out = od_fn()
+        if strat != "compose":
+            out = od_fn(strat)
         else:
             out = transpose_mod.untranspose(decode_fn(), dtype, planes=True)
         if planes:
@@ -785,8 +791,8 @@ def _orig_entry(op, decode_fn, od_fn, packed, width, dtype, strategy,
         return eng.from_vec(out, dtype, like=packed)
     if planes:
         raise ValueError("planes=True is the u64 limb-plane API")
-    if _route_orig(op, width, dtype, strategy) == "od":
-        return od_fn()
+    if strat != "compose":
+        return od_fn(strat)
     return transpose_mod.untranspose(decode_fn(), dtype)
 
 
@@ -800,7 +806,7 @@ def unpack_orig(packed, width, dtype, *, strategy=None, interpret=None,
         "unpack_orig",
         lambda: unpack(packed, width, dtype, interpret=interpret,
                        planes=eng.is_limb(dtype)),
-        lambda: ops_orig.unpack_orig(packed, width, dtype),
+        lambda f: ops_orig.unpack_orig(packed, width, dtype, formulation=f),
         packed, width, dtype, strategy, interpret, planes)
 
 
@@ -814,7 +820,8 @@ def undelta_pack_orig(packed, base, width, dtype, *, strategy=None,
         "undelta_pack_orig",
         lambda: undelta_pack(packed, base, width, dtype, interpret=interpret,
                              planes=eng.is_limb(dtype)),
-        lambda: ops_orig.undelta_pack_orig(packed, base, width, dtype),
+        lambda f: ops_orig.undelta_pack_orig(packed, base, width, dtype,
+                                             formulation=f),
         packed, width, dtype, strategy, interpret, planes)
 
 
@@ -827,7 +834,8 @@ def unzdelta_pack_orig(packed, base, width, dtype, *, strategy=None,
         "unzdelta_pack_orig",
         lambda: unzdelta_pack(packed, base, width, dtype, interpret=interpret,
                               planes=eng.is_limb(dtype)),
-        lambda: ops_orig.unzdelta_pack_orig(packed, base, width, dtype),
+        lambda f: ops_orig.unzdelta_pack_orig(packed, base, width, dtype,
+                                              formulation=f),
         packed, width, dtype, strategy, interpret, planes)
 
 

@@ -99,13 +99,16 @@ _PALLAS_MARGIN = 1.08
 
 
 # Unmeasured-op defaults. Classic codec entries keep the kernel (the
-# pre-routing behavior); original-order decode entries (VERDICT r3 item 1)
-# default to the fused output-domain formulation, which does strictly less
-# memory traffic than decode-then-untranspose.
+# pre-routing behavior). Original-order decode entries default to the flat
+# one-pass 'gat' formulation (ops/orig.py): round-4 v5e measurements put it
+# within ~25% of the per-width winner at EVERY u32 width, while the former
+# 'od' select-chain default collapsed to 2.6% of SoL at W=25 (O(W) output
+# passes — BENCH_r03 / VERDICT r3 items 1-2) and 'compose' pays a
+# standalone untranspose.
 _UNMEASURED_DEFAULT = {
-    "unpack_orig": "od",
-    "undelta_pack_orig": "od",
-    "unzdelta_pack_orig": "od",
+    "unpack_orig": "gat",
+    "undelta_pack_orig": "gat",
+    "unzdelta_pack_orig": "gat",
     "unpack_wt": "assemble",  # the W=T relayout slots (ops/bitpack.py)
     "pack_wt": "assemble",
     "delta_pack_orig_enc": "od",  # encode duals (ops/orig.py)
@@ -115,8 +118,9 @@ _UNMEASURED_DEFAULT = {
 }
 
 #: every execution strategy a table entry may name
-_STRATEGIES = frozenset(("pallas", "ops", "od", "compose", "assemble",
-                         "gather", "grouptake", "mxu", "mxu8", "permute"))
+_STRATEGIES = frozenset(("pallas", "ops", "od", "gat", "rep", "compose",
+                         "assemble", "gather", "grouptake", "mxu", "mxu8",
+                         "permute"))
 
 
 @functools.lru_cache(maxsize=None)

@@ -235,14 +235,181 @@ def _check_dtype(dtype) -> str:
     return layout.canon_dtype(dtype)
 
 
-def unpack_orig(packed, width, dtype):
+# -- r4 formulations: all relayout on the PACKED image, O(1) output passes --
+# BENCH_r03 measured the select-chain 'od' at 2.6% of SoL at W=25 (it does
+# W lane-repeat broadcasts + ~2W full-width selects — O(W) full-block
+# passes; VERDICT r3 item 2). These two do ONE pass over the output:
+#
+#   gat  words[b, s, r] = packed[b, k(r)*NL + lane_of_seg(s)] via one
+#        static (NL, T)-indexed jnp.take per operand (plus the straddle
+#        next-word twin), then a single vectorized shift/or/mask pass;
+#   rep  the same word arrays built gather-free: lane-permute + transpose
+#        the (B, W, NL) packed view (packed-size relayout, W/T of the
+#        output bytes), then static-count jnp.repeat along the minor axis.
+#
+# Both produce the ORIGINAL order directly (segment s owns output positions
+# [s*T, (s+1)*T) = rows 0..T of transposed lane lane_of_seg(s) — SURVEY §2
+# contiguity fact), so the delta cumsum runs along the minor axis and no
+# chunk permutation remains. Work is (B, NL, T) rank-3 throughout with a
+# final free reshape to (B, 1024); v5e round-4 race: the flattened (B, 1024)
+# twins with tiled (1024,) index/shift vectors measured up to 1.9x SLOWER
+# (benchmarks/exp_orig_r4.py), so rank-3 it is. rep wins narrow widths
+# (u32 W=3 28.0e9, W=8 35.4e9 fused-delta), gat wide (W=25 16.5e9 vs od's
+# 1.39e9); the routing table picks per (op, dtype, width).
+# Reference semantics: macros.rs:142-170 restated as the uniform two-term
+# extract value = ((word_k >> sh) | (word_{k+1} << (T-sh))) & mask(W).
+
+
+@functools.lru_cache(maxsize=None)
+def _r3_tables(width: int, dtype):
+    """Static per-row tables for the rank-3 formulations: primary word k(r),
+    shift sh(r), straddle mask, next word, (NL, T) take indices."""
+    t = layout.bit_width(dtype)
+    nl = layout.lanes(dtype)
+    r = np.arange(t, dtype=np.int64)
+    k = (r * width) // t
+    sh = (r * width) % t
+    need = (sh + width > t) & (k + 1 < width)
+    kn = np.minimum(k + 1, max(width - 1, 0))
+    lane_perm = np.asarray(_lane_of_seg(dtype), np.int64)
+    IDXW = (k[None, :] * nl + lane_perm[:, None]).astype(np.int32)   # (NL, T)
+    IDXN = (kn[None, :] * nl + lane_perm[:, None]).astype(np.int32)
+    return {
+        "t": t, "nl": nl, "sh": sh, "sl": (t - sh) % t, "need": need,
+        "any_need": bool(need.any()), "reps": np.bincount(k, minlength=width),
+        "idxw": IDXW, "idxn": IDXN, "lane_perm": lane_perm,
+    }
+
+
+def _word_streams_gat(vec_one, width, dtype):
+    """(words, nxt) (B, NL, T) operand arrays via static takes."""
+    import jax.numpy as jnp
+
+    tb = _r3_tables(width, dtype)
+    words = jnp.take(vec_one, jnp.asarray(tb["idxw"]), axis=-1)
+    nxt = (jnp.take(vec_one, jnp.asarray(tb["idxn"]), axis=-1)
+           if tb["any_need"] else None)
+    return words, nxt
+
+
+def _word_streams_rep(vec_one, width, dtype):
+    """(words, nxt) via packed-domain relayout + static-count repeats."""
+    import jax.numpy as jnp
+
+    tb = _r3_tables(width, dtype)
+    nl = tb["nl"]
+    b = vec_one.shape[0]
+    pt3 = jnp.transpose(
+        vec_one.reshape(b, width, nl)[:, :, jnp.asarray(tb["lane_perm"])],
+        (0, 2, 1))                                           # (B, NL, W)
+    reps = jnp.asarray(tb["reps"])
+    words = jnp.repeat(pt3, reps, axis=-1, total_repeat_length=tb["t"])
+    nxt = None
+    if tb["any_need"]:
+        ptn = jnp.concatenate([pt3[:, :, 1:], pt3[:, :, -1:]], axis=-1)
+        nxt = jnp.repeat(ptn, reps, axis=-1, total_repeat_length=tb["t"])
+    return words, nxt
+
+
+_WORD_STREAMS = {"gat": _word_streams_gat, "rep": _word_streams_rep}
+
+
+def _r3_unpack(vec, width, dtype, formulation):
+    """Packed vec -> (B, NL, T) ORIGINAL-order values (segment-major, perm
+    folded into the word streams; flat original order is a free reshape).
+    u64 returns a (lo, hi) plane pair."""
+    import jax.numpy as jnp
+
+    streams = _WORD_STREAMS[formulation]
+    if eng.is_limb(dtype):
+        b = vec[0].shape[0]
+        if width == 0:
+            z = jnp.zeros((b, layout.lanes(dtype), layout.bit_width(dtype)),
+                          jnp.uint32)
+            return z, z
+        tb = _r3_tables(width, dtype)
+        SH = jnp.asarray(tb["sh"].astype(np.uint32))
+        wl, nl_ = streams(vec[0], width, dtype)
+        wh, nh = streams(vec[1], width, dtype)
+        lo, hi = _shr64_vec(wl, wh, SH)
+        if tb["any_need"]:
+            SL = jnp.asarray(tb["sl"].astype(np.uint32))
+            sl_lo, sl_hi = _shl64_vec(nl_, nh, SL)
+            m = jnp.asarray(tb["need"])
+            lo = jnp.where(m, lo | sl_lo, lo)
+            hi = jnp.where(m, hi | sl_hi, hi)
+        if width < 64:
+            mask = (1 << width) - 1
+            lo = lo & jnp.uint32(mask & 0xFFFFFFFF)
+            hi = hi & jnp.uint32((mask >> 32) & 0xFFFFFFFF)
+        return lo, hi
+    np_dt = layout.np_dtype(dtype)
+    b = vec.shape[0]
+    if width == 0:
+        return jnp.zeros((b, layout.lanes(dtype), layout.bit_width(dtype)),
+                         jnp.dtype(np_dt.name))
+    tb = _r3_tables(width, dtype)
+    words, nxt = streams(vec, width, dtype)
+    out = words >> jnp.asarray(tb["sh"].astype(np_dt))
+    if tb["any_need"]:
+        out = jnp.where(jnp.asarray(tb["need"]),
+                        out | (nxt << jnp.asarray(tb["sl"].astype(np_dt))),
+                        out)
+    if width < tb["t"]:
+        out = out & np_dt.type((1 << width) - 1)
+    return out
+
+
+def _flat_unpack(vec, width, dtype, formulation):
+    """Packed vec -> (B, 1024) ORIGINAL-order values via _r3_unpack."""
+    b = (vec[0] if eng.is_limb(dtype) else vec).shape[0]
+    out = _r3_unpack(vec, width, dtype, formulation)
+    if eng.is_limb(dtype):
+        return out[0].reshape(b, layout.BLOCK), out[1].reshape(b, layout.BLOCK)
+    return out.reshape(b, layout.BLOCK)
+
+
+def _finish_delta_flat(nat3, base, width, dtype, had_batch, vec):
+    """Delta tail for the rank-3 formulations: segmented cumsum along the
+    minor axis + LANE-PERMUTED base; no chunk permutation (the word streams
+    already fold lane_of_seg). `nat3` is the (B, NL, T) image."""
+    import jax.numpy as jnp
+
+    b = (vec[0] if eng.is_limb(dtype) else vec).shape[0]
+    perm = jnp.asarray(np.asarray(_lane_of_seg(dtype), np.int64))
+    if eng.is_limb(dtype):
+        base_lo, base_hi = _base_2d(base, dtype, vec)
+        lo3, hi3 = nat3
+        lo_c = jnp.cumsum(lo3, axis=-1, dtype=jnp.uint32)
+        carry = jnp.cumsum((lo_c < lo3).astype(jnp.uint32), axis=-1,
+                           dtype=jnp.uint32)
+        hi_c = jnp.cumsum(hi3, axis=-1, dtype=jnp.uint32) + carry
+        bl = base_lo[:, perm][:, :, None]
+        lo = lo_c + bl
+        hi = hi_c + base_hi[:, perm][:, :, None] + (lo < bl).astype(jnp.uint32)
+        out = lo.reshape(b, layout.BLOCK), hi.reshape(b, layout.BLOCK)
+    else:
+        base_vec = _base_2d(base, dtype, vec)
+        cum = jnp.cumsum(nat3, axis=-1, dtype=nat3.dtype)
+        out = (cum + base_vec[:, perm][:, :, None]).reshape(b, layout.BLOCK)
+    return eng.squeeze_shape(out, had_batch, dtype)
+
+
+def unpack_orig(packed, width, dtype, *, formulation: str = "gat"):
     """unpack + untranspose in one pass: packed transposed-domain blocks ->
     ORIGINAL-order (B, 1024) values, no transposed image materialized.
-    u64 returns a (lo, hi) uint32 plane pair."""
+    u64 returns a (lo, hi) uint32 plane pair.
+
+    formulation: 'gat' | 'rep' (flat one-pass forms, see above) | 'od'
+    (the select-chain output-domain form — O(W) passes, kept for routing
+    races and as the formulation that needs no gather/repeat vocabulary)."""
     dtype = _check_dtype(dtype)
     layout.check_width(dtype, width)
     vec = eng.to_vec(packed, dtype)
     vec, had_batch = eng.promote_shape(vec, dtype)
+    if formulation in _WORD_STREAMS:
+        out = _flat_unpack(vec, width, dtype, formulation)
+        return eng.squeeze_shape(out, had_batch, dtype)
     if eng.is_limb(dtype):
         lo, hi = _natural_unpack_u64(vec[0], vec[1], width)
         out = _chunk_perm(lo, dtype), _chunk_perm(hi, dtype)
@@ -268,7 +435,7 @@ def _finish_delta_orig(nat, base, width, dtype, had_batch, vec):
     return eng.squeeze_shape(out, had_batch, dtype)
 
 
-def undelta_pack_orig(packed, base, width, dtype):
+def undelta_pack_orig(packed, base, width, dtype, *, formulation: str = "gat"):
     """undelta_pack + untranspose in one pass (delta.rs:48-63 composed with
     transpose.rs:18-22): per-segment cumsum in the original domain.
     u64 returns a (lo, hi) uint32 plane pair (carry-propagating cumsum)."""
@@ -276,6 +443,9 @@ def undelta_pack_orig(packed, base, width, dtype):
     layout.check_width(dtype, width)
     vec = eng.to_vec(packed, dtype)
     vec, had_batch = eng.promote_shape(vec, dtype)
+    if formulation in _WORD_STREAMS:
+        nat3 = _r3_unpack(vec, width, dtype, formulation)
+        return _finish_delta_flat(nat3, base, width, dtype, had_batch, vec)
     if eng.is_limb(dtype):
         nat = _natural_unpack_u64(vec[0], vec[1], width)
     else:
@@ -283,9 +453,10 @@ def undelta_pack_orig(packed, base, width, dtype):
     return _finish_delta_orig(nat, base, width, dtype, had_batch, vec)
 
 
-def unzdelta_pack_orig(packed, base, width, dtype):
+def unzdelta_pack_orig(packed, base, width, dtype, *, formulation: str = "gat"):
     """Fused zdelta decode to original order: unpack -> unzigzag ->
-    per-segment cumsum -> chunk permutation, one traced pass."""
+    per-segment cumsum (-> chunk permutation on the od form), one traced
+    pass."""
     import jax.numpy as jnp
 
     from .. import transforms
@@ -294,6 +465,14 @@ def unzdelta_pack_orig(packed, base, width, dtype):
     layout.check_width(dtype, width)
     vec = eng.to_vec(packed, dtype)
     vec, had_batch = eng.promote_shape(vec, dtype)
+    if formulation in _WORD_STREAMS:
+        z = _r3_unpack(vec, width, dtype, formulation)
+        if eng.is_limb(dtype):
+            nat3 = transforms.zigzag_decode_limb(z[0], z[1])
+        else:
+            one = z.dtype.type(1)
+            nat3 = (z >> one) ^ (jnp.zeros_like(z) - (z & one))
+        return _finish_delta_flat(nat3, base, width, dtype, had_batch, vec)
     if eng.is_limb(dtype):
         zlo, zhi = _natural_unpack_u64(vec[0], vec[1], width)
         nat = transforms.zigzag_decode_limb(zlo, zhi)

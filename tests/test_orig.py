@@ -34,8 +34,12 @@ def _delta_fixture(dt, w, n_blocks=6):
     return packed, base, wd, tr
 
 
+FORMULATIONS = ("od", "gat", "rep")
+
+
+@pytest.mark.parametrize("form", FORMULATIONS)
 @pytest.mark.parametrize("dt", NON_LIMB)
-def test_unpack_orig_matches_untranspose_of_unpack(dt):
+def test_unpack_orig_matches_untranspose_of_unpack(dt, form):
     t = layout.bit_width(dt)
     for w in sorted({0, 1, 3, t // 2, t - 1, t}):
         vals = RNG.integers(0, 1 << w if w else 1, (5, 1024),
@@ -43,23 +47,27 @@ def test_unpack_orig_matches_untranspose_of_unpack(dt):
         tr = ref.transpose(vals, dt)
         packed = ref.pack(tr, w, dt)
         want = ref.untranspose(ref.unpack(packed, w, dt), dt)
-        got = np.asarray(ops_orig.unpack_orig(packed, w, dt))
-        assert np.array_equal(got, want), f"{dt} w={w}"
+        got = np.asarray(ops_orig.unpack_orig(packed, w, dt,
+                                              formulation=form))
+        assert np.array_equal(got, want), f"{dt} w={w} {form}"
         assert np.array_equal(got, vals)  # round-trips the original column
 
 
+@pytest.mark.parametrize("form", FORMULATIONS)
 @pytest.mark.parametrize("dt", NON_LIMB)
-def test_undelta_pack_orig_conformance(dt):
+def test_undelta_pack_orig_conformance(dt, form):
     t = layout.bit_width(dt)
     for w in sorted({1, 3, t - 1, t}):
         packed, base, wd, tr = _delta_fixture(dt, w)
         want = ref.untranspose(ref.undelta_pack(packed, base, wd, dt), dt)
-        got = np.asarray(ops_orig.undelta_pack_orig(packed, base, wd, dt))
-        assert np.array_equal(got, want), f"{dt} w={w}->{wd}"
+        got = np.asarray(ops_orig.undelta_pack_orig(packed, base, wd, dt,
+                                                    formulation=form))
+        assert np.array_equal(got, want), f"{dt} w={w}->{wd} {form}"
 
 
+@pytest.mark.parametrize("form", FORMULATIONS)
 @pytest.mark.parametrize("dt", NON_LIMB)
-def test_unzdelta_pack_orig_conformance(dt):
+def test_unzdelta_pack_orig_conformance(dt, form):
     t = layout.bit_width(dt)
     np_dt = layout.np_dtype(dt)
     packed, base, wd, tr = _delta_fixture(dt, t // 2)
@@ -68,8 +76,9 @@ def test_unzdelta_pack_orig_conformance(dt):
     wz = int(zz.max()).bit_length()
     pz = ref.pack(zz.astype(np_dt), wz, dt)
     want = ref.untranspose(ref.undelta_pack(packed, base, wd, dt), dt)
-    got = np.asarray(ops_orig.unzdelta_pack_orig(pz, base, wz, dt))
-    assert np.array_equal(got, want)
+    got = np.asarray(ops_orig.unzdelta_pack_orig(pz, base, wz, dt,
+                                                 formulation=form))
+    assert np.array_equal(got, want), form
 
 
 def test_unbatched_and_base_forms():
@@ -95,8 +104,9 @@ def _u64_img(arr):
     return np.ascontiguousarray(arr).view(np.uint32).reshape(*arr.shape, 2)
 
 
+@pytest.mark.parametrize("form", FORMULATIONS)
 @pytest.mark.parametrize("w", [1, 3, 31, 33, 40, 63, 64])
-def test_u64_od_unpack_orig(w):
+def test_u64_od_unpack_orig(w, form):
     """u64 output-domain unpack: vector-shift limb funnels across word
     boundaries, bit-exact vs untranspose(unpack) at every shift regime."""
     vals = RNG.integers(0, 1 << min(w, 63), (4, 1024), dtype=np.uint64)
@@ -105,9 +115,10 @@ def test_u64_od_unpack_orig(w):
     tr = ref.transpose(vals, "u64")
     packed = ref.pack(tr, w, "u64")
     want = _u64_img(ref.untranspose(ref.unpack(packed, w, "u64"), "u64"))
-    lo, hi = ops_orig.unpack_orig(_u64_img(packed), w, "u64")
-    assert np.array_equal(np.asarray(lo), want[..., 0]), f"lo w={w}"
-    assert np.array_equal(np.asarray(hi), want[..., 1]), f"hi w={w}"
+    lo, hi = ops_orig.unpack_orig(_u64_img(packed), w, "u64",
+                                  formulation=form)
+    assert np.array_equal(np.asarray(lo), want[..., 0]), f"lo w={w} {form}"
+    assert np.array_equal(np.asarray(hi), want[..., 1]), f"hi w={w} {form}"
 
 
 def test_u64_od_undelta_carry_propagation():
@@ -126,10 +137,11 @@ def test_u64_od_undelta_carry_propagation():
     packed = ref.pack(deltas, wd, "u64")
     want = _u64_img(ref.untranspose(ref.undelta_pack(packed, base, wd, "u64"),
                                     "u64"))
-    lo, hi = ops_orig.undelta_pack_orig(_u64_img(packed), _u64_img(base), wd,
-                                        "u64")
-    assert np.array_equal(np.asarray(lo), want[..., 0])
-    assert np.array_equal(np.asarray(hi), want[..., 1])
+    for form in FORMULATIONS:
+        lo, hi = ops_orig.undelta_pack_orig(_u64_img(packed), _u64_img(base),
+                                            wd, "u64", formulation=form)
+        assert np.array_equal(np.asarray(lo), want[..., 0]), form
+        assert np.array_equal(np.asarray(hi), want[..., 1]), form
 
 
 def test_u64_od_unzdelta():
@@ -141,11 +153,12 @@ def test_u64_od_unzdelta():
     zz = fio._zigzag_deltas(ref.delta(tr, base, "u64"))
     wz = int(zz.max()).bit_length()
     packed = ref.pack(zz, wz, "u64")
-    lo, hi = ops_orig.unzdelta_pack_orig(_u64_img(packed), _u64_img(base), wz,
-                                         "u64")
     want = _u64_img(vals)
-    assert np.array_equal(np.asarray(lo), want[..., 0])
-    assert np.array_equal(np.asarray(hi), want[..., 1])
+    for form in FORMULATIONS:
+        lo, hi = ops_orig.unzdelta_pack_orig(_u64_img(packed), _u64_img(base),
+                                             wz, "u64", formulation=form)
+        assert np.array_equal(np.asarray(lo), want[..., 0]), form
+        assert np.array_equal(np.asarray(hi), want[..., 1]), form
 
 
 def test_u64_kernel_entry_od_strategy():
@@ -158,7 +171,7 @@ def test_u64_kernel_entry_od_strategy():
     wd = int(deltas.max()).bit_length()
     packed = ref.pack(deltas, wd, "u64")
     want = _u64_img(vals)
-    for strategy in ("od", "compose"):
+    for strategy in ("od", "gat", "rep", "compose"):
         lo, hi = kernels.undelta_pack_orig(
             _u64_img(packed), _u64_img(base), wd, "u64", planes=True,
             strategy=strategy)
@@ -188,7 +201,7 @@ def test_u64_sharded_orig_od_planes():
     assert np.array_equal(np.asarray(hi), want[..., 1])
 
 
-@pytest.mark.parametrize("strategy", ["od", "compose"])
+@pytest.mark.parametrize("strategy", ["od", "gat", "rep", "compose"])
 def test_kernel_entries_both_strategies(strategy):
     packed, base, wd, _ = _delta_fixture("u32", 9)
     want = ref.untranspose(ref.undelta_pack(packed, base, wd, "u32"), "u32")
@@ -203,8 +216,9 @@ def test_kernel_entries_both_strategies(strategy):
 
 def test_routing_table_drives_orig_strategy():
     """A table entry where compose wins must route the public entry to
-    compose (and od by default when unmeasured)."""
-    assert routing.best_path("undelta_pack_orig", "u32", 3) == "od"
+    compose (and the flat 'gat' formulation by default when unmeasured)."""
+    if "undelta_pack_orig:u32:3" not in routing._entries():
+        assert routing.best_path("undelta_pack_orig", "u32", 3) == "gat"
     try:
         routing.set_table({"undelta_pack_orig:u32:3":
                            {"od": 1.0, "compose": 2.0}})

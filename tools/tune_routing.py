@@ -201,7 +201,14 @@ def main():
 
     from fastlanes_tpu.ops import orig as ops_orig
 
-    orig_fns = {  # the two strategies of the *_orig entries (VERDICT item 1)
+    def _dec_orig(entry):
+        # all four strategies of the *_orig decode entries (VERDICT r3
+        # items 1-2): od select-chain, gat/rep flat one-pass forms,
+        # compose = routed transposed decode + standalone untranspose
+        return {s: (lambda *a, _s=s, _e=entry: _e(*a, strategy=_s))
+                for s in ("od", "gat", "rep", "compose")}
+
+    orig_fns = {
         "delta_pack_orig_enc": {
             "od": lambda v, w, dt: ops_orig.delta_pack_orig(v, w, dt)[0],
             "compose": lambda v, w, dt: pk.delta_pack_orig(
@@ -213,21 +220,15 @@ def main():
             "compose": lambda v, w, dt: pk.delta_pack_orig(
                 v, w, dt, zigzag=True, strategy="compose")[0],
         },
-        "unpack_orig": {
-            "od": lambda p, w, dt: ops_orig.unpack_orig(p, w, dt),
-            "compose": lambda p, w, dt: pk.unpack_orig(p, w, dt,
-                                                       strategy="compose"),
-        },
-        "undelta_pack_orig": {
-            "od": lambda p, b, w, dt: ops_orig.undelta_pack_orig(p, b, w, dt),
-            "compose": lambda p, b, w, dt: pk.undelta_pack_orig(
-                p, b, w, dt, strategy="compose"),
-        },
-        "unzdelta_pack_orig": {
-            "od": lambda p, b, w, dt: ops_orig.unzdelta_pack_orig(p, b, w, dt),
-            "compose": lambda p, b, w, dt: pk.unzdelta_pack_orig(
-                p, b, w, dt, strategy="compose"),
-        },
+        "unpack_orig": _dec_orig(
+            lambda p, w, dt, strategy: pk.unpack_orig(p, w, dt,
+                                                      strategy=strategy)),
+        "undelta_pack_orig": _dec_orig(
+            lambda p, b, w, dt, strategy: pk.undelta_pack_orig(
+                p, b, w, dt, strategy=strategy)),
+        "unzdelta_pack_orig": _dec_orig(
+            lambda p, b, w, dt, strategy: pk.unzdelta_pack_orig(
+                p, b, w, dt, strategy=strategy)),
     }
 
     for op, dt, w in configs:
