@@ -237,18 +237,41 @@ def main():
                     times.append(time.perf_counter() - t0)
                 return float(np.median(times))
 
+            import ctypes
+
+            lib = native._load()
+            code = {"u8": 0, "u16": 1, "u32": 2, "u64": 3}
             for ndt in ("u16", "u32"):
                 np_dt = np.uint16 if ndt == "u16" else np.uint32
                 vals = rng.integers(0, 8, (n_blocks, 1024),
                                     dtype=np.int64).astype(np_dt)
                 p = native.pack(vals, 3, ndt)
                 pbuf = np.empty_like(p)
-                obuf = np.empty_like(vals)
+                # 64B-aligned output -> the r4 non-temporal store path
+                # (regular stores pay read-for-ownership; decode is
+                # write-bandwidth-bound on the host)
+                obuf = native.aligned_empty(vals.shape, np_dt)
                 te = med(lambda: native.pack(vals, 3, ndt, out=pbuf))
                 td = med(lambda: native.unpack(p, 3, ndt, out=obuf))
                 emit({"bench": "native_host", "dtype": ndt, "width": 3,
                       "encode_ints_per_s": n_ints / te,
-                      "decode_ints_per_s": n_ints / td})
+                      "decode_ints_per_s": n_ints / td,
+                      "nt_stores": True})
+                # hot (cache-resident) decode, the reference's criterion
+                # shape: one small batch decoded repeatedly, raw C call
+                # (the Python wrapper costs ~20us/call — IO pipelines
+                # amortize it over big batches; criterion-style loops
+                # must not measure it)
+                hb = 64
+                hp = np.ascontiguousarray(p[:hb])
+                ho = native.aligned_empty((hb, 1024), np_dt)
+                pptr = hp.ctypes.data_as(ctypes.c_void_p)
+                optr = ho.ctypes.data_as(ctypes.c_void_p)
+                th = med(lambda: lib.fl_unpack(code[ndt], 3, pptr, optr, hb),
+                         iters=200)
+                emit({"bench": "native_host_hot", "dtype": ndt, "width": 3,
+                      "blocks": hb,
+                      "decode_ints_per_s": hb * 1024 / th})
     except Exception as e:
         emit({"bench": "native_host", "error": str(e)[:120]})
 

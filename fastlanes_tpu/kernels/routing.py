@@ -39,6 +39,7 @@ def set_table(entries) -> None:
     for mod_name, attr in (
             ("fastlanes_tpu.ops.bitpack", "_wt_strategy"),
             ("fastlanes_tpu.ops.bitpack", "_pack_wt_strategy"),
+            ("fastlanes_tpu.ops.single", "_single_strategy"),
             ("fastlanes_tpu.ops.transpose", "_st_strategy")):
         mod = sys.modules.get(mod_name)
         if mod is not None:
@@ -115,12 +116,13 @@ _UNMEASURED_DEFAULT = {
     "zdelta_pack_orig_enc": "od",
     "transpose_st": "permute",    # standalone relayouts (ops/transpose.py)
     "untranspose_st": "permute",
+    "unpack_single": "gather",    # dense-K random access (ops/single.py)
 }
 
 #: every execution strategy a table entry may name
 _STRATEGIES = frozenset(("pallas", "ops", "od", "gat", "rep", "compose",
                          "assemble", "gather", "grouptake", "mxu", "mxu8",
-                         "permute"))
+                         "permute", "decode", "bitrev", "axes"))
 
 
 @functools.lru_cache(maxsize=None)

@@ -106,13 +106,25 @@ def _check(rc):
 
 
 
+def aligned_empty(shape, np_dt, align=64):
+    """np.empty whose data pointer is `align`-byte aligned — required for
+    the native library's non-temporal streaming-store decode path (full
+    cache-line stores, no read-for-ownership)."""
+    np_dt = np.dtype(np_dt)
+    nbytes = int(np.prod(shape)) * np_dt.itemsize
+    raw = np.empty(nbytes + align, np.uint8)
+    off = (-raw.ctypes.data) % align
+    return raw[off:off + nbytes].view(np_dt).reshape(shape)
+
+
 def _out_buf(out, shape, dtype):
     """Use the caller's preallocated output when given (IO pipelines reuse
     buffers — a fresh np.empty per call page-faults its whole extent, which
-    can cost more than the decode itself); else allocate."""
+    can cost more than the decode itself); else allocate (64B-aligned, so
+    large decodes take the non-temporal store path)."""
     np_dt = layout.np_dtype(dtype)
     if out is None:
-        return np.empty(shape, np_dt)
+        return aligned_empty(shape, np_dt)
     if (not isinstance(out, np.ndarray) or out.dtype != np_dt
             or out.shape != shape or not out.flags.c_contiguous):
         raise ValueError(
@@ -152,7 +164,7 @@ def unfor_pack(packed, reference, width, dtype):
     dtype = layout.canon_dtype(dtype)
     lib = _load()
     p = _prep(packed, dtype, layout.packed_len(dtype, width))
-    out = np.empty((p.shape[0], layout.BLOCK), layout.np_dtype(dtype))
+    out = aligned_empty((p.shape[0], layout.BLOCK), layout.np_dtype(dtype))
     _check(lib.fl_unfor_pack(_DTYPE_CODE[dtype], width, _ptr(p), int(reference),
                              _ptr(out), p.shape[0]))
     return out

@@ -24,7 +24,56 @@
 #include <cstring>
 #include <utility>
 
+#if defined(__AVX512F__) || defined(__AVX2__) || defined(__SSE2__)
+#include <immintrin.h>
+#endif
+
 namespace {
+
+// ---------------------------------------------------------------------------
+// Non-temporal row stores. Streaming decode is WRITE-bandwidth-bound on the
+// host (the output is T/W times larger than the input); regular stores pay
+// read-for-ownership, fetching every output cache line before overwriting
+// it. Every transposed row is exactly 128 bytes (NL * sizeof(T) == 128 for
+// all four dtypes) and row offsets are 128-byte multiples, so rows can be
+// streamed as two (AVX-512) / four (AVX2) full non-temporal cache lines
+// when the destination block is 64-byte aligned.
+
+constexpr bool kHaveNT =
+#if defined(__AVX512F__) || defined(__AVX2__) || defined(__SSE2__)
+    true;
+#else
+    false;
+#endif
+
+inline void nt_store_row128(void* dst, const void* src) {
+#if defined(__AVX512F__)
+  _mm512_stream_si512(reinterpret_cast<__m512i*>(dst),
+                      _mm512_load_si512(src));
+  _mm512_stream_si512(reinterpret_cast<__m512i*>(static_cast<char*>(dst) + 64),
+                      _mm512_load_si512(static_cast<const char*>(src) + 64));
+#elif defined(__AVX2__)
+  for (int i = 0; i < 4; ++i)
+    _mm256_stream_si256(
+        reinterpret_cast<__m256i*>(static_cast<char*>(dst) + 32 * i),
+        _mm256_load_si256(reinterpret_cast<const __m256i*>(
+            static_cast<const char*>(src) + 32 * i)));
+#elif defined(__SSE2__)
+  for (int i = 0; i < 8; ++i)
+    _mm_stream_si128(
+        reinterpret_cast<__m128i*>(static_cast<char*>(dst) + 16 * i),
+        _mm_load_si128(reinterpret_cast<const __m128i*>(
+            static_cast<const char*>(src) + 16 * i)));
+#else
+  std::memcpy(dst, src, 128);
+#endif
+}
+
+inline void nt_fence() {
+#if defined(__AVX512F__) || defined(__AVX2__) || defined(__SSE2__)
+  _mm_sfence();
+#endif
+}
 
 constexpr int kFLOrder[8] = {0, 4, 2, 6, 1, 5, 3, 7};
 constexpr int kBlock = 1024;
@@ -139,7 +188,7 @@ template <typename T, int W, typename Sink, size_t... R>
 inline void unpack_rows_unrolled(const T* __restrict in, Sink& sink,
                                  std::index_sequence<R...>) {
   constexpr int NL = FL<T>::NL;
-  T elems[NL];
+  alignas(64) T elems[NL];
   (unpack_row_step<T, W, int(R)>(in, elems, sink), ...);
 }
 
@@ -160,7 +209,7 @@ inline void unpack_rows_direct(const T* __restrict in, T* __restrict out,
 template <typename T, int W, typename Sink>
 inline void unpack_rows(const T* __restrict in, Sink sink) {
   constexpr int TB = FL<T>::TB, NL = FL<T>::NL;
-  T elems[NL];
+  alignas(64) T elems[NL];
   if constexpr (W == 0) {
     for (int lane = 0; lane < NL; ++lane) elems[lane] = 0;
     for (int row = 0; row < TB; ++row) sink(row, elems);
@@ -196,6 +245,18 @@ void unpack_block(const T* in, T* out) {
   }
 }
 
+// Non-temporal decode twins: rows are computed in a 64B-aligned stack
+// buffer, then streamed to the destination as full cache lines (no RFO).
+// Used by the batched drivers when the output is 64B-aligned and large
+// enough that it cannot be cache-resident anyway (see kNTMinBlocks).
+
+template <typename T, int W>
+void unpack_block_nt(const T* in, T* out) {
+  unpack_rows<T, W>(in, [out](int row, const T* elems) {
+    nt_store_row128(out + row_offset(row), elems);
+  });
+}
+
 // FoR: reference ffor.rs:24-50
 template <typename T, int W>
 void for_pack_block(const T* in, T reference, T* out) {
@@ -216,6 +277,16 @@ void unfor_pack_block(const T* in, T reference, T* out) {
   unpack_rows<T, W>(in, [out, reference](int row, const T* elems) {
     T* dst = out + row_offset(row);
     for (int lane = 0; lane < NL; ++lane) dst[lane] = T(elems[lane] + reference);
+  });
+}
+
+template <typename T, int W>
+void unfor_pack_block_nt(const T* in, T reference, T* out) {
+  constexpr int NL = FL<T>::NL;
+  alignas(64) T row[NL];
+  unpack_rows<T, W>(in, [&](int r, const T* elems) {
+    for (int lane = 0; lane < NL; ++lane) row[lane] = T(elems[lane] + reference);
+    nt_store_row128(out + row_offset(r), row);
   });
 }
 
@@ -262,6 +333,17 @@ void undelta_pack_block(const T* in, const T* base, T* out) {
       prev[lane] = T(elems[lane] + prev[lane]);
       dst[lane] = prev[lane];
     }
+  });
+}
+
+template <typename T, int W>
+void undelta_pack_block_nt(const T* in, const T* base, T* out) {
+  constexpr int NL = FL<T>::NL;
+  alignas(64) T prev[NL];
+  for (int lane = 0; lane < NL; ++lane) prev[lane] = base[lane];
+  unpack_rows<T, W>(in, [&](int r, const T* elems) {
+    for (int lane = 0; lane < NL; ++lane) prev[lane] = T(elems[lane] + prev[lane]);
+    nt_store_row128(out + row_offset(r), prev);
   });
 }
 
@@ -393,6 +475,25 @@ void unpack_loop(const T* __restrict src, T* __restrict dst, long n_blocks) {
     unpack_block<T, W>(src + b * pe, dst + b * kBlock);
 }
 
+template <typename T, int W>
+void unpack_loop_nt(const T* __restrict src, T* __restrict dst, long n_blocks) {
+  constexpr size_t pe = size_t(kBlock) * W / FL<T>::TB;
+  for (long b = 0; b < n_blocks; ++b)
+    unpack_block_nt<T, W>(src + b * pe, dst + b * kBlock);
+  nt_fence();
+}
+
+// NT pays off only when the output is too big to live in cache (streaming
+// decode); below this it would evict data a consumer is about to reuse.
+// 512 blocks = 2 MiB of u32 output.
+constexpr long kNTMinBlocks = 512;
+
+template <typename T>
+inline bool use_nt(const void* dst, long n_blocks) {
+  return kHaveNT && n_blocks >= kNTMinBlocks &&
+         (reinterpret_cast<uintptr_t>(dst) & 63) == 0;
+}
+
 template <typename T>
 using LoopFn = void (*)(const T*, T*, long);
 
@@ -404,12 +505,27 @@ template <typename T, size_t... Ws>
 constexpr auto make_unpack_loop_table(std::index_sequence<Ws...>) {
   return std::array<LoopFn<T>, sizeof...(Ws)>{&unpack_loop<T, int(Ws)>...};
 }
+template <typename T, size_t... Ws>
+constexpr auto make_unpack_nt_loop_table(std::index_sequence<Ws...>) {
+  return std::array<LoopFn<T>, sizeof...(Ws)>{&unpack_loop_nt<T, int(Ws)>...};
+}
+template <typename T, size_t... Ws>
+constexpr auto make_unforpack_nt_table(std::index_sequence<Ws...>) {
+  return std::array<ScalarFn<T>, sizeof...(Ws)>{&unfor_pack_block_nt<T, int(Ws)>...};
+}
+template <typename T, size_t... Ws>
+constexpr auto make_undelta_pack_nt_table(std::index_sequence<Ws...>) {
+  return std::array<BaseFn<T>, sizeof...(Ws)>{&undelta_pack_block_nt<T, int(Ws)>...};
+}
 
 template <typename T>
 struct LoopTables {
   static constexpr auto seq = std::make_index_sequence<FL<T>::TB + 1>{};
   static inline const auto pack = make_pack_loop_table<T>(seq);
   static inline const auto unpack = make_unpack_loop_table<T>(seq);
+  static inline const auto unpack_nt = make_unpack_nt_loop_table<T>(seq);
+  static inline const auto unfor_pack_nt = make_unforpack_nt_table<T>(seq);
+  static inline const auto undelta_pack_nt = make_undelta_pack_nt_table<T>(seq);
 };
 
 template <typename T>
@@ -417,10 +533,14 @@ int run_pack(int width, const void* in, void* out, long n_blocks, bool unpack_di
   if (width < 0 || width > FL<T>::TB) return -1;
   const T* src = static_cast<const T*>(in);
   T* dst = static_cast<T*>(out);
-  if (unpack_dir)
-    LoopTables<T>::unpack[width](src, dst, n_blocks);
-  else
+  if (unpack_dir) {
+    if (use_nt<T>(dst, n_blocks))
+      LoopTables<T>::unpack_nt[width](src, dst, n_blocks);
+    else
+      LoopTables<T>::unpack[width](src, dst, n_blocks);
+  } else {
     LoopTables<T>::pack[width](src, dst, n_blocks);
+  }
   return 0;
 }
 
@@ -432,12 +552,16 @@ int run_for(int width, const void* in, unsigned long long reference, void* out,
   T* dst = static_cast<T*>(out);
   const T ref = T(reference);
   const size_t pe = packed_elems<T>(width);
+  const bool nt = unpack_dir && use_nt<T>(dst, n_blocks);
   for (long b = 0; b < n_blocks; ++b) {
-    if (unpack_dir)
+    if (nt)
+      LoopTables<T>::unfor_pack_nt[width](src + b * pe, ref, dst + b * kBlock);
+    else if (unpack_dir)
       Tables<T>::unfor_pack[width](src + b * pe, ref, dst + b * kBlock);
     else
       Tables<T>::for_pack[width](src + b * kBlock, ref, dst + b * pe);
   }
+  if (nt) nt_fence();
   return 0;
 }
 
@@ -450,12 +574,17 @@ int run_delta_fused(int width, const void* in, const void* base, void* out,
   T* dst = static_cast<T*>(out);
   const size_t pe = packed_elems<T>(width);
   constexpr int NL = FL<T>::NL;
+  const bool nt = unpack_dir && use_nt<T>(dst, n_blocks);
   for (long b = 0; b < n_blocks; ++b) {
-    if (unpack_dir)
+    if (nt)
+      LoopTables<T>::undelta_pack_nt[width](src + b * pe, bs + b * NL,
+                                            dst + b * kBlock);
+    else if (unpack_dir)
       Tables<T>::undelta_pack[width](src + b * pe, bs + b * NL, dst + b * kBlock);
     else
       Tables<T>::delta_pack[width](src + b * kBlock, bs + b * NL, dst + b * pe);
   }
+  if (nt) nt_fence();
   return 0;
 }
 

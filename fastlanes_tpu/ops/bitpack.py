@@ -274,9 +274,37 @@ def _wt_strategy(dtype) -> str:
     return strat if strat in _WT_IMPLS else "assemble"
 
 
-def _wt_one(x2d, dtype, strategy, perm=None):
+def _wt_bitrev(x2d, dtype, kind):
+    """W=T relayout as pure reshape/transpose (no gather HLO): the group
+    permutation is an (o, s)-axis swap composed with a bit-reversal of the
+    o bits, because FL_ORDER is the 3-bit bit-reversal — word r = (o, s)
+    maps to flat group g = s*(T/8) + bitrev(o)."""
     import jax.numpy as jnp
 
+    t = layout.bit_width(dtype)
+    nl = layout.lanes(dtype)
+    b = x2d.shape[0]
+    q = t // 8
+    if q == 1:
+        return x2d  # u8: words are already in flat-group order
+    nb = q.bit_length() - 1
+    x3 = x2d.reshape(b, t, nl)
+    if kind == "unpack":
+        # word-major r = (o_msb..o_lsb, s) -> group-major (s, bitrev(o))
+        y = x3.reshape((b,) + (2,) * nb + (8, nl))
+        axes = [0, 1 + nb] + list(range(nb, 0, -1)) + [2 + nb]
+    else:
+        # group-major g = (s, q_msb..q_lsb) -> word-major (bitrev(q), s)
+        y = x3.reshape((b, 8) + (2,) * nb + (nl,))
+        axes = [0] + list(range(1 + nb, 1, -1)) + [1, 2 + nb]
+    return jnp.transpose(y, axes).reshape(b, layout.BLOCK)
+
+
+def _wt_one(x2d, dtype, strategy, perm=None, kind="unpack"):
+    import jax.numpy as jnp
+
+    if strategy == "bitrev":
+        return _wt_bitrev(x2d, dtype, kind)
     t = layout.bit_width(dtype)
     nl = layout.lanes(dtype)
     b = x2d.shape[0]
@@ -309,7 +337,7 @@ def _wt_one(x2d, dtype, strategy, perm=None):
     raise ValueError(f"unknown W=T strategy {strategy!r}")
 
 
-_WT_IMPLS = ("assemble", "gather", "grouptake", "mxu", "mxu8")
+_WT_IMPLS = ("assemble", "gather", "grouptake", "mxu", "mxu8", "bitrev")
 
 
 def _unpack_wt(vec, dtype, strategy):
@@ -350,9 +378,9 @@ def _pack_wt(vec, dtype, strategy):
         return eng.concat_cols(words, dtype)
     perm = _pack_wt_perm(dtype)
     if eng.is_limb(dtype):
-        return (_wt_one(vec[0], dtype, strategy, perm),
-                _wt_one(vec[1], dtype, strategy, perm))
-    return _wt_one(vec, dtype, strategy, perm)
+        return (_wt_one(vec[0], dtype, strategy, perm, kind="pack"),
+                _wt_one(vec[1], dtype, strategy, perm, kind="pack"))
+    return _wt_one(vec, dtype, strategy, perm, kind="pack")
 
 
 def unpack_planes(packed, width: int, dtype):

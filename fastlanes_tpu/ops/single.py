@@ -9,10 +9,27 @@ doubles as a batched `take` for packed columns.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 
 from ..core import layout
 from . import _engine as eng
+
+#: below this many queried indices the two-word gather always wins (full
+#: decode does 1024 elements of work regardless of K); at/above it the
+#: measured routing entry "unpack_single" decides (tools/tune_routing.py
+#: races both at the reference bench shape, all 1024 indices —
+#: benches/bitpacking.rs:49-63).
+_DECODE_MIN_K = 256
+
+
+@functools.lru_cache(maxsize=None)
+def _single_strategy(dtype, width) -> str:
+    from ..kernels import routing
+
+    strat = routing.best_path("unpack_single", dtype, width)
+    return strat if strat in ("gather", "decode") else "gather"
 
 
 def unpack_single(packed, width: int, index, dtype):
@@ -37,6 +54,20 @@ def unpack_single(packed, width: int, index, dtype):
 
     if width == 0:
         out = eng.zeros((bshape, idx.shape[0]), dtype)
+    elif (idx.shape[0] >= _DECODE_MIN_K
+          and _single_strategy(dtype, width) == "decode"):
+        # measured-faster for dense index sets: decode the whole block
+        # (the routed full unpack) and gather once, instead of 2 packed-word
+        # gathers per index
+        from . import bitpack
+
+        t_bits = layout.bit_width(dtype)
+        if width == t_bits:
+            full = bitpack._unpack_wt(vec, dtype, bitpack._wt_strategy(dtype))
+        else:
+            rows = dict(bitpack.unpack_row_stream(vec, width, dtype))
+            full = bitpack.assemble_blocks(rows, dtype)
+        out = eng.take_cols(full, idx, dtype)
     else:
         lanes_t = jnp.asarray(layout.lanes_by_index(dtype))
         rows_t = jnp.asarray(layout.rows_by_index(dtype))

@@ -38,6 +38,21 @@ Kept, bit-exact and tested, as the documented negative result; NOT
 routed. Follow-up: skipping the OUTPUT bitcast (raw u32 image out)
 doubles throughput to 78.5e9 — still below plain ops, so the image-domain
 variant is not worth surfacing either.
+
+ROUND-2 RESULT (r4, benchmarks/exp_swar_r4.py, 32768 blocks, v5e): both
+costs the round-1 postmortem named were removed — u32-NATIVE input (the
+packed bytes viewed uint32, zero device conversion; the file layer owns
+the carrier) and u32-image output (byte-identical to the sub-word block),
+with flat single-take formulations replacing the (B, 32) slabs. SWAR
+STILL LOSES at every config: u16 W=3 img_gat 41.3e9 / img_rep 40.7 vs
+ops 131.6; u8 W=3 img_rep 91.8 vs ops 119.5; u8 W=1 img_rep 137.2 vs ops
+149.1. The closing of the gap at trivial widths (W=1: 0.92x) shows the
+approach scales, but the per-column constant-vector shifts/masks on the
+image domain cost more than the sub-word density saves — XLA already
+achieves enough 2x/4x packing on the plain sub-word ops path. CONCLUSION:
+SWAR-in-XLA is dead for this codec; the remaining sub-word headroom (ops
+u16 W=3 = 38% of its HBM SoL) is a Mosaic-kernel problem (packed i16/i8
+stores), not a formulation problem.
 """
 
 from __future__ import annotations

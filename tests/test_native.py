@@ -99,3 +99,57 @@ def test_native_out_buffers(rng):
     np.testing.assert_array_equal(obuf, vals)
     with pytest.raises(ValueError, match="C-contiguous"):
         native.unpack(pbuf, 3, "u32", out=np.empty((16, 1024), np.uint16))
+
+
+@pytest.mark.parametrize("dt,w", width_sweep())
+def test_native_golden_pins(dt, w):
+    """Explicit pin linkage (VERDICT r3 item 9): the C++ host codec's packed
+    bytes for the reference test pattern match tests/golden_sweep_sha256.json
+    DIRECTLY — not just transitively through the oracle. Together with
+    test_numpy_ref.test_golden_sweep_sha256 (oracle) and the ops/Pallas sweep
+    tests this closes the three-way independent-implementation triangle on
+    every one of the 124 pinned configs (reference bitpacking.rs:273-315)."""
+    import hashlib
+    import json
+    import os
+
+    from conftest import ref_pattern
+
+    with open(os.path.join(os.path.dirname(__file__),
+                           "golden_sweep_sha256.json")) as f:
+        pins = json.load(f)
+    t = layout.bit_width(dt)
+    values = ref_pattern(dt, w, n_blocks=1)
+    packed = native.pack(values, w, dt)
+    digest = hashlib.sha256(
+        packed[0].astype(f"<u{t // 8}").tobytes()).hexdigest()
+    assert digest == pins[f"{dt}_w{w}"]
+
+
+def test_native_nt_threshold_paths(rng):
+    """The non-temporal streaming-store decode (>= 512 blocks, 64B-aligned
+    output) must be byte-identical to the classic path across codecs."""
+    n = 600  # crosses kNTMinBlocks
+    for dt in ("u8", "u16", "u32", "u64"):
+        w = 3
+        vals = random_values(rng, dt, w, n_blocks=n)
+        packed = ref.pack(vals, w, dt)
+        out = native.unpack(packed, w, dt)  # aligned alloc -> NT path
+        np.testing.assert_array_equal(out, vals)
+        # unaligned caller buffer must still work (classic path)
+        raw = np.empty(n * 1024 * vals.dtype.itemsize + 64, np.uint8)
+        off = (-raw.ctypes.data) % 64 + vals.dtype.itemsize
+        ubuf = raw[off:off + n * 1024 * vals.dtype.itemsize]
+        ubuf = ubuf.view(vals.dtype).reshape(n, 1024)
+        np.testing.assert_array_equal(native.unpack(packed, w, dt, out=ubuf), vals)
+        # fused decodes through the NT dispatch
+        tr = ref.transpose(vals, dt)
+        base = np.ascontiguousarray(tr[:, :layout.lanes(dt)])
+        deltas = ref.delta(tr, base, dt)
+        pd = ref.pack(deltas, w, dt)
+        np.testing.assert_array_equal(
+            native.undelta_pack(pd, base, w, dt),
+            ref.undelta_pack(pd, base, w, dt))
+        np.testing.assert_array_equal(
+            native.unfor_pack(ref.pack(vals, w, dt), 0, w, dt),
+            ref.unfor_pack(ref.pack(vals, w, dt), 0, w, dt))

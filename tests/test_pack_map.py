@@ -63,7 +63,7 @@ def test_unbatched_and_public_reexports():
 
 @pytest.mark.parametrize("dt", ["u8", "u16", "u32", "u64"])
 @pytest.mark.parametrize("strategy", ["assemble", "gather", "grouptake",
-                                      "mxu", "mxu8"])
+                                      "mxu", "mxu8", "bitrev"])
 def test_wt_strategies_bit_exact(dt, strategy):
     """Every W=T relayout strategy (VERDICT r3 item 2 candidates) decodes
     bit-exactly; the routed default stays 'assemble' until measured."""

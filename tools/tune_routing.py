@@ -69,6 +69,7 @@ def build_configs(quick: bool):
                        "unzdelta_pack_orig", "delta_pack_orig_enc",
                        "zdelta_pack_orig_enc"):
                 configs.append((op, dt, w))
+            configs.append(("unpack_single", dt, w))
     if not quick:
         # dtype-independent standalone relayouts (one entry each, u32:0)
         configs.append(("transpose_st", "u32", 0))
@@ -231,6 +232,19 @@ def main():
                 p, b, w, dt, strategy=strategy)),
     }
 
+    def _flush():
+        """Write the table after EVERY entry — a TPU-worker crash mid-run
+        must not lose the measurements already taken (r4: a crash during
+        the u64 sweep cost 36 entries until recovered from stdout)."""
+        doc = {
+            "platform": f"{platform} ({jax.devices()[0].device_kind if on_tpu else 'host'})",
+            "source": f"tools/tune_routing.py, {n_blocks} blocks, K={K}, "
+                      "optimization_barrier materialized harness",
+            "entries": {k: entries[k] for k in sorted(entries)},
+        }
+        with open(args.out, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+
     for op, dt, w in configs:
         key = f"{op}:{dt}:{w}"
         _WT_BASE = {"unpack_wt": "unpack", "pack_wt": "pack"}
@@ -244,7 +258,7 @@ def main():
 
             base_fn = (_tr.transpose if op == "transpose_st"
                        else _tr.untranspose)
-            for strat in ("permute", "gather"):
+            for strat in ("permute", "gather", "axes", "mxu"):
                 try:
                     _routing.set_table({key: {strat: 1.0}})
                     _tr._st_strategy.cache_clear()
@@ -260,6 +274,7 @@ def main():
             if rec:
                 rec["blocks"] = n_blocks
                 entries[key] = rec
+                _flush()
                 print(json.dumps({key: rec}), flush=True)
             continue
         if op in _WT_BASE:
@@ -269,7 +284,8 @@ def main():
             base_fn = (ops_bitpack.unpack if op == "unpack_wt"
                        else ops_bitpack.pack)
             caches = (ops_bitpack._wt_strategy, ops_bitpack._pack_wt_strategy)
-            for strat in ("assemble", "gather", "grouptake", "mxu", "mxu8"):
+            for strat in ("assemble", "gather", "grouptake", "mxu", "mxu8",
+                          "bitrev"):
                 try:
                     _routing.set_table({key: {strat: 1.0}})
                     for c in caches:
@@ -288,6 +304,36 @@ def main():
             if rec:
                 rec["blocks"] = n_blocks
                 entries[key] = rec
+                _flush()
+                print(json.dumps({key: rec}), flush=True)
+            continue
+        if op == "unpack_single":
+            # dense random access (all 1024 indices, the reference bench
+            # shape benches/bitpacking.rs:49-63): 2-word gather vs routed
+            # full decode + one gather (ops/single.py)
+            from fastlanes_tpu.kernels import routing as _routing
+            from fastlanes_tpu.ops import single as _single
+
+            idx_all = jnp.arange(1024, dtype=jnp.int32)
+            for strat in ("gather", "decode"):
+                try:
+                    _routing.set_table({key: {strat: 1.0}})
+                    _single._single_strategy.cache_clear()
+                    t_s = chained(
+                        lambda x, _w=w, _dt=dt: _single.unpack_single(
+                            x, _w, idx_all, _dt), main)
+                    rec[strat] = round(n_ints / t_s, 1)
+                except Exception as e:  # pragma: no cover
+                    print(f"# {key} {strat} failed: {str(e)[:100]}",
+                          file=sys.stderr)
+                finally:
+                    _routing.set_table(None)
+                    _single._single_strategy.cache_clear()
+            if rec:
+                rec["blocks"] = n_blocks
+                rec["k"] = 1024
+                entries[key] = rec
+                _flush()
                 print(json.dumps({key: rec}), flush=True)
             continue
         if op in orig_fns:
@@ -303,6 +349,7 @@ def main():
             if rec:
                 rec["blocks"] = n_blocks  # per-entry provenance (metadata
                 entries[key] = rec        # keys are ignored by routing)
+                _flush()
                 print(json.dumps({key: rec}), flush=True)
             continue
         try:
@@ -324,6 +371,7 @@ def main():
         if rec:
             rec["blocks"] = n_blocks
             entries[key] = rec
+            _flush()
             print(json.dumps({key: rec}), flush=True)
 
     doc = {
