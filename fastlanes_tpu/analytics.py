@@ -138,7 +138,7 @@ def _merge_group_results(subs, str_value: bool) -> dict:
 
 
 def _decoded_chunks(path: str, column: Optional[str], mesh, batch=True,
-                    window: Optional[int] = None, keep=None):
+                    window: Optional[int] = None, keep=None, natural=False):
     """Yield (decoded device blocks, dtype, vtype, valid, vmask) already
     transform-applied — real values in the column's logical domain. `vmask`
     is the part's flat device validity mask for nullable columns (True =
@@ -157,12 +157,27 @@ def _decoded_chunks(path: str, column: Optional[str], mesh, batch=True,
     decoded, and value/block accounting jumps over them so `valid` and the
     validity mask stay exact. In window mode a window decodes whole unless
     EVERY chunk in it is skippable (lockstep consumers feed every column
-    the same `keep`, so the walks stay aligned)."""
+    the same `keep`, so the walks stay aligned).
+
+    `natural=True` (order-insensitive consumers only: reductions, counts,
+    value-domain aggregates) lets delta-family chunks keep the NATURAL
+    transposed-domain image — the per-block untranspose relayout, the
+    single most expensive stage of a sorted-column read, never runs
+    (VERDICT r4 item 3a). Values are a per-block permutation of the
+    original order, so it is applied per run only when nothing positional
+    rides along: no validity bitmaps and no padded tail block in the run
+    (the `valid` prefix mask and `vmask` are positional)."""
     chunks, cdtype, transform, vtype, n_values, base_off, nulls_meta = \
         _column_layout(path, column)
     starts = [0]
     for m in chunks:
         starts.append(starts[-1] + m["n_blocks"])
+
+    def _run_natural(idxs):
+        if not natural or nulls_meta is not None:
+            return False
+        end_values = starts[idxs[-1] + 1] * layout.BLOCK
+        return n_values is None or end_values <= n_values
 
     with open(path, "rb") as f:
         def read_cov(idxs):
@@ -204,9 +219,18 @@ def _decoded_chunks(path: str, column: Optional[str], mesh, batch=True,
                 else:
                     runs.append([i])
             for run in runs:
-                parts = fio_device._decode_chunks_grouped(
-                    read_cov(run), cdtype, mesh, "auto")
-                yield from emit(parts, starts[run[0]])
+                subs = [run]
+                if (natural and nulls_meta is None
+                        and len(run) > 1 and not _run_natural(run)
+                        and _run_natural(run[:-1])):
+                    # only the padded tail chunk blocks natural order:
+                    # split it off so the bulk still skips the untranspose
+                    subs = [run[:-1], run[-1:]]
+                for sub in subs:
+                    parts = fio_device._decode_chunks_grouped(
+                        read_cov(sub), cdtype, mesh, "auto",
+                        natural=_run_natural(sub))
+                    yield from emit(parts, starts[sub[0]])
         elif window:
             for i in range(0, len(chunks), window):
                 idxs = range(i, min(i + window, len(chunks)))
@@ -230,7 +254,7 @@ def _decoded_chunks(path: str, column: Optional[str], mesh, batch=True,
                 f.seek(base_off + meta["offset"])
                 part = fio_device._decode_chunk_device(
                     meta, f.read(meta["nbytes"]), meta["n_blocks"], cdtype,
-                    mesh=mesh)
+                    mesh=mesh, natural=_run_natural([i]))
                 yield from emit([part], starts[i])
 
 
@@ -978,8 +1002,8 @@ def scan_column(path: str, column: Optional[str] = None, mesh=None) -> dict:
     n_null = 0
     any_null = False
     for p in paths:
-        for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(p, column,
-                                                                   mesh):
+        for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(
+                p, column, mesh, natural=True):
             acc.feed(blocks, cdtype, vtype, valid, pred=vmask)
         nulls_meta = _column_layout(p, column)[6]
         if nulls_meta is not None:
@@ -1021,8 +1045,8 @@ def scan_table(path: str, columns=None, mesh=None) -> dict:
     out = {}
     for name in names:
         acc = _StatAcc()
-        for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(path, name,
-                                                                   mesh):
+        for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(
+                path, name, mesh, natural=True):
             acc.feed(blocks, cdtype, vtype, valid, pred=vmask)
         d = _str_dict_of(path, name)
         r = (_map_str_result(acc.result(), d) if d is not None
@@ -1063,7 +1087,7 @@ def count_where(path: str, op: str, value, column: Optional[str] = None,
         if all(keep):
             keep = None
         for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(
-                p, column, mesh, keep=keep):
+                p, column, mesh, keep=keep, natural=True):
             if valid == 0:
                 continue
             flat = _flatten_logical(blocks, cdtype, vtype)
@@ -1114,7 +1138,7 @@ def _scan_where_into(acc, path, op, value, column, where, mesh):
     if where is None or where == column:
         keep = _zone_keep(path, [(column, op, value)])
         for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(
-                path, column, mesh, keep=keep):
+                path, column, mesh, keep=keep, natural=True):
             if valid == 0:
                 continue
             flat = _flatten_logical(blocks, cdtype, vtype)
@@ -2338,8 +2362,8 @@ def value_counts(path: str, column: Optional[str] = None,
     dict_dev = None if d is not None else jnp.asarray(
         vals.astype(np.uint8) if logical_bool else vals)
     counts = np.zeros(kcap, np.int64)
-    for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(path, column,
-                                                               mesh):
+    for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(
+            path, column, mesh, natural=True):
         if valid == 0:
             continue
         flat = _flatten_logical(blocks, cdtype, vtype)
@@ -2475,7 +2499,7 @@ def top_k(path: str, column: Optional[str] = None, k: int = 10,
     def visit(keep):
         nonlocal kind, int_bits
         for blocks, cdtype, vtype, valid, vmask in _decoded_chunks(
-                path, column, mesh, keep=keep):
+                path, column, mesh, keep=keep, natural=True):
             if valid == 0:
                 continue
             if vmask is None:

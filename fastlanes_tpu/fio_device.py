@@ -84,7 +84,7 @@ def _unzigzag_device(codes, dtype: str):
 
 
 def _decode_chunk_device(meta: dict, raw: bytes, n_blocks: int, dtype: str,
-                         mesh=None, use_kernels="auto"):
+                         mesh=None, use_kernels="auto", natural=False):
     nl = layout.lanes(dtype)
     np_dt = layout.np_dtype(dtype)
     w = meta["width"]
@@ -126,7 +126,7 @@ def _decode_chunk_device(meta: dict, raw: bytes, n_blocks: int, dtype: str,
         return _decode_packed_device(
             codec, _np_to_device_form(packed_np, dtype),
             _np_to_device_form(base_np, dtype), w, None, dtype, mesh,
-            use_kernels)
+            use_kernels, natural=natural)
     packed = _np_to_device_form(np.frombuffer(raw, np_dt).reshape(n_blocks, plen), dtype)
     if codec in ("bitpack", "ffor"):
         return _decode_packed_device(codec, packed, None, w,
@@ -144,17 +144,26 @@ def _parse_delta_payload(raw, n_blocks, dtype, nl, np_dt, plen):
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_chunk_decode(codec, w, dtype, planes):
+def _jitted_chunk_decode(codec, w, dtype, planes, orig=True):
     """One jit-compiled executable per (codec, width, dtype): the routed
     decode entries are otherwise traced EAGERLY here (the ops strategy
     would run op-by-op — each op a ~26ms dispatch on a tunneled chip).
-    Shape-keyed by jit's own cache; ffor's reference rides in-graph."""
+    Shape-keyed by jit's own cache; ffor's reference rides in-graph.
+    `orig=False` (delta-family only) returns the NATURAL transposed-domain
+    image — order-insensitive consumers (analytics reductions) skip the
+    untranspose relayout entirely (VERDICT r4 item 3a)."""
     import jax
 
     if codec == "zdelta":
+        if not orig:
+            return jax.jit(lambda p, b: pk.unzdelta_pack(p, b, w, dtype,
+                                                         planes=planes))
         return jax.jit(lambda p, b: pk.unzdelta_pack_orig(p, b, w, dtype,
                                                           planes=planes))
     if codec == "delta":
+        if not orig:
+            return jax.jit(lambda p, b: pk.undelta_pack(p, b, w, dtype,
+                                                        planes=planes))
         return jax.jit(lambda p, b: pk.undelta_pack_orig(p, b, w, dtype,
                                                          planes=planes))
     if codec == "bitpack":
@@ -166,24 +175,28 @@ def _jitted_chunk_decode(codec, w, dtype, planes):
 
 
 def _decode_packed_device(codec, packed, base, w, ref_val, dtype, mesh,
-                          use_kernels):
-    """Device decode of a parsed (possibly multi-chunk batched) payload."""
+                          use_kernels, natural=False):
+    """Device decode of a parsed (possibly multi-chunk batched) payload.
+    `natural=True` (delta-family only) keeps the transposed-domain image —
+    no untranspose relayout; callers must be order-insensitive."""
     planes = dtype == "u64"  # u64 decodes stay in the (lo, hi) plane domain
     if codec in ("delta", "zdelta"):
-        # original-order fused decode: untranspose never runs as a standalone
-        # permute pass (it gated every sorted-column read at ~17e9 ints/s;
-        # see ops/orig.py and the kernels.*_orig routing)
+        # original-order fused decode: the untranspose takes the MEASURED
+        # fastest strategy per (op, dtype, width) (kernels.*_orig routing;
+        # a standalone-permute-gated read ran at ~17e9 ints/s u32)
+        orig = not natural
         if codec == "zdelta":
             if mesh is not None:
                 return psh.sharded_unzdelta_pack(mesh, packed, base, w, dtype,
                                                  use_kernels=use_kernels,
-                                                 planes=planes, orig=True)
+                                                 planes=planes, orig=orig)
         elif mesh is not None:
             return psh.sharded_undelta_pack(mesh, packed, base, w, dtype,
                                             use_kernels=use_kernels,
-                                            planes=planes, orig=True)
+                                            planes=planes, orig=orig)
         if mesh is None:
-            return _jitted_chunk_decode(codec, w, dtype, planes)(packed, base)
+            return _jitted_chunk_decode(codec, w, dtype, planes,
+                                        orig)(packed, base)
     if codec == "bitpack":
         if mesh is not None:
             return psh.sharded_unpack(mesh, packed, w, dtype,
@@ -332,12 +345,13 @@ def _rle_gather(pi, bv, counts, run_values, dtype, mesh, use_kernels):
     return jnp.take(rv, flat_idx, axis=0)
 
 
-def _decode_chunks_grouped(covering, dtype, mesh, use_kernels):
+def _decode_chunks_grouped(covering, dtype, mesh, use_kernels,
+                           natural=False):
     """Decode a list of (meta, raw) chunks, batching consecutive runs with
     the same (codec, width) signature into one device dispatch. Returns
-    device arrays/plane tuples in chunk order (merged runs yield one)."""
-    nl = layout.lanes(dtype)
-    np_dt = layout.np_dtype(dtype)
+    device arrays/plane tuples in chunk order (merged runs yield one).
+    `natural=True`: delta-family chunks keep the transposed-domain image
+    (order-insensitive consumers only)."""
     parts = []
     i = 0
     while i < len(covering):
@@ -350,16 +364,17 @@ def _decode_chunks_grouped(covering, dtype, mesh, use_kernels):
         if j - i == 1:
             parts.append(_decode_chunk_device(meta, raw, meta["n_blocks"],
                                               dtype, mesh=mesh,
-                                              use_kernels=use_kernels))
+                                              use_kernels=use_kernels,
+                                              natural=natural))
             i = j
             continue
         parts.append(_decode_run_batched(sig, covering[i:j], dtype, mesh,
-                                         use_kernels))
+                                         use_kernels, natural=natural))
         i = j
     return parts
 
 
-def _decode_run_batched(sig, run, dtype, mesh, use_kernels):
+def _decode_run_batched(sig, run, dtype, mesh, use_kernels, natural=False):
     """Decode a run of same-signature (meta, raw) chunks in ONE device
     dispatch; returns the merged (sum-of-n_blocks, 1024) output."""
     nl = layout.lanes(dtype)
@@ -387,7 +402,7 @@ def _decode_run_batched(sig, run, dtype, mesh, use_kernels):
             [np.frombuffer(r, np_dt).reshape(m["n_blocks"], plen)
              for m, r in run], axis=0), dtype)
     return _decode_packed_device(codec, packed, base, w, None,
-                                 dtype, mesh, use_kernels)
+                                 dtype, mesh, use_kernels, natural=natural)
 
 
 def _concat_parts(parts, dtype):
