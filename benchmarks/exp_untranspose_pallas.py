@@ -186,6 +186,97 @@ def _kernel_copy():
     return kernel
 
 
+# -- run-concat variants (pF/pG): toolchain probe r5 showed Mosaic crashes
+# on every lanes->sublanes relayout (stack/swapaxes/minor-index stores/3D
+# reshape) but COMPILES broadcast-to-3D, minor-axis pad/slice, and
+# single-lane slice+concat permutations. So build the (tb, nl, T) original
+# -order image without any transpose: per packed word kk, the output
+# positions r with (r*W)//T == kk form a CONTIGUOUS run [r0, r1); slice a
+# broadcast of plane kk to the run width, shift by the per-position vector,
+# OR the run's straddling last column from plane kk+1, and concatenate the
+# runs along the minor axis. O(1) ops per element (vs the O(W) select
+# chain of pD/pE). Delta's per-segment prefix sum = log2(T) pad-adds along
+# the minor axis (zeros shift in at each segment start by construction).
+
+
+def _perm_plane_slices(plane, dtype):
+    """(tb, nl) natural lane order -> seg order via single-lane static
+    slices + concat (the only lane permutation this Mosaic accepts)."""
+    los = lane_of_seg(dtype)
+    return jnp.concatenate([plane[:, p:p + 1] for p in los], axis=1)
+
+
+def _runs(width, t):
+    """Contiguous output-position runs per packed word: list of
+    (kk, r0, r1, straddles) with straddles = last element continues into
+    word kk+1."""
+    out = []
+    for kk in range(width):
+        rs = [r for r in range(t) if (r * width) // t == kk]
+        r0, r1 = rs[0], rs[-1] + 1
+        sh_last = ((r1 - 1) * width) % t
+        out.append((kk, r0, r1, sh_last + width > t))
+    return out
+
+
+def _run_concat_3d(x, width, dtype, tb, perm_in_kernel=True):
+    """Packed (tb, plen) -> (tb, nl, T) original-order unpacked image,
+    run-concat structure (no mask/scan applied)."""
+    t, nl = layout.bit_width(dtype), layout.lanes(dtype)
+    planes = []
+    for kk in range(width):
+        p = x[:, kk * nl:(kk + 1) * nl]
+        planes.append(_perm_plane_slices(p, dtype) if perm_in_kernel else p)
+    pieces = []
+    for kk, r0, r1, straddles in _runs(width, t):
+        rw = r1 - r0
+        bc = jnp.broadcast_to(planes[kk][:, :, None], (tb, nl, rw))
+        r = jax.lax.broadcasted_iota(jnp.uint32, (tb, nl, rw), 2) + jnp.uint32(r0)
+        sh = (r * jnp.uint32(width)) & jnp.uint32(t - 1)
+        main = bc >> sh
+        if straddles and kk + 1 < width:
+            sh_last = ((r1 - 1) * width) % t
+            hi = planes[kk + 1][:, :, None] << jnp.uint32(t - sh_last)
+            last = main[:, :, rw - 1:rw] | hi
+            pieces.append(main[:, :, :rw - 1])
+            pieces.append(last)
+        else:
+            pieces.append(main)
+    acc = jnp.concatenate(pieces, axis=2) if len(pieces) > 1 else pieces[0]
+    if width < t:
+        acc = acc & jnp.uint32((1 << width) - 1)
+    return acc
+
+
+def _seg_scan_pad(acc, t):
+    """Inclusive per-segment prefix sum along the minor axis via pad/slice
+    shifted adds (zeros enter at each segment's start)."""
+    s = 1
+    while s < t:
+        acc = acc + jnp.pad(acc, ((0, 0), (0, 0), (s, 0)))[:, :, :t]
+        s *= 2
+    return acc
+
+
+def _kernel_pF(width, dtype, tb):
+    def kernel(x_ref, o_ref):
+        o_ref[...] = _run_concat_3d(x_ref[...], width, dtype, tb)
+    return kernel
+
+
+def _kernel_pG(width, dtype, tb, perm_in_kernel=True):
+    t, nl = layout.bit_width(dtype), layout.lanes(dtype)
+
+    def kernel(x_ref, base_ref, o_ref):
+        acc = _run_concat_3d(x_ref[...], width, dtype, tb,
+                             perm_in_kernel=perm_in_kernel)
+        acc = _seg_scan_pad(acc, t)
+        basep = (_perm_plane_slices(base_ref[...], dtype)
+                 if perm_in_kernel else base_ref[...])
+        o_ref[...] = acc + basep[:, :, None]
+    return kernel
+
+
 def _call(kernel, n_blocks, tile_b, in_cols, out_shape3, dtype,
           extra_specs=(), interpret=False):
     n_tiles = n_blocks // tile_b
@@ -234,15 +325,27 @@ def main():
     n_ints = n_blocks * 1024
     rng = np.random.default_rng(0)
 
-    values = rng.integers(0, 1 << w, (n_blocks, 1024), dtype=np.uint64).astype(np_dt)
+    plen = layout.packed_len(dt, w)
+    # Oracle-produced bits only for the tile-sized correctness slice; the
+    # timing arrays are raw random words (decode cost is data-independent)
+    # — preparing oracle data at 131072 blocks costs >10min of host NumPy.
+    values = rng.integers(0, 1 << w, (tile_b, 1024), dtype=np.uint64).astype(np_dt)
     transposed = ref.transpose(values, dt)
-    x = jax.block_until_ready(jnp.asarray(transposed))
     base = np.ascontiguousarray(transposed[:, :nl])
     deltas = ref.delta(transposed, base, dt)
-    packed_d = jax.block_until_ready(jnp.asarray(ref.pack(deltas, w, dt)))
-    packed_v = jax.block_until_ready(jnp.asarray(ref.pack(transposed, w, dt)))
-    base_dev = jax.block_until_ready(jnp.asarray(base))
-    plen = layout.packed_len(dt, w)
+    packed_d_np = ref.pack(deltas, w, dt)
+    packed_v_np = ref.pack(transposed, w, dt)
+
+    def big(small_np, cols):
+        full = rng.integers(0, np.iinfo(np_dt).max, (n_blocks, cols),
+                            dtype=np.uint64).astype(np_dt)
+        full[:tile_b] = small_np
+        return jax.block_until_ready(jnp.asarray(full))
+
+    x = big(transposed, 1024)
+    packed_d = big(packed_d_np, plen)
+    packed_v = big(packed_v_np, plen)
+    base_dev = big(base, nl)
 
     def build(nb, interp):
         base_spec = pl.BlockSpec((tile_b, nl), lambda i: (i, 0),
@@ -258,6 +361,11 @@ def main():
             ("pD", _call(_kernel_pD(w, dt, tile_b), nb, tile_b, plen,
                          (nl, t), dt, interpret=interp), (packed_v,), "up"),
             ("pE", _call(_kernel_pE(w, dt, tile_b), nb, tile_b, plen,
+                         (nl, t), dt, (base_spec,), interpret=interp),
+             (packed_d, base_dev), "ud"),
+            ("pF", _call(_kernel_pF(w, dt, tile_b), nb, tile_b, plen,
+                         (nl, t), dt, interpret=interp), (packed_v,), "up"),
+            ("pG", _call(_kernel_pG(w, dt, tile_b), nb, tile_b, plen,
                          (nl, t), dt, (base_spec,), interpret=interp),
              (packed_d, base_dev), "ud"),
         ]
