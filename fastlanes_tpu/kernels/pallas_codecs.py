@@ -753,7 +753,7 @@ def pack_map(fn, values, width, dtype):
 #    composes in the (lo, hi) plane domain.
 
 
-_ORIG_STRATEGIES = ("od", "gat", "rep", "compose")
+_ORIG_STRATEGIES = ("od", "gat", "rep", "compose", "composeo")
 
 
 def _route_orig(op, width, dtype, strategy):
@@ -768,13 +768,17 @@ def _route_orig(op, width, dtype, strategy):
 
 
 def _orig_entry(op, decode_fn, od_fn, packed, width, dtype, strategy,
-                interpret, planes):
+                interpret, planes, ops_decode_fn=None):
     """Shared driver for the *_orig entries: route the fused formulations
     (od/gat/rep, ops/orig.py) vs compose (routed transposed decode +
-    standalone untranspose); u64 runs in the (lo, hi) plane domain either
-    way (planes=False interleaves at the end for the byte-image
-    convention). An explicit `interpret` forces the kernel decode, which
-    only exists on the compose strategy."""
+    standalone untranspose) vs composeo (forced XLA-ops decode: XLA can
+    fuse the untranspose into the transparent ops trace — measured +17%
+    at u32 W=25 — but not into an opaque Pallas kernel, so the two
+    compose flavors race per config); u64 runs in the (lo, hi) plane
+    domain either way (planes=False interleaves at the end for the
+    byte-image convention; composeo falls back to the routed decode
+    there). An explicit `interpret` forces the kernel decode, which only
+    exists on the compose strategies."""
     from ..ops import transpose as transpose_mod
 
     if interpret is not None and strategy is None:
@@ -782,7 +786,7 @@ def _orig_entry(op, decode_fn, od_fn, packed, width, dtype, strategy,
     dtype = layout.canon_dtype(dtype)
     strat = _route_orig(op, width, dtype, strategy)
     if eng.is_limb(dtype):
-        if strat != "compose":
+        if strat not in ("compose", "composeo"):
             out = od_fn(strat)
         else:
             out = transpose_mod.untranspose(decode_fn(), dtype, planes=True)
@@ -791,7 +795,9 @@ def _orig_entry(op, decode_fn, od_fn, packed, width, dtype, strategy,
         return eng.from_vec(out, dtype, like=packed)
     if planes:
         raise ValueError("planes=True is the u64 limb-plane API")
-    if strat != "compose":
+    if strat == "composeo" and ops_decode_fn is not None and interpret is None:
+        return transpose_mod.untranspose(ops_decode_fn(), dtype)
+    if strat not in ("compose", "composeo"):
         return od_fn(strat)
     return transpose_mod.untranspose(decode_fn(), dtype)
 
@@ -807,7 +813,8 @@ def unpack_orig(packed, width, dtype, *, strategy=None, interpret=None,
         lambda: unpack(packed, width, dtype, interpret=interpret,
                        planes=eng.is_limb(dtype)),
         lambda f: ops_orig.unpack_orig(packed, width, dtype, formulation=f),
-        packed, width, dtype, strategy, interpret, planes)
+        packed, width, dtype, strategy, interpret, planes,
+        ops_decode_fn=lambda: ops_bitpack.unpack(packed, width, dtype))
 
 
 def undelta_pack_orig(packed, base, width, dtype, *, strategy=None,
@@ -816,13 +823,19 @@ def undelta_pack_orig(packed, base, width, dtype, *, strategy=None,
     composed with transpose.rs:18-22) — the sorted-column file-read path."""
     from ..ops import orig as ops_orig
 
+    def _ops_undelta():
+        from ..ops import delta as ops_delta
+
+        return ops_delta.undelta_pack(packed, base, width, dtype)
+
     return _orig_entry(
         "undelta_pack_orig",
         lambda: undelta_pack(packed, base, width, dtype, interpret=interpret,
                              planes=eng.is_limb(dtype)),
         lambda f: ops_orig.undelta_pack_orig(packed, base, width, dtype,
                                              formulation=f),
-        packed, width, dtype, strategy, interpret, planes)
+        packed, width, dtype, strategy, interpret, planes,
+        ops_decode_fn=_ops_undelta)
 
 
 def unzdelta_pack_orig(packed, base, width, dtype, *, strategy=None,
@@ -830,13 +843,19 @@ def unzdelta_pack_orig(packed, base, width, dtype, *, strategy=None,
     """Fused zdelta decode straight to original order."""
     from ..ops import orig as ops_orig
 
+    def _ops_unzdelta():
+        from ..parallel.shard import _ops_unzdelta_pack
+
+        return _ops_unzdelta_pack(packed, base, width, dtype)
+
     return _orig_entry(
         "unzdelta_pack_orig",
         lambda: unzdelta_pack(packed, base, width, dtype, interpret=interpret,
                               planes=eng.is_limb(dtype)),
         lambda f: ops_orig.unzdelta_pack_orig(packed, base, width, dtype,
                                               formulation=f),
-        packed, width, dtype, strategy, interpret, planes)
+        packed, width, dtype, strategy, interpret, planes,
+        ops_decode_fn=_ops_unzdelta)
 
 
 def delta_pack_orig(values, width, dtype, *, zigzag=False, strategy=None,

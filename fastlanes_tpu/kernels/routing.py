@@ -121,8 +121,9 @@ _UNMEASURED_DEFAULT = {
 
 #: every execution strategy a table entry may name
 _STRATEGIES = frozenset(("pallas", "ops", "od", "gat", "rep", "compose",
-                         "assemble", "gather", "grouptake", "mxu", "mxu8",
-                         "permute", "decode", "bitrev", "axes"))
+                         "composeo", "assemble", "gather", "grouptake",
+                         "mxu", "mxu8", "permute", "decode", "bitrev",
+                         "axes"))
 
 
 @functools.lru_cache(maxsize=None)

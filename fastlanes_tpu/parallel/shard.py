@@ -107,6 +107,9 @@ def _resolve_orig(use_kernels, orig_name, width, dtype, planes):
         strat = routing.best_path(orig_name, dtype, width)
         if strat == "od" and od_ok:
             return orig_name, False, "od"
+        if strat == "composeo":
+            # forced-ops decode + untranspose fused into the shard's trace
+            return orig_name, False, "compose"
         base = _ORIG_BASE[orig_name]
         return orig_name, _resolve_kernels("auto", base, width, dtype), "compose"
     if not use_kernels and od_ok:

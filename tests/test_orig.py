@@ -171,7 +171,7 @@ def test_u64_kernel_entry_od_strategy():
     wd = int(deltas.max()).bit_length()
     packed = ref.pack(deltas, wd, "u64")
     want = _u64_img(vals)
-    for strategy in ("od", "gat", "rep", "compose"):
+    for strategy in ("od", "gat", "rep", "compose", "composeo"):
         lo, hi = kernels.undelta_pack_orig(
             _u64_img(packed), _u64_img(base), wd, "u64", planes=True,
             strategy=strategy)
@@ -201,7 +201,8 @@ def test_u64_sharded_orig_od_planes():
     assert np.array_equal(np.asarray(hi), want[..., 1])
 
 
-@pytest.mark.parametrize("strategy", ["od", "gat", "rep", "compose"])
+@pytest.mark.parametrize("strategy", ["od", "gat", "rep", "compose",
+                                      "composeo"])
 def test_kernel_entries_both_strategies(strategy):
     packed, base, wd, _ = _delta_fixture("u32", 9)
     want = ref.untranspose(ref.undelta_pack(packed, base, wd, "u32"), "u32")
@@ -311,7 +312,7 @@ def test_fio_device_delta_reads_via_orig(tmp_path, monkeypatch):
     op_of = {"delta": "undelta_pack_orig", "zdelta": "unzdelta_pack_orig"}
     expect_compose = any(
         routing.best_path(op_of[c["codec"]], hdr["dtype"], c["width"])
-        == "compose"
+        in ("compose", "composeo")
         for c in hdr["chunks"] if c["codec"] in op_of)
     assert bool(calls) == expect_compose, (
         f"untranspose calls={len(calls)} but routing says "

@@ -92,6 +92,15 @@ def main():
                     help="comma-separated op names to measure (filter)")
     ap.add_argument("--dtypes", default=None,
                     help="comma-separated dtypes to measure (filter)")
+    ap.add_argument("--strategies", default=None,
+                    help="comma-separated strategy names: for *_orig "
+                         "entries, measure only these and merge into the "
+                         "existing same-scale entry")
+    ap.add_argument("--widths", default=None,
+                    help="comma-separated widths: measure exactly these "
+                         "widths (clamped to <=T) for every selected "
+                         "(op, dtype) instead of the default lists; "
+                         "wt/st entries keep their fixed widths")
     args = ap.parse_args()
 
     configs = build_configs(args.quick)
@@ -101,6 +110,22 @@ def main():
     if args.dtypes:
         keep_dt = set(args.dtypes.split(","))
         configs = [c for c in configs if c[1] in keep_dt]
+    if args.widths:
+        from fastlanes_tpu.core import layout as _layout
+
+        widths = sorted({int(w) for w in args.widths.split(",")})
+        fixed = {"unpack_wt", "pack_wt", "transpose_st", "untranspose_st"}
+        pairs, seen, rebuilt = [], set(), []
+        for op, dt, w in configs:
+            if op in fixed:
+                rebuilt.append((op, dt, w))
+            elif (op, dt) not in seen:
+                seen.add((op, dt))
+                pairs.append((op, dt))
+        for op, dt in pairs:
+            t = _layout.bit_width(dt)
+            rebuilt.extend((op, dt, w) for w in widths if 1 <= w <= t)
+        configs = rebuilt
     if args.dry:
         for c in configs:
             print(":".join(map(str, c)))
@@ -203,11 +228,12 @@ def main():
     from fastlanes_tpu.ops import orig as ops_orig
 
     def _dec_orig(entry):
-        # all four strategies of the *_orig decode entries (VERDICT r3
-        # items 1-2): od select-chain, gat/rep flat one-pass forms,
-        # compose = routed transposed decode + standalone untranspose
+        # all strategies of the *_orig decode entries (VERDICT r3 items
+        # 1-2, r5): od select-chain, gat/rep flat one-pass forms, compose
+        # = routed transposed decode + standalone untranspose, composeo =
+        # forced-XLA-ops decode so the untranspose fuses into the trace
         return {s: (lambda *a, _s=s, _e=entry: _e(*a, strategy=_s))
-                for s in ("od", "gat", "rep", "compose")}
+                for s in ("od", "gat", "rep", "compose", "composeo")}
 
     orig_fns = {
         "delta_pack_orig_enc": {
@@ -337,7 +363,17 @@ def main():
                 print(json.dumps({key: rec}), flush=True)
             continue
         if op in orig_fns:
-            for strat, fn in orig_fns[op].items():
+            strat_items = orig_fns[op].items()
+            if args.strategies:
+                keep_s = set(args.strategies.split(","))
+                strat_items = [(s, f) for s, f in strat_items if s in keep_s]
+                # strategy-filtered runs MERGE into the existing entry
+                # (same measurement scale only — mixing block counts would
+                # compare numbers from different regimes)
+                prior = entries.get(key, {})
+                if prior.get("blocks") == n_blocks:
+                    rec.update(prior)
+            for strat, fn in strat_items:
                 try:
                     t_s = chained(
                         lambda x, *r, _fn=fn, _w=w, _dt=dt: _fn(x, *r, _w, _dt),
