@@ -21,6 +21,7 @@
 
 #include <array>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <utility>
 
@@ -488,9 +489,19 @@ void unpack_loop_nt(const T* __restrict src, T* __restrict dst, long n_blocks) {
 // 512 blocks = 2 MiB of u32 output.
 constexpr long kNTMinBlocks = 512;
 
+// FASTLANES_NATIVE_NT=0 disables non-temporal stores at runtime (A/B
+// benchmarking lever; read once).
+inline bool nt_env_enabled() {
+  static const bool on = [] {
+    const char* e = std::getenv("FASTLANES_NATIVE_NT");
+    return !(e && e[0] == '0');
+  }();
+  return on;
+}
+
 template <typename T>
 inline bool use_nt(const void* dst, long n_blocks) {
-  return kHaveNT && n_blocks >= kNTMinBlocks &&
+  return kHaveNT && nt_env_enabled() && n_blocks >= kNTMinBlocks &&
          (reinterpret_cast<uintptr_t>(dst) & 63) == 0;
 }
 
